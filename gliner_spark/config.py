@@ -1,0 +1,52 @@
+"""Pipeline configuration.
+
+Field defaults mirror the reference's capacity knobs so decode semantics
+line up (reference: gliner/config.py:13 max_width=12, :26 max_len=384,
+inference threshold=0.5 at gliner/model.py:352-356).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class ScorerConfig:
+    """Deterministic numpy bi-encoder (torch-free stand-in for the
+    reference's DeBERTa bi-encoder; same tensor contract, see SURVEY §7.0).
+
+    The scorer is intentionally seeded + hash-based so the Spark pipeline
+    and the pure-Python oracle produce bit-identical scores.
+    """
+
+    dim: int = 64
+    buckets: int = 1 << 16
+    seed: int = 42
+    # logit = alpha * sqrt(dim) * cosine(span_rep, label_emb) + beta
+    # calibrated so ~1-3% of span×label cells clear sigmoid>0.5
+    alpha: float = 2.0
+    beta: float = -4.0
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    max_width: int = 12          # reference gliner/config.py:13
+    max_len: int = 384           # reference gliner/config.py:26
+    threshold: float = 0.5       # reference gliner/model.py:352-356
+    flat_ner: bool = True
+    multi_label: bool = False
+    # relation pass (reference gliner/multitask/relation_extraction.py:30,85)
+    re_prompt: str = "Extract relationships between entities from the text: "
+    ner_threshold: float = 0.5
+    rel_threshold: float = 0.5
+    # entity linking
+    minhash_perms: int = 64
+    lsh_bands: int = 16          # 16 bands × 4 rows
+    shingle_size: int = 3
+    jaccard_threshold: float = 0.6
+    # turn-window relation scoping (SURVEY §2.5 W4)
+    turn_window: int = 2
+    scorer: ScorerConfig = field(default_factory=ScorerConfig)
+
+
+DEFAULT = PipelineConfig()

@@ -1,0 +1,149 @@
+"""Span decoding: threshold → candidates → greedy non-overlap selection.
+
+Reference semantics reproduced exactly:
+ - candidate enumeration is row-major (start, width, class) order, the
+   torch.where order of gliner/decoding/decoder.py:108;
+ - spans with end > len(tokens) are skipped (decoder.py:110-112);
+ - greedy_search (decoder.py:31-51): stable sort by score desc over the
+   candidate order above, accept iff no conflict with an already-accepted
+   span, finally stable sort by start;
+ - conflict predicates from gliner/decoding/utils.py:1-20
+   (flat: any boundary overlap; nested: overlap unless one nests the other;
+   equal boundaries conflict unless multi_label).
+
+Two implementations:
+ - greedy_search_reference: literal list-based re-statement of the
+   reference algorithm (the property-test oracle);
+ - greedy_select: numpy-vectorized equivalent used in the hot path on both
+   the Spark executors and the pipeline oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ----------------------------------------------------------- reference form
+
+
+def _is_nested(a, b) -> bool:
+    return (a[0] <= b[0] and a[1] >= b[1]) or (b[0] <= a[0] and b[1] >= a[1])
+
+
+def has_overlapping(a, b, multi_label: bool = False) -> bool:
+    """Flat-NER conflict (gliner/decoding/utils.py:5-11)."""
+    if (a[0], a[1]) == (b[0], b[1]):
+        return not multi_label
+    if a[0] > b[1] or b[0] > a[1]:
+        return False
+    return True
+
+
+def has_overlapping_nested(a, b, multi_label: bool = False) -> bool:
+    """Nested-NER conflict (gliner/decoding/utils.py:14-20)."""
+    if (a[0], a[1]) == (b[0], b[1]):
+        return not multi_label
+    if (a[0] > b[1] or b[0] > a[1]) or _is_nested(a, b):
+        return False
+    return True
+
+
+def greedy_search_reference(spans, flat_ner=True, multi_label=False):
+    """Literal restatement of gliner/decoding/decoder.py:31-51.
+
+    `spans` is a list of tuples whose first two fields are (start, end) and
+    whose LAST field is the score. Returns the accepted subset, sorted by
+    start (stable), preserving reference tie behavior (Python stable sort
+    over the input candidate order).
+    """
+    pred = has_overlapping if flat_ner else has_overlapping_nested
+    conflict = lambda a, b: pred(a, b, multi_label=multi_label)  # noqa: E731
+    accepted = []
+    by_score = sorted(spans, key=lambda x: -x[-1])
+    for cand in by_score:
+        if not any(conflict(cand[:-1], a) for a in accepted):
+            accepted.append(cand)
+    return sorted(accepted, key=lambda x: x[0])
+
+
+# ---------------------------------------------------------- vectorized form
+
+
+def greedy_select(
+    starts: np.ndarray,
+    ends: np.ndarray,
+    scores: np.ndarray,
+    flat_ner: bool = True,
+    multi_label: bool = False,
+) -> np.ndarray:
+    """Vectorized greedy non-overlap selection.
+
+    Inputs are parallel arrays in candidate (start, width, class) row-major
+    order. Returns indices of accepted candidates, ordered by (start asc,
+    acceptance order) — identical output order to the reference's final
+    stable sort by start.
+    """
+    n = len(starts)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    order = np.argsort(-scores, kind="stable")
+    acc_idx: list[int] = []
+    acc_s = np.empty(n, dtype=np.int64)
+    acc_e = np.empty(n, dtype=np.int64)
+    m = 0
+    for i in order:
+        s, e = starts[i], ends[i]
+        if m:
+            as_, ae = acc_s[:m], acc_e[:m]
+            equal = (as_ == s) & (ae == e)
+            inter = (as_ <= e) & (s <= ae)
+            if flat_ner:
+                conflict = inter if not multi_label else (inter & ~equal)
+            else:
+                nested = ((as_ <= s) & (ae >= e)) | ((s <= as_) & (e >= ae))
+                conflict = inter & ~nested
+                if not multi_label:
+                    conflict = conflict | equal
+            if conflict.any():
+                continue
+        acc_s[m] = s
+        acc_e[m] = e
+        m += 1
+        acc_idx.append(int(i))
+    kept = np.asarray(acc_idx, dtype=np.int64)
+    final = kept[np.argsort(starts[kept], kind="stable")]
+    return final
+
+
+def threshold_candidates(
+    probs: np.ndarray, n_tokens: int, threshold: float
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """probs (L, K, C) → candidate arrays (starts, ends, class_idx, scores).
+
+    Enumeration order is np.where row-major (s, k, c) — the reference's
+    torch.where order (decoder.py:108). Spans with end > n_tokens dropped
+    (decoder.py:110-112). `ends` are INCLUSIVE token indices (s + k), the
+    reference's (s, s+k) convention (decoder.py:123).
+    """
+    s_idx, k_idx, c_idx = np.nonzero(probs > threshold)
+    valid = (s_idx + k_idx + 1) <= n_tokens
+    s_idx, k_idx, c_idx = s_idx[valid], k_idx[valid], c_idx[valid]
+    scores = probs[s_idx, k_idx, c_idx]
+    return s_idx, s_idx + k_idx, c_idx, scores
+
+
+def decode_row(
+    probs: np.ndarray,
+    n_tokens: int,
+    threshold: float,
+    flat_ner: bool = True,
+    multi_label: bool = False,
+    n_labels: int | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Full decode for one row: threshold → greedy → (starts, ends_incl,
+    class_idx, scores) sorted by start. `n_labels` bounds the class axis for
+    ragged-label batches (padded label slots)."""
+    if n_labels is not None and n_labels < probs.shape[2]:
+        probs = probs[:, :, :n_labels]
+    s, e, c, sc = threshold_candidates(probs, n_tokens, threshold)
+    keep = greedy_select(s, e, sc, flat_ner=flat_ner, multi_label=multi_label)
+    return s[keep], e[keep], c[keep], sc[keep]

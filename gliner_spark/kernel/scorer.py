@@ -1,0 +1,175 @@
+"""Deterministic numpy bi-encoder scorer.
+
+Stand-in for the reference's transformer bi-encoder (torch/transformers are
+not installed in this environment). Same tensor contract as the reference:
+
+  token embeddings ─► span reps (markerV0 shape: start-proj ⊕ end-proj,
+  reference gliner/modeling/span_rep.py:262-286) ─► scores against label
+  embeddings via a batched matmul (reference einsum "BLKD,BCD->BLKC" at
+  gliner/modeling/base.py:547) ─► sigmoid (gliner/decoding/decoder.py:81).
+
+Label embeddings are mean-pooled token vectors (reference
+gliner/modeling/encoder.py:169-171), computed ONCE and broadcast — the
+reference's bi-encoder label pre-encoding trick (gliner/model.py:604-630).
+
+Determinism: token → embedding row via crc32 hashing into a seeded random
+matrix; all projection matrices are seeded. The Spark mapInArrow stage and
+the pure-Python oracle import THIS class, so scores are bit-identical and
+any P/R loss isolates pipeline plumbing bugs, not model noise.
+
+Everything is vectorized over Arrow-batch-shaped inputs: (B, Lmax) padded
+token-id matrices. No per-row Python in the scoring path.
+"""
+
+from __future__ import annotations
+
+import math
+import zlib
+
+import numpy as np
+
+from ..config import ScorerConfig
+from .tokenizer import TOKEN_RE
+
+_EPS = 1e-8
+
+
+def stable_token_id(token: str, buckets: int) -> int:
+    """crc32-based stable hash (Python's hash() is salted per process)."""
+    return zlib.crc32(token.lower().encode("utf-8")) % buckets
+
+
+class HashedBiEncoder:
+    def __init__(self, cfg: ScorerConfig | None = None):
+        self.cfg = cfg or ScorerConfig()
+        c = self.cfg
+        rng = np.random.RandomState(c.seed)
+        scale = 1.0 / math.sqrt(c.dim)
+        self.emb = (rng.standard_normal((c.buckets, c.dim)) * scale).astype(np.float32)
+        w_start = (rng.standard_normal((c.dim, c.dim)) * scale).astype(np.float32)
+        w_end = (rng.standard_normal((c.dim, c.dim)) * scale).astype(np.float32)
+        self.w_label = (rng.standard_normal((c.dim, c.dim)) * scale).astype(np.float32)
+        # Pre-project the whole vocab once: downstream batch scoring is then
+        # gathers + adds only, so padded batch shape cannot perturb values.
+        self.start_table = self.emb @ w_start  # (buckets, dim)
+        self.end_table = self.emb @ w_end      # (buckets, dim)
+        self._label_cache: dict[str, np.ndarray] = {}
+
+    # ------------------------------------------------------------------ ids
+    def token_ids(self, tokens: list[str]) -> np.ndarray:
+        b = self.cfg.buckets
+        return np.fromiter(
+            (stable_token_id(t, b) for t in tokens), dtype=np.int64, count=len(tokens)
+        )
+
+    def ids_matrix(self, token_lists: list[list[str]]) -> tuple[np.ndarray, np.ndarray]:
+        """Pad a batch of token lists → (ids (B, Lmax) int64, lengths (B,))."""
+        lengths = np.array([len(t) for t in token_lists], dtype=np.int64)
+        lmax = int(lengths.max()) if len(lengths) else 0
+        ids = np.zeros((len(token_lists), max(lmax, 1)), dtype=np.int64)
+        for i, toks in enumerate(token_lists):
+            if toks:
+                ids[i, : len(toks)] = self.token_ids(toks)
+        return ids, lengths
+
+    # --------------------------------------------------------------- labels
+    def encode_label(self, label: str) -> np.ndarray:
+        cached = self._label_cache.get(label)
+        if cached is not None:
+            return cached
+        toks = TOKEN_RE.findall(label)
+        if not toks:
+            vec = np.zeros(self.cfg.dim, dtype=np.float32)
+        else:
+            mean = self.emb[self.token_ids(toks)].mean(axis=0)
+            vec = np.tanh(mean @ self.w_label)
+            vec = vec / (np.linalg.norm(vec) + _EPS)
+        self._label_cache[label] = vec
+        return vec
+
+    def encode_labels(self, labels: list[str]) -> np.ndarray:
+        """(C, dim) float32, one normalized vector per label."""
+        if not labels:
+            return np.zeros((0, self.cfg.dim), dtype=np.float32)
+        return np.stack([self.encode_label(lb) for lb in labels])
+
+    # -------------------------------------------------------------- scoring
+    def span_reps(self, ids: np.ndarray, max_width: int) -> np.ndarray:
+        """Normalized span reps (B, L, K, dim) for spans (s, s+k).
+
+        rep[b, s, k] = tanh(start_proj(tok s) + end_proj(tok s+k)); positions
+        past the padded edge reuse the last column (they are filtered by the
+        end>len(tokens) rule at decode, mirroring decoder.py:110-112).
+        """
+        s_vec = self.start_table[ids]  # (B, L, d)
+        e_vec = self.end_table[ids]
+        B, L, d = s_vec.shape
+        rep = np.empty((B, L, max_width, d), dtype=np.float32)
+        for k in range(max_width):
+            # end vector shifted left by k; positions past the edge reuse the
+            # last column (such spans always fail end<=len and are skipped,
+            # so the filler value never reaches output).
+            if k == 0:
+                shifted = e_vec
+            elif k < L:
+                pad = np.repeat(e_vec[:, -1:, :], k, axis=1)
+                shifted = np.concatenate([e_vec[:, k:, :], pad], axis=1)
+            else:
+                shifted = np.repeat(e_vec[:, -1:, :], L, axis=1)
+            rep[:, :, k, :] = s_vec + shifted
+        np.tanh(rep, out=rep)
+        rep /= np.linalg.norm(rep, axis=-1, keepdims=True) + _EPS
+        return rep
+
+    def score_batch(
+        self, ids: np.ndarray, label_mat: np.ndarray, max_width: int
+    ) -> np.ndarray:
+        """Shared-label scoring: probs (B, L, K, C).
+
+        One matmul per batch — the broadcast-join pattern (SURVEY §2.3 J1):
+        label_mat is the broadcast side, span reps the streamed side.
+        """
+        c = self.cfg
+        rep = self.span_reps(ids, max_width)  # (B,L,K,d) normalized
+        logits = rep @ label_mat.T.astype(np.float32)  # (B,L,K,C) cosine
+        logits *= np.float32(c.alpha * math.sqrt(c.dim))
+        logits += np.float32(c.beta)
+        return _sigmoid(logits)
+
+    def score_batch_ragged(
+        self,
+        ids: np.ndarray,
+        label_mats: list[np.ndarray],
+        max_width: int,
+    ) -> np.ndarray:
+        """Per-row label sets (RE pass, processor.py:255-266 semantics).
+
+        Pads labels to Cmax and runs ONE einsum blkd,bcd->blkc — the
+        reference's own padding trick (gliner/modeling/base.py:537-543).
+        Padded label slots score prob 0 (they are zero vectors → logit =
+        beta < 0 → below any sane threshold), and decode additionally
+        bounds c by the per-row label count.
+        """
+        c = self.cfg
+        B = ids.shape[0]
+        cmax = max((m.shape[0] for m in label_mats), default=0)
+        if cmax == 0:
+            return np.zeros((B, ids.shape[1], max_width, 0), dtype=np.float32)
+        lab = np.zeros((B, cmax, c.dim), dtype=np.float32)
+        for i, m in enumerate(label_mats):
+            if m.shape[0]:
+                lab[i, : m.shape[0], :] = m
+        rep = self.span_reps(ids, max_width)
+        logits = np.einsum("blkd,bcd->blkc", rep, lab, optimize=True)
+        logits *= np.float32(c.alpha * math.sqrt(c.dim))
+        logits += np.float32(c.beta)
+        return _sigmoid(logits)
+
+
+def _sigmoid(x: np.ndarray) -> np.ndarray:
+    out = np.empty_like(x, dtype=np.float32)
+    np.negative(x, out=out)
+    np.exp(out, out=out)
+    out += 1.0
+    np.reciprocal(out, out=out)
+    return out

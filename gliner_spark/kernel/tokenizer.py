@@ -1,0 +1,33 @@
+"""Word tokenizer with char offsets.
+
+Byte-identical to the reference WhitespaceTokenSplitter
+(gliner/data_processing/tokenizer.py:15-21): regex
+``\\w+(?:[-_]\\w+)*|\\S`` over ``re.finditer``, yielding
+(token, char_start, char_end).
+
+The same regex is used on the Spark side:
+ - natively via ``F.regexp_extract_all`` when only token strings are
+   needed (offsets-free paths: shingling, token counting), and
+ - inside mapInArrow (this function, applied per Arrow batch) when char
+   offsets must be carried for entity char-span projection
+   (reference gliner/model.py:429-447).
+"""
+
+from __future__ import annotations
+
+import re
+
+TOKEN_PATTERN = r"\w+(?:[-_]\w+)*|\S"
+TOKEN_RE = re.compile(TOKEN_PATTERN)
+
+
+def tokenize_with_offsets(text: str) -> tuple[list[str], list[int], list[int]]:
+    """Return (tokens, char_starts, char_ends) for one text."""
+    tokens: list[str] = []
+    starts: list[int] = []
+    ends: list[int] = []
+    for m in TOKEN_RE.finditer(text):
+        tokens.append(m.group())
+        starts.append(m.start())
+        ends.append(m.end())
+    return tokens, starts, ends
