@@ -26,7 +26,7 @@ import numpy as np
 from ..config import PipelineConfig, DEFAULT
 from .decode import decode_row
 from .scorer import HashedBiEncoder
-from .tokenizer import tokenize_with_offsets
+from .tokenizer import prep_tokens
 
 
 class OraclePipeline:
@@ -37,14 +37,7 @@ class OraclePipeline:
     # ------------------------------------------------------------- NER pass
     def _prep(self, text: str):
         """Tokenize + truncate + empty guard (processor.py:345-352)."""
-        tokens, starts, ends = tokenize_with_offsets(text)
-        if len(tokens) == 0:
-            tokens, starts, ends = ["[PAD]"], [0], [0]
-        if len(tokens) > self.cfg.max_len:
-            tokens = tokens[: self.cfg.max_len]
-            starts = starts[: self.cfg.max_len]
-            ends = ends[: self.cfg.max_len]
-        return tokens, starts, ends
+        return prep_tokens(text, self.cfg.max_len)
 
     def run(
         self,

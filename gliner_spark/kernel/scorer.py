@@ -166,6 +166,20 @@ class HashedBiEncoder:
         return _sigmoid(logits)
 
 
+_SCORER_CACHE: dict[ScorerConfig, "HashedBiEncoder"] = {}
+
+
+def get_scorer(cfg: ScorerConfig | None = None) -> "HashedBiEncoder":
+    """Per-process memoized scorer — executors build the hashed embedding
+    tables once per python worker, not once per task."""
+    cfg = cfg or ScorerConfig()
+    inst = _SCORER_CACHE.get(cfg)
+    if inst is None:
+        inst = HashedBiEncoder(cfg)
+        _SCORER_CACHE[cfg] = inst
+    return inst
+
+
 def _sigmoid(x: np.ndarray) -> np.ndarray:
     out = np.empty_like(x, dtype=np.float32)
     np.negative(x, out=out)

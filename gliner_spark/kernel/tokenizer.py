@@ -31,3 +31,17 @@ def tokenize_with_offsets(text: str) -> tuple[list[str], list[int], list[int]]:
         starts.append(m.start())
         ends.append(m.end())
     return tokens, starts, ends
+
+
+def prep_tokens(
+    text: str, max_len: int
+) -> tuple[list[str], list[int], list[int]]:
+    """Tokenize + empty-text guard + truncation, mirroring the reference's
+    SpanProcessor.preprocess_example (processor.py:345-352): empty token
+    list → ["[PAD]"], then truncate to max_len."""
+    tokens, starts, ends = tokenize_with_offsets(text)
+    if not tokens:
+        return ["[PAD]"], [0], [0]
+    if len(tokens) > max_len:
+        return tokens[:max_len], starts[:max_len], ends[:max_len]
+    return tokens, starts, ends

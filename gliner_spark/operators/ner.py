@@ -1,0 +1,170 @@
+"""Span-based zero-shot NER as a single shuffle-free mapInArrow stage.
+
+Spark-first restatement of the reference inference query
+(GLiNER.run, gliner/model.py:357-449 — lifecycle in SURVEY §3.1):
+
+ - the label-embedding matrix is computed ONCE on the driver and shipped in
+   the UDF closure — the reference's bi-encoder label pre-encoding trick
+   (gliner/model.py:604-630) expressed as Spark's broadcast pattern;
+ - tokenization, span-rep construction and the span×label matmul run
+   vectorized per Arrow batch (reference einsum at modeling/base.py:547);
+ - threshold → greedy non-overlap decode per row (decoder.py:54-128);
+ - char-offset projection + span text slicing (model.py:429-447).
+
+The whole stage is NARROW: no shuffle between the transcript scan and the
+entities output. At 100 TB this is the property that matters — scoring
+cost scales linearly with input splits and AQE/partition sizing is the
+only tuning surface. Catalyst pushes the column prune (only key cols +
+text are read from parquet/Iceberg) because mapInArrow declares its input
+projection explicitly via the upstream select.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ..config import PipelineConfig, DEFAULT
+from ..kernel.decode import decode_row
+from ..kernel.scorer import HashedBiEncoder, get_scorer
+from ..kernel.tokenizer import prep_tokens
+
+ENTITY_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("start", T.IntegerType(), False),
+        T.StructField("end", T.IntegerType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("label", T.StringType(), False),
+        T.StructField("score", T.DoubleType(), False),
+        T.StructField("tok_start", T.IntegerType(), False),
+        T.StructField("tok_end", T.IntegerType(), False),
+    ]
+)
+
+_ENTITY_ARROW = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("start", pa.int32()),
+        ("end", pa.int32()),
+        ("text", pa.string()),
+        ("label", pa.string()),
+        ("score", pa.float64()),
+        ("tok_start", pa.int32()),
+        ("tok_end", pa.int32()),
+    ]
+)
+
+# dense working-set budget for one scoring chunk: B*Lmax*K*(dim+C) float32s
+_CHUNK_BUDGET_ELEMS = 24_000_000  # ~96 MB of float32
+
+
+def _chunk_rows(lengths: list[int], max_width: int, dim: int, n_labels: int):
+    """Greedy chunking so the padded (B, Lmax, K, dim+C) tensor stays under
+    budget regardless of text length mix."""
+    per_tok = max_width * (dim + max(n_labels, 1))
+    chunks: list[tuple[int, int]] = []
+    i, n = 0, len(lengths)
+    while i < n:
+        lmax = 1
+        j = i
+        while j < n:
+            lmax_new = max(lmax, lengths[j])
+            if (j - i + 1) * lmax_new * per_tok > _CHUNK_BUDGET_ELEMS and j > i:
+                break
+            lmax = lmax_new
+            j += 1
+        chunks.append((i, j))
+        i = j
+    return chunks
+
+
+def _score_and_decode_batch(
+    texts: list[str],
+    scorer: HashedBiEncoder,
+    label_mat: np.ndarray,
+    labels: list[str],
+    cfg: PipelineConfig,
+    threshold: float,
+):
+    """Shared-label scoring of one list of texts → per-text entity tuples
+    (char_start, char_end, span_text, label, score, tok_start, tok_end)."""
+    prepped = [prep_tokens(t, cfg.max_len) for t in texts]
+    lengths = [len(p[0]) for p in prepped]
+    out: list[list[tuple]] = [None] * len(texts)  # type: ignore[list-item]
+    labels_arr = np.asarray(labels, dtype=object)
+    for lo, hi in _chunk_rows(lengths, cfg.max_width, scorer.cfg.dim, len(labels)):
+        ids, _ = scorer.ids_matrix([prepped[i][0] for i in range(lo, hi)])
+        probs = scorer.score_batch(ids, label_mat, cfg.max_width)
+        for i in range(lo, hi):
+            tokens, tstarts, tends = prepped[i]
+            s, e, c, sc = decode_row(
+                probs[i - lo],
+                len(tokens),
+                threshold,
+                flat_ner=cfg.flat_ner,
+                multi_label=cfg.multi_label,
+            )
+            text = texts[i]
+            rows = []
+            for si, ei, ci, sci in zip(s, e, c, sc):
+                cs, ce = tstarts[int(si)], tends[int(ei)]
+                rows.append(
+                    (cs, ce, text[cs:ce], labels_arr[int(ci)], float(sci),
+                     int(si), int(ei))
+                )
+            out[i] = rows
+    return out
+
+
+def extract_entities(
+    transcripts: DataFrame,
+    labels: list[str],
+    cfg: PipelineConfig | None = None,
+    threshold: float | None = None,
+) -> DataFrame:
+    """transcripts(conv_id, turn_idx, text, …) → entities DataFrame.
+
+    Narrow transformation; output partitioning inherits the scan. Labels
+    are deduped order-preserving (reference gliner/model.py:202).
+    """
+    cfg = cfg or DEFAULT
+    thr = cfg.threshold if threshold is None else threshold
+    labels = list(dict.fromkeys(labels))
+    # Driver-side label pre-encoding; the (C, dim) matrix rides the closure
+    # (tiny) — semantically a broadcast of the build side of the span×label
+    # cross-score join (SURVEY §2.3 J1).
+    label_mat = get_scorer(cfg.scorer).encode_labels(labels)
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        scorer = get_scorer(cfg.scorer)  # per-worker memoized, deterministic
+        for batch in batches:
+            conv = batch.column("conv_id").to_pylist()
+            turn = batch.column("turn_idx").to_pylist()
+            texts = batch.column("text").to_pylist()
+            per_row = _score_and_decode_batch(
+                texts, scorer, label_mat, labels, cfg, thr
+            )
+            cols: dict[str, list] = {k: [] for k in _ENTITY_ARROW.names}
+            for cid, tix, rows in zip(conv, turn, per_row):
+                for cs, ce, sp, lb, sc, ts_, te_ in rows:
+                    cols["conv_id"].append(cid)
+                    cols["turn_idx"].append(tix)
+                    cols["start"].append(cs)
+                    cols["end"].append(ce)
+                    cols["text"].append(sp)
+                    cols["label"].append(lb)
+                    cols["score"].append(sc)
+                    cols["tok_start"].append(ts_)
+                    cols["tok_end"].append(te_)
+            yield pa.RecordBatch.from_pydict(cols, schema=_ENTITY_ARROW)
+
+    projected = transcripts.select("conv_id", "turn_idx", "text")
+    return projected.mapInArrow(run, ENTITY_SCHEMA)

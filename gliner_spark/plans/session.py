@@ -1,0 +1,81 @@
+"""SparkSession builder with the scale-oriented defaults this engine assumes.
+
+Tuned for the 100 TB design point, testable on local[N]:
+ - AQE on (runtime coalescing + skew-join splitting — the conv_id skew
+   mitigation SURVEY §4 calls out),
+ - Arrow batches bounded so the scoring UDF's dense (B, L, K, C) working
+   set stays in executor memory,
+ - shuffle partition count sized to cores (callers override for clusters).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+
+def ship_package(spark: SparkSession) -> str:
+    """Ship gliner_spark to executors (programmatic --py-files).
+
+    Python workers don't inherit the driver's sys.path; without this,
+    mapInArrow closures referencing gliner_spark fail with
+    ModuleNotFoundError on any non-repo cwd or real cluster.
+    """
+    import gliner_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(gliner_spark.__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"gliner_spark-{gliner_spark.__version__}.zip"
+    )
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.join(
+                            "gliner_spark", os.path.relpath(full, pkg_dir)
+                        )
+                        zf.write(full, rel)
+        os.replace(tmp, zip_path)
+    spark.sparkContext.addPyFile(zip_path)
+    return zip_path
+
+
+def build_session(
+    app_name: str = "gliner-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_batch_rows: int = 512,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # ≥4× parallelism so local[8] vs local[32] scaling runs are both
+        # parallelism-bound, not partition-bound (SURVEY §7.3)
+        shuffle_partitions = 128 if master.startswith("local") else 2048
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows)
+        )
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    ship_package(spark)
+    return spark
