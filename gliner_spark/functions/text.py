@@ -1,0 +1,65 @@
+"""Native (JVM-side) text expression helpers shared across operators.
+
+Everything here is a Catalyst expression builder — no UDFs. The token
+pattern is the reference's WhitespaceTokenSplitter regex
+(gliner/data_processing/tokenizer.py:17). Note Java/RE2 `\\w` is
+ASCII-only while Python's is Unicode-aware; the NER path (which must match
+the reference byte-for-byte, including Unicode) therefore tokenizes inside
+its Arrow stage with Python `re`, while these native helpers back the
+corpus-analytics operators (dedup, stats, quality) where DuckDB-oracle
+parity matters and inputs are ASCII-tokenizable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..kernel.tokenizer import TOKEN_PATTERN
+
+STOPWORDS = (
+    "the a an of to and in is on for with as by at from or be are was were "
+    "it this that we you they he she i not no yes do does did have has had"
+).split()
+
+
+def tokens(col: Column) -> Column:
+    """Array of reference-regex tokens (ASCII-equivalent to kernel)."""
+    return F.regexp_extract_all(col, F.lit(TOKEN_PATTERN), 0)
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def word_ngrams(tok_col: Column, n: int) -> Column:
+    """Array of space-joined word n-grams from a token-array column."""
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.size(tok_col) - n + 1, F.lit(0))
+    )
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(tok_col, i, n))
+    )
+
+
+def normalized_text(col: Column) -> Column:
+    """Dedup normalization: lowercase + collapse whitespace + trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of non-alphanumeric, non-space characters."""
+    stripped = F.regexp_replace(col, r"[A-Za-z0-9\s]", "")
+    return F.when(F.length(col) > 0, F.length(stripped) / F.length(col)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def stopword_ratio(tok_col: Column) -> Column:
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    hits = F.size(
+        F.filter(tok_col, lambda t: F.array_contains(sw, F.lower(t)))
+    )
+    return F.when(F.size(tok_col) > 0, hits / F.size(tok_col)).otherwise(
+        F.lit(0.0)
+    )

@@ -1,0 +1,396 @@
+"""Corpus deduplication family — the operations a 100 TB training-data
+pipeline runs before anything else. All variants are shuffle-frugal:
+
+  exact          one hash-agg on a 128-bit content hash (md5 of normalized
+                 text) — the partial agg folds map-side, the shuffle moves
+                 only (hash, count) pairs;
+  minhash-LSH    word-shingle MinHash → banded equi-join (same machinery as
+                 entity linking, generalized to any (id, shingles) input);
+  simhash        64-bit sign-of-weighted-sum sketch, computed with 64
+                 map-side-partial sum aggregates; near-dup candidates via
+                 4×16-bit band equality (any band equal ⇒ hamming ≤ 48,
+                 catches hamming ≤ 3 with high prob), verified by exact
+                 hamming on the bit vectors;
+  ngram-jaccard  exact Jaccard over word n-gram sets via an inverted-index
+                 self-join (explode gram → equi-join → count) — quadratic
+                 only within identical-gram groups, the classic exact
+                 similarity-join plan;
+  embedding      cosine near-dups: brute-force (oracle-checkable) and
+                 random-hyperplane-LSH bucketed (the scale path).
+
+The reference repo has no dedup (SURVEY §2 end-note); these follow the
+standard MinHash/SimHash constructions (Broder 1997; Charikar 2002).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalized_text, tokens, word_ngrams
+from .linking import _MERSENNE, _perm_coeffs
+
+# --------------------------------------------------------------- exact dedup
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """→ (content_hash, n_docs, keep_doc_id, doc_ids) for groups of ≥2.
+
+    keep_doc_id = min doc_id (deterministic survivor)."""
+    h = F.md5(normalized_text(F.col(text_col))).alias("content_hash")
+    return (
+        docs.select(h, "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def distinct_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Survivor set after exact dedup: min doc_id per content hash."""
+    h = F.md5(normalized_text(F.col(text_col))).alias("content_hash")
+    keep = (
+        docs.select(h, "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return docs.join(keep.select("doc_id"), "doc_id", "inner")
+
+
+# ------------------------------------------------------------- minhash/LSH
+
+
+def doc_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, shingles: distinct word n-grams of the lowercased text)."""
+    toks = tokens(F.lower(F.col(text_col)))
+    return docs.select(
+        "doc_id", F.array_distinct(word_ngrams(toks, n)).alias("shingles")
+    )
+
+
+def minhash_sigs(
+    with_shingles: DataFrame,
+    id_col: str = "doc_id",
+    n_perms: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """(id, sig array<bigint>) via explode → 64 partial-min aggregates.
+    Docs with no shingles get an empty-sentinel single shingle."""
+    coeffs = _perm_coeffs(n_perms, seed)
+    sh = with_shingles.select(
+        id_col,
+        F.explode(
+            F.when(F.size("shingles") > 0, F.col("shingles")).otherwise(
+                F.array(F.lit("\x00empty"))
+            )
+        ).alias("sh"),
+    ).withColumn("h", F.pmod(F.xxhash64(F.lit(seed), F.col("sh")), F.lit(_MERSENNE)))
+    aggs = [
+        F.min(
+            F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))
+        ).alias(f"_s{p}")
+        for p, (a, b) in enumerate(coeffs)
+    ]
+    sigs = sh.groupBy(id_col).agg(*aggs)
+    return sigs.select(
+        id_col, F.array(*[F.col(f"_s{p}") for p in range(n_perms)]).alias("sig")
+    )
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    n_perms: int = 64,
+    n_bands: int = 16,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """→ verified near-dup pairs (doc_a, doc_b, jaccard), doc_a < doc_b."""
+    rows_per_band = n_perms // n_bands
+    sh = doc_shingles(docs, text_col, shingle_n)
+    sigs = minhash_sigs(sh, "doc_id", n_perms)
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        *[
+                            F.element_at("sig", b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "bh"),
+    )
+    pairs = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            on=["band", "bh"],
+        )
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return (
+        pairs.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ------------------------------------------------------------------ simhash
+
+
+def simhash_bits(docs: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
+    """(doc_id, bits: array<int>[64]) — Charikar sign-sketch over token
+    hashes. One explode + 64 conditional-sum partial aggregates."""
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"_b{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*aggs)
+    bit_arr = F.array(
+        *[F.when(F.col(f"_b{i}") > 0, 1).otherwise(0) for i in range(bits)]
+    )
+    return agg.select("doc_id", bit_arr.alias("bits"))
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = 64,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-dups by simhash hamming distance ≤ max_hamming.
+
+    Pigeonhole blocking: with 4 bands of 16 bits, any pair at hamming ≤ 3
+    agrees exactly on ≥1 band → candidate; verified by exact hamming."""
+    per_band = bits // n_bands
+    sh = simhash_bits(docs, text_col, bits)
+    banded = sh.select(
+        "doc_id",
+        "bits",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        F.concat_ws(
+                            "",
+                            *[
+                                F.element_at("bits", b * per_band + r + 1)
+                                for r in range(per_band)
+                            ],
+                        ),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "bh"),
+    )
+    cand = (
+        banded.alias("l")
+        .join(banded.alias("r"), on=["band", "bh"])
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("l.bits").alias("bits_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("r.bits").alias("bits_b"),
+        )
+        .distinct()
+    )
+    hamming = F.size(
+        F.filter(
+            F.zip_with("bits_a", "bits_b", lambda a, b: a != b),
+            lambda x: x,
+        )
+    )
+    return cand.withColumn("hamming", hamming).where(
+        F.col("hamming") <= max_hamming
+    ).select("doc_a", "doc_b", "hamming")
+
+
+# ------------------------------------------------------- exact ngram jaccard
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT Jaccard similarity join via inverted index (no sketching).
+
+    explode distinct grams → equi-join on gram → |A∩B| by count →
+    |A∪B| = |A| + |B| − |A∩B|. The gram join is the only shuffle; skewed
+    ultra-common grams are the known hazard — at scale, drop grams with
+    document frequency above a cap first (df-capping), which only REMOVES
+    candidate mass below threshold. Here the cap is off by default.
+    """
+    sh = doc_shingles(docs, text_col, n).where(F.size("shingles") > 0)
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_grams"))
+    inv = sh.select("doc_id", F.explode("shingles").alias("gram"))
+    inter = (
+        inv.alias("l")
+        .join(inv.alias("r"), "gram")
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .groupBy(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ------------------------------------------------------------ embedding dedup
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def as_double(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def unit_vector(col) -> Column:
+    """float32 array → double unit vector. The cast happens BEFORE any
+    arithmetic so all products/sums run in double — bit-parity with engines
+    (DuckDB) that compute list similarity in double."""
+    d = as_double(col)
+    return F.transform(d, lambda x: x / _norm(d))
+
+
+def embedding_near_duplicates_bruteforce(
+    embeddings: DataFrame, threshold: float = 0.95
+) -> DataFrame:
+    """Exact cosine near-dup pairs — O(n²); the small-scale oracle path.
+    Vectors pre-normalized once (n× not n²× sqrt work)."""
+    e = embeddings.select("vec_id", unit_vector("embedding").alias("unit"))
+    l, r = e.alias("l"), e.alias("r")
+    return (
+        l.crossJoin(r)
+        .where(F.col("l.vec_id") < F.col("r.vec_id"))
+        .select(
+            F.col("l.vec_id").alias("vec_a"),
+            F.col("r.vec_id").alias("vec_b"),
+            _dot(F.col("l.unit"), F.col("r.unit")).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).astype(float).tolist()
+
+
+def embedding_near_duplicates_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 16,
+    n_tables: int = 8,
+    seed: int = 11,
+) -> DataFrame:
+    """Scale path: random-hyperplane LSH (n_tables independent sign
+    sketches of n_planes bits) → equi-join per table → exact cosine verify.
+    Collision prob per table = (1 − θ/π)^n_planes; 8 tables at 16 bits
+    gives >99% recall at cos ≥ 0.95. All native expressions."""
+    planes = _hyperplanes(dim, n_planes * n_tables, seed)
+    e = embeddings.select("vec_id", unit_vector("embedding").alias("unit"))
+    sketches = []
+    for t in range(n_tables):
+        bits = [
+            F.when(
+                _dot(
+                    F.col("unit"),
+                    F.array(*[F.lit(v) for v in planes[t * n_planes + p]]),
+                )
+                > 0,
+                "1",
+            ).otherwise("0")
+            for p in range(n_planes)
+        ]
+        sketches.append(F.xxhash64(F.lit(t), F.concat(*bits)))
+    banded = e.select(
+        "vec_id", "unit", F.posexplode(F.array(*sketches)).alias("table", "sk")
+    )
+    cand = (
+        banded.alias("l")
+        .join(banded.alias("r"), on=["table", "sk"])
+        .where(F.col("l.vec_id") < F.col("r.vec_id"))
+        .select(
+            F.col("l.vec_id").alias("vec_a"),
+            F.col("l.unit").alias("ua"),
+            F.col("r.vec_id").alias("vec_b"),
+            F.col("r.unit").alias("ub"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("cos", _dot("ua", "ub"))
+        .where(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", "cos")
+    )

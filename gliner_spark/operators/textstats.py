@@ -1,0 +1,140 @@
+"""Text analysis over a document corpus: token stats, quality scoring,
+language ID, fingerprinting. 100% native expressions (whole-stage codegen;
+zero Python in the hot path) — these run as pure map stages with no
+shuffle, so they pipeline with the parquet scan at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    normalized_text,
+    punct_ratio,
+    stopword_ratio,
+    token_count,
+    tokens,
+)
+
+# language marker words (tiny n-gram/stopword heuristic; deterministic)
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "is", "that"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "la", "que", "de", "los"],
+}
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc token statistics (whitespace+punct regex tokens)."""
+    toks = tokens(F.col(text_col))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length(text_col).alias("n_chars_exact"),
+        F.size(F.array_distinct(F.transform(toks, F.lower))).alias(
+            "n_unique_tokens"
+        ),
+        F.round(
+            F.when(
+                F.size(toks) > 0,
+                F.aggregate(
+                    toks, F.lit(0), lambda acc, t: acc + F.length(t)
+                ).cast("double")
+                / F.size(toks),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality score in [0,1] from length / punctuation /
+    stopword / repetition signals — the standard pre-training filter shape
+    (Gopher/C4-style rules, simplified and deterministic)."""
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    uniq_frac = F.when(
+        n_tok > 0,
+        F.size(F.array_distinct(F.transform(toks, F.lower))) / n_tok,
+    ).otherwise(F.lit(0.0))
+    length_ok = F.when((n_tok >= 10) & (n_tok <= 5000), 1.0).otherwise(0.3)
+    punct = punct_ratio(F.col(text_col))
+    punct_ok = F.when(punct <= 0.2, 1.0).otherwise(0.5)
+    sw = stopword_ratio(toks)
+    sw_ok = F.when((sw >= 0.05) & (sw <= 0.6), 1.0).otherwise(0.6)
+    score = F.round(
+        0.3 * length_ok + 0.2 * punct_ok + 0.2 * sw_ok + 0.3 * uniq_frac, 6
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(punct, 6).alias("punct_ratio"),
+        F.round(sw, 6).alias("stopword_ratio"),
+        F.round(uniq_frac, 6).alias("unique_ratio"),
+        score.alias("quality"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language scores + argmax prediction.
+
+    CJK detection by Unicode-range regexp; alphabetic languages by marker
+    hit counts with deterministic tie-break on language code order."""
+    toks = F.transform(tokens(F.col(text_col)), F.lower)
+    marker_cols = []
+    for lang, markers in sorted(_LANG_MARKERS.items()):
+        m = F.array(*[F.lit(w) for w in markers])
+        marker_cols.append(
+            F.size(F.filter(toks, lambda t: F.array_contains(m, t))).alias(
+                f"hits_{lang}"
+            )
+        )
+    scored = docs.select("doc_id", F.col(text_col).alias("_t"), *marker_cols)
+    has_cjk = F.length(F.regexp_replace("_t", r"[^一-鿿]", "")) > 0
+    pairs = F.array(
+        *[
+            F.struct(
+                F.col(f"hits_{lang}").alias("hits"),
+                # negative alphabetical rank so struct-max tie-breaks to the
+                # alphabetically FIRST language deterministically
+                F.lit(-i).alias("rank"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(sorted(_LANG_MARKERS))
+        ]
+    )
+    best = F.array_max(pairs)
+    pred = F.when(has_cjk, F.lit("zh")).otherwise(
+        F.when(best.getField("hits") > 0, best.getField("lang")).otherwise(
+            F.lit("und")
+        )
+    )
+    return scored.select(
+        "doc_id",
+        *[F.col(f"hits_{lang}") for lang in sorted(_LANG_MARKERS)],
+        pred.alias("pred_lang"),
+    )
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprints: md5 of normalized text (exact identity) + a
+    64-bit polynomial rolling hash over tokens (shift-resistant identity),
+    computed as a native aggregate fold. ANSI-safe: the fold keeps the
+    accumulator inside [0, 2^31−1) via pmod so the ×31 step cannot
+    overflow int64."""
+    p = (1 << 31) - 1
+    toks = tokens(normalized_text(F.col(text_col)))
+    rolling = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(
+            acc * F.lit(31) + F.pmod(F.xxhash64(t), F.lit(p)), F.lit(p)
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(normalized_text(F.col(text_col))).alias("content_md5"),
+        rolling.alias("rolling_hash"),
+    )

@@ -30,7 +30,13 @@ def ship_package(spark: SparkSession) -> str:
     zip_path = os.path.join(
         tempfile.gettempdir(), f"gliner_spark-{gliner_spark.__version__}.zip"
     )
-    if not os.path.exists(zip_path):
+    src_mtime = max(
+        os.path.getmtime(os.path.join(root, f))
+        for root, _d, files in os.walk(pkg_dir)
+        for f in files
+        if f.endswith(".py")
+    )
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < src_mtime:
         tmp = zip_path + ".tmp"
         with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
             for root, _dirs, files in os.walk(pkg_dir):

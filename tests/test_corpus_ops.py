@@ -1,0 +1,306 @@
+"""Corpus operators (dedup / similarity / textstats / multimodal) vs
+DuckDB and brute-force Python oracles on the driver-provided testdata."""
+
+import itertools
+import re
+
+import duckdb
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+    d.count()
+    return d
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    e.count()
+    return e
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from '{SF_DIR}/documents.parquet'"
+    )
+    con.execute(
+        f"create view embeddings as select * from '{SF_DIR}/embeddings.parquet'"
+    )
+    return con
+
+
+# ------------------------------------------------------------------- dedup
+
+
+def test_exact_duplicates(spark, docs):
+    from gliner_spark.operators.dedup import distinct_docs, exact_duplicates
+
+    base = docs.limit(20)
+    dup = base.union(base.withColumn("doc_id", F.col("doc_id") + 10_000))
+    groups = exact_duplicates(dup).collect()
+    assert len(groups) == 20
+    assert all(g.n_docs == 2 and g.keep_doc_id == min(g.doc_ids) for g in groups)
+    assert distinct_docs(dup).count() == 20
+
+
+def test_minhash_near_duplicates_find_identical(spark, docs):
+    from gliner_spark.operators.dedup import minhash_near_duplicates
+
+    base = docs.limit(15)
+    dup = base.union(base.withColumn("doc_id", F.col("doc_id") + 10_000))
+    pairs = {(r.doc_a, r.doc_b): r.jaccard
+             for r in minhash_near_duplicates(dup, jaccard_threshold=0.99).collect()}
+    for i in [r.doc_id for r in base.collect()]:
+        assert pairs.get((i, i + 10_000)) == 1.0
+
+
+def test_ngram_jaccard_vs_bruteforce(spark, docs):
+    from gliner_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = docs.limit(25).collect()
+    pat = re.compile(r"\w+(?:[-_]\w+)*|\S")
+
+    def grams(t, n=3):
+        toks = pat.findall(t.lower())
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    expected = {}
+    for a, b in itertools.combinations(rows, 2):
+        ga, gb = grams(a.text), grams(b.text)
+        if not ga or not gb:
+            continue
+        j = len(ga & gb) / len(ga | gb)
+        lo, hi = sorted([a.doc_id, b.doc_id])
+        if j >= 0.05:
+            expected[(lo, hi)] = j
+
+    got = {(r.doc_a, r.doc_b): r.jaccard
+           for r in ngram_jaccard_pairs(
+               spark.createDataFrame(rows), threshold=0.05).collect()}
+    assert set(got) == set(expected)
+    for k in got:
+        assert abs(got[k] - expected[k]) < 1e-9
+
+
+def test_simhash_identical_and_near(spark, docs):
+    from gliner_spark.operators.dedup import simhash_near_duplicates
+
+    base = docs.limit(10)
+    dup = base.union(base.withColumn("doc_id", F.col("doc_id") + 10_000))
+    pairs = {(r.doc_a, r.doc_b): r.hamming
+             for r in simhash_near_duplicates(dup, max_hamming=3).collect()}
+    for i in [r.doc_id for r in base.collect()]:
+        assert pairs.get((i, i + 10_000)) == 0
+
+
+def test_embedding_near_dup_bruteforce_vs_duckdb(spark, embeddings, ddb):
+    from gliner_spark.operators.dedup import embedding_near_duplicates_bruteforce
+
+    got = {(r.vec_a, r.vec_b): r.cos
+           for r in embedding_near_duplicates_bruteforce(
+               embeddings, threshold=0.5).collect()}
+    exp = {(a, b): c for (a, b, c) in ddb.execute(
+        """
+        select a.vec_id, b.vec_id,
+               list_cosine_similarity(a.embedding, b.embedding) c
+        from embeddings a join embeddings b on a.vec_id < b.vec_id
+        """
+    ).fetchall() if c >= 0.5}
+    assert set(got) == set(exp)
+    for k in got:
+        assert abs(got[k] - exp[k]) < 1e-6
+
+
+def test_embedding_lsh_is_subset_with_high_recall(spark, embeddings):
+    from gliner_spark.operators.dedup import (
+        embedding_near_duplicates_bruteforce,
+        embedding_near_duplicates_lsh,
+    )
+
+    exact = {(r.vec_a, r.vec_b)
+             for r in embedding_near_duplicates_bruteforce(
+                 embeddings, threshold=0.8).collect()}
+    approx = {(r.vec_a, r.vec_b)
+              for r in embedding_near_duplicates_lsh(
+                  embeddings, threshold=0.8).collect()}
+    assert approx <= exact
+    if exact:
+        assert len(approx) / len(exact) >= 0.9
+
+
+# -------------------------------------------------------------- similarity
+
+
+def test_knn_bruteforce_vs_duckdb(spark, embeddings, ddb):
+    from gliner_spark.operators.similarity import knn_bruteforce
+
+    queries = embeddings.where("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sorted(
+        (r.query_id, r.rank, r.vec_id)
+        for r in knn_bruteforce(embeddings, queries, k=3).collect()
+    )
+    exp = sorted(
+        ddb.execute(
+            """
+            select query_id, rank, vec_id from (
+              select q.vec_id query_id, e.vec_id vec_id,
+                     row_number() over (
+                       partition by q.vec_id
+                       order by round(list_cosine_similarity(
+                         list_transform(e.embedding, x -> x /
+                           sqrt(list_sum(list_transform(e.embedding, y -> y*y)))),
+                         list_transform(q.embedding, x -> x /
+                           sqrt(list_sum(list_transform(q.embedding, y -> y*y))))
+                       ), 6) desc, e.vec_id asc) rank
+              from embeddings e, embeddings q where q.vec_id < 5)
+            where rank <= 3
+            """
+        ).fetchall()
+    )
+    assert got == exp
+
+
+def test_knn_ivf_full_probe_equals_bruteforce(spark, embeddings):
+    from gliner_spark.operators.similarity import knn_bruteforce, knn_ivf
+
+    queries = embeddings.where("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = sorted(map(tuple, knn_bruteforce(embeddings, queries, k=3).collect()))
+    full = sorted(map(tuple, knn_ivf(
+        embeddings, queries, k=3, n_cells=8, n_probe=8).collect()))
+    assert exact == full
+
+
+def test_knn_ivf_partial_probe_recall(spark, embeddings):
+    from gliner_spark.operators.similarity import knn_bruteforce, knn_ivf
+
+    queries = embeddings.where("vec_id < 20").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r.query_id, r.vec_id)
+             for r in knn_bruteforce(embeddings, queries, k=3).collect()}
+    approx = {(r.query_id, r.vec_id)
+              for r in knn_ivf(embeddings, queries, k=3,
+                               n_cells=8, n_probe=4).collect()}
+    assert len(exact & approx) / len(exact) >= 0.5
+
+
+# --------------------------------------------------------------- textstats
+
+
+def test_token_stats_vs_python(spark, docs):
+    from gliner_spark.operators.textstats import token_stats
+
+    pat = re.compile(r"\w+(?:[-_]\w+)*|\S")
+    rows = docs.limit(30).collect()
+    got = {r.doc_id: r for r in token_stats(
+        spark.createDataFrame(rows)).collect()}
+    for r in rows:
+        toks = pat.findall(r.text)
+        g = got[r.doc_id]
+        assert g.n_tokens == len(toks)
+        assert g.n_unique_tokens == len({t.lower() for t in toks})
+        assert abs(g.avg_token_len -
+                   round(sum(map(len, toks)) / max(len(toks), 1), 6)) < 1e-9
+
+
+def test_quality_scores_bounds(spark, docs):
+    from gliner_spark.operators.textstats import quality_scores
+
+    for r in quality_scores(docs).collect():
+        assert 0.0 <= r.quality <= 1.0
+        assert 0.0 <= r.punct_ratio <= 1.0
+
+
+def test_language_id_accuracy(spark, docs):
+    """Marker heuristic should beat chance on the synthetic corpus."""
+    from gliner_spark.operators.textstats import language_id
+
+    pred = language_id(docs).select("doc_id", "pred_lang")
+    joined = docs.select("doc_id", "lang").join(pred, "doc_id")
+    n = joined.count()
+    # the synthetic corpus is English-ish filler for all langs; just check
+    # determinism + total coverage + valid codes
+    codes = {r.pred_lang for r in pred.collect()}
+    assert codes <= {"en", "de", "fr", "es", "zh", "und"}
+    assert pred.count() == n
+
+
+def test_fingerprints_vs_duckdb(spark, docs, ddb):
+    from gliner_spark.operators.textstats import fingerprints
+
+    got = {r.doc_id: r.content_md5 for r in fingerprints(docs).collect()}
+    exp = dict(
+        ddb.execute(
+            r"""
+            select doc_id,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+            from documents
+            """
+        ).fetchall()
+    )
+    assert got == exp
+
+
+def test_rolling_hash_shift_invariance(spark):
+    from gliner_spark.operators.textstats import fingerprints
+
+    d = spark.createDataFrame(
+        [Row(doc_id=1, text="Hello   World Foo"),
+         Row(doc_id=2, text="hello world foo"),   # same normalized tokens
+         Row(doc_id=3, text="hello world bar")]
+    )
+    fp = {r.doc_id: r.rolling_hash for r in fingerprints(d).collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]
+
+
+# -------------------------------------------------------------- multimodal
+
+
+def test_multimodal_fake_features_deterministic(spark):
+    from gliner_spark.operators.multimodal import extract_features, synth_assets
+
+    assets = synth_assets(spark, 50)
+    f1 = sorted(map(tuple, extract_features(assets).collect()))
+    f2 = sorted(map(tuple, extract_features(synth_assets(spark, 50)).collect()))
+    assert f1 == f2
+    assert len(f1) == 50
+    assert all(len(r[-1]) == 16 for r in f1)
+    assert all(r[2] == 32 for r in f1)  # 4×8-byte hash payloads
+
+
+def test_multimodal_real_decoder_is_stubbed(spark):
+    from gliner_spark.operators.multimodal import extract_features, synth_assets
+    from py4j.protocol import Py4JJavaError
+
+    assets = synth_assets(spark, 5)
+    with pytest.raises(Exception) as ei:
+        extract_features(assets, decoder="real").collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+
+def test_frame_sample_plan(spark):
+    from gliner_spark.operators.multimodal import frame_sample_plan, synth_assets
+
+    assets = synth_assets(spark, 60)
+    plan = frame_sample_plan(assets, every_n=10)
+    rows = plan.collect()
+    assert len(rows) > 0
+    assert all(r.frame_idx % 10 == 0 for r in rows)
+    kinds = {r.kind for r in assets.collect()}
+    assert "video" in kinds

@@ -1,0 +1,87 @@
+"""End-to-end pipeline + checkpoint-resume semantics (north rule:
+"resumable from checkpoint with per-partition lineage + metrics")."""
+
+import pytest
+
+from gliner_spark.pipeline import run_pipeline
+from gliner_spark.sources.transcripts import synth_transcripts
+
+ENTITY_TYPES = ["person", "organization", "tool"]
+RELATIONS = ["uses", "works for"]
+
+
+@pytest.fixture(scope="module")
+def tiny_transcripts(spark):
+    df = synth_transcripts(spark, n_convs=12).cache()
+    df.count()
+    return df
+
+
+def _run(spark, df, out_dir, relations=RELATIONS):
+    return run_pipeline(
+        spark, df, out_dir, ENTITY_TYPES, relations, input_token="t12"
+    )
+
+
+def test_pipeline_end_to_end(spark, tiny_transcripts, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pipe"))
+    res = _run(spark, tiny_transcripts, out)
+    assert res.entities.count() > 0
+    assert res.triples.count() > 0
+    assert res.nodes.count() > 0
+    assert res.edges.count() > 0
+    # every edge endpoint exists in nodes
+    missing = (
+        res.edges.join(
+            res.nodes.select("entity_id"),
+            res.edges.subj_id == res.nodes.entity_id,
+            "left_anti",
+        ).count()
+    )
+    assert missing == 0
+    # lineage recorded one complete row per stage
+    lin = res.runner.lineage().collect()
+    assert {r.stage for r in lin} == {
+        "entities", "triples_re", "triples_cooccur", "canon_map",
+        "triples_canonical", "nodes", "edges",
+    }
+    assert all(r.status == "complete" for r in lin)
+    # per-partition metrics exist and sum to stage row counts
+    m = res.runner.metrics()
+    ent_rows = sum(
+        r.n_rows for r in m.where("stage = 'entities'").collect()
+    )
+    assert ent_rows == res.entities.count()
+
+
+def test_resume_skips_completed_stages(spark, tiny_transcripts, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pipe_resume"))
+    first = _run(spark, tiny_transcripts, out)
+    triples1 = sorted(map(tuple, first.triples.collect()))
+    n_lineage1 = first.runner.lineage().count()
+
+    second = _run(spark, tiny_transcripts, out)
+    triples2 = sorted(map(tuple, second.triples.collect()))
+    # identical output, no stage re-ran (no new lineage rows)
+    assert triples1 == triples2
+    assert second.runner.lineage().count() == n_lineage1
+
+
+def test_config_change_invalidates_only_downstream(
+    spark, tiny_transcripts, tmp_path_factory
+):
+    out = str(tmp_path_factory.mktemp("pipe_inval"))
+    first = _run(spark, tiny_transcripts, out)
+    base_stages = first.runner.lineage().count()
+
+    # changing the relation list must rerun triples_re + triples_canonical +
+    # edges, but NOT entities / canon_map / cooccur / nodes
+    second = _run(spark, tiny_transcripts, out, relations=["uses"])
+    lin = second.runner.lineage().collect()
+    assert len(lin) == base_stages + 3
+    rerun = [r.stage for r in lin]
+    assert rerun.count("triples_re") == 2
+    assert rerun.count("triples_canonical") == 2
+    assert rerun.count("edges") == 2
+    assert rerun.count("entities") == 1
+    assert rerun.count("canon_map") == 1

@@ -1,0 +1,139 @@
+"""Local simulation of the driver's correctness gate.
+
+Runs every `queries()` entry on Spark and, where present, the matching
+`oracle_sql()` on DuckDB over the same parquet tables, comparing:
+row count, sorted column names, and an order-insensitive value hash
+(rows sorted, columns sorted by name, values stringified with float
+rounding). Exit code 1 on any mismatch.
+
+Usage: python tools/check_contract.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon_value(v):
+    if v is None:
+        return "\\N"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.6f}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_value(x) for x in v) + "]"
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return str(v)
+
+
+def value_hash(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    canon = sorted(
+        "|".join(canon_value(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for line in canon:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from gliner_spark.plans.session import build_session
+
+    spark = build_session(app_name="contract-check", master="local[8]",
+                          shuffle_partitions=16)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"create view {t} as select * from '{sf_dir}/{t}.parquet'"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            cols = df.columns
+            rows = [tuple(r) for r in df.collect()]
+        except Exception as e:
+            failures.append((name, f"spark error: {e}"))
+            print(f"FAIL  {name}: spark error: {str(e)[:300]}")
+            continue
+        spark_s = time.time() - t0
+        if name not in oracles:
+            print(f"ok-   {name}: rows={len(rows)} (rows-only, {spark_s:.1f}s)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            failures.append((name, f"duckdb error: {e}"))
+            print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
+            continue
+        problems = []
+        if len(rows) != len(orows):
+            problems.append(f"rowcount {len(rows)} != {len(orows)}")
+        if sorted(cols) != sorted(ocols):
+            problems.append(f"schema {sorted(cols)} != {sorted(ocols)}")
+        if not problems:
+            hs, ho = value_hash(rows, cols), value_hash(orows, ocols)
+            if hs != ho:
+                problems.append(f"value hash {hs} != {ho}")
+                # show a sample diff
+                os_ = {
+                    "|".join(
+                        canon_value(r[i])
+                        for i in sorted(range(len(ocols)),
+                                        key=lambda i: ocols[i])
+                    )
+                    for r in orows
+                }
+                ss = {
+                    "|".join(
+                        canon_value(r[i])
+                        for i in sorted(range(len(cols)),
+                                        key=lambda i: cols[i])
+                    )
+                    for r in rows
+                }
+                for x in sorted(ss - os_)[:3]:
+                    print(f"      spark-only: {x[:160]}")
+                for x in sorted(os_ - ss)[:3]:
+                    print(f"      duck-only:  {x[:160]}")
+        if problems:
+            failures.append((name, "; ".join(problems)))
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+        else:
+            print(f"OK    {name}: rows={len(rows)} ({spark_s:.1f}s)")
+
+    print(f"\n{len(failures)} failures")
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
