@@ -78,7 +78,13 @@ def _q_span_grid(spark, sf_dir):
     semantics: all (start, width<12) pairs with end within bounds) —
     computed by actually exploding the grid, not by the closed form."""
     toks = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_PATTERN), 0)
-    t = _docs(spark, sf_dir).select("doc_id", F.size(toks).alias("n_tok"))
+    t = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.size(toks).alias("n_tok"))
+        # guard: Spark sequence(0, -1) would generate a DESCENDING sequence
+        # for empty docs; the oracle filters l > 0 identically
+        .where(F.col("n_tok") > 0)
+    )
     pos = t.select(
         "doc_id",
         "n_tok",
@@ -154,7 +160,7 @@ def _q_embedding_near_dup(spark, sf_dir):
     from gliner_spark.operators.dedup import embedding_near_duplicates_bruteforce
 
     pairs = embedding_near_duplicates_bruteforce(
-        _embeddings(spark, sf_dir), threshold=0.8
+        _embeddings(spark, sf_dir), threshold=0.3
     )
     return pairs.select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
 
@@ -218,6 +224,52 @@ def _q_eval_prf(spark, sf_dir):
             / F.count(F.lit(1)),
             6,
         ).alias("accuracy"),
+    )
+
+
+def _q_prf_per_class(spark, sf_dir):
+    """J5 + A2 literal shape: per-class TP/pred/true counts from the
+    pred↔gold equi-join, then precision/recall/F1 with zero-division→0
+    (reference evaluator.py:87-121 semantics via try_divide-style guards)."""
+    from gliner_spark.operators.textstats import language_id
+
+    docs = _docs(spark, sf_dir)
+    pred = language_id(docs).select("doc_id", "pred_lang")
+    j = docs.select("doc_id", "lang").join(pred, "doc_id")
+    per = j.groupBy(F.col("lang").alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_true"),
+    )
+    per_pred = j.groupBy(F.col("pred_lang").alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_pred"),
+    )
+    tp = (
+        j.where(F.col("pred_lang") == F.col("lang"))
+        .groupBy(F.col("lang").alias("cls"))
+        .agg(F.count(F.lit(1)).alias("tp"))
+    )
+    out = (
+        per.join(per_pred, "cls", "full")
+        .join(tp, "cls", "full")
+        .select(
+            "cls",
+            F.coalesce("n_true", F.lit(0)).alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+        )
+    )
+    prec = F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred")).otherwise(0.0)
+    rec = F.when(F.col("n_true") > 0, F.col("tp") / F.col("n_true")).otherwise(0.0)
+    f1 = F.when(
+        (prec + rec) > 0, 2 * prec * rec / (prec + rec)
+    ).otherwise(0.0)
+    return out.select(
+        "cls",
+        "n_true",
+        "n_pred",
+        "tp",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
     )
 
 
@@ -346,6 +398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "event_cooccur": _q_event_cooccur,
         "eval_prf": _q_eval_prf,
+        "prf_per_class": _q_prf_per_class,
         "topk_events": _q_topk_events,
         "set_ops": _q_set_ops,
         "session_agg": _q_session_agg,
@@ -512,7 +565,7 @@ def oracle_sql() -> dict[str, str]:
             select a.vec_id as vec_a, b.vec_id as vec_b,
                    round(list_dot_product(a.unit, b.unit), 6) as cos
             from u a join u b on a.vec_id < b.vec_id
-            where list_dot_product(a.unit, b.unit) >= 0.8
+            where list_dot_product(a.unit, b.unit) >= 0.3
         """,
         "event_cooccur": """
             select a.user_id as user_id,
@@ -533,6 +586,38 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(case when pred_lang = lang then 1 else 0
                      end)::double / count(*), 6) as accuracy
             from p
+        """,
+        "prf_per_class": f"""
+            with t as (select doc_id, text, lang, {_TOKS_SQL} as toks
+                       from documents),
+            h as (select doc_id, lang, text, {hit_cols} from t),
+            p as (select doc_id, lang, {pred_lang} as pred_lang from h),
+            nt as (select lang as cls, count(*) as n_true from p group by 1),
+            np as (select pred_lang as cls, count(*) as n_pred from p
+                   group by 1),
+            tp as (select lang as cls, count(*) as tp from p
+                   where pred_lang = lang group by 1),
+            m as (
+              select coalesce(nt.cls, np.cls, tp.cls) as cls,
+                     coalesce(n_true, 0) as n_true,
+                     coalesce(n_pred, 0) as n_pred,
+                     coalesce(tp, 0) as tp
+              from nt
+              full join np on nt.cls = np.cls
+              full join tp on coalesce(nt.cls, np.cls) = tp.cls)
+            select cls, n_true, n_pred, tp,
+                   round(case when n_pred > 0
+                         then tp::double / n_pred else 0 end, 6) as precision,
+                   round(case when n_true > 0
+                         then tp::double / n_true else 0 end, 6) as recall,
+                   round(case when (case when n_pred > 0
+                           then tp::double / n_pred else 0 end
+                         + case when n_true > 0
+                           then tp::double / n_true else 0 end) > 0
+                         then 2 * (tp::double / n_pred) * (tp::double / n_true)
+                            / ((tp::double / n_pred) + (tp::double / n_true))
+                         else 0 end, 6) as f1
+            from m
         """,
         "topk_events": """
             select event_type, rank, event_id, value from (

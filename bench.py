@@ -1,0 +1,200 @@
+"""Benchmark runner — prints ONE JSON line with per-query seconds.
+
+Headline set: the flagship KG extraction (turns/sec over a deterministic
+synthetic transcripts table sized to the scale factor) plus the corpus
+operators over the driver-provided parquet at $SPARK_GRAFT_SF_DIR.
+
+Env:
+  SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[*] parallelism (default 32)
+  BENCH_QUERIES       comma-separated subset to run (default all)
+
+Usage: python bench.py   (or spark-submit --py-files <zip> bench.py)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+os.environ.setdefault("OMP_NUM_THREADS", "1")  # no BLAS oversubscription
+os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+ENTITY_TYPES = ["person", "organization", "location", "service", "tool"]
+RELATIONS = ["works for", "located in", "uses"]
+
+
+def sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def n_convs_for(sf: float) -> int:
+    # ~9.9 turns/conv in expectation → sf0.1 ≈ 99k turns
+    return max(int(100_000 * sf / 0.1 / 9.9), 100)
+
+
+def build_queries(spark, sf_dir: str, n_convs: int, parts: int):
+    from gliner_spark.operators.cooccur import induce_cooccurrence
+    from gliner_spark.operators.dedup import (
+        minhash_near_duplicates,
+        ngram_jaccard_pairs,
+    )
+    from gliner_spark.operators.linking import canonicalize
+    from gliner_spark.operators.ner import extract_entities
+    from gliner_spark.operators.relations import extract_triples
+    from gliner_spark.operators.similarity import knn_bruteforce
+    from gliner_spark.sources.transcripts import synth_transcripts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    transcripts = synth_transcripts(spark, n_convs).repartition(parts).cache()
+    n_turns = transcripts.count()  # materialize outside the timed region
+
+    # cached: ner_entities pays the extraction once; cooccur/linking then
+    # time ONLY their own joins/aggregations
+    ents = extract_entities(transcripts, ENTITY_TYPES).cache()
+
+    def q_kg_triples():
+        return extract_triples(transcripts, RELATIONS, ENTITY_TYPES).count()
+
+    def q_ner_entities():
+        return ents.count()
+
+    def q_cooccur():
+        return induce_cooccurrence(ents, turn_window=2).count()
+
+    def q_linking():
+        # link NAME-LIKE surfaces (≤3 tokens): canonicalization targets
+        # entity names; feeding every 12-token span surface in would be a
+        # different (and pathological) workload — near-dup chains over
+        # templated long spans, not entity linking
+        names = ents.where("tok_end - tok_start <= 2")
+        return canonicalize(names, jaccard_threshold=0.5).count()
+
+    def q_minhash_dedup():
+        return minhash_near_duplicates(docs, jaccard_threshold=0.5).count()
+
+    def q_ngram_jaccard():
+        return ngram_jaccard_pairs(docs, threshold=0.2).count()
+
+    def q_knn():
+        queries = emb.where("vec_id < 32").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return knn_bruteforce(emb, queries, k=10).count()
+
+    def q_event_cooccur():
+        e = ev.select(
+            "event_id",
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        )
+        w = 60_000_000
+        b = e.withColumn("bucket", F.floor(F.col("us") / (w + 1)))
+        left = b.select(
+            "user_id",
+            F.col("event_id").alias("ea"),
+            F.col("us").alias("ua"),
+            F.explode(
+                F.array(F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1)
+            ).alias("bucket"),
+        )
+        right = b.select(
+            "user_id",
+            F.col("event_id").alias("eb"),
+            F.col("us").alias("ub"),
+            "bucket",
+        )
+        return (
+            left.join(right, ["user_id", "bucket"])
+            .where((F.abs(F.col("ub") - F.col("ua")) <= w) & (F.col("ea") < F.col("eb")))
+            .count()
+        )
+
+    def q_session_agg():
+        return (
+            ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")))
+            .agg(F.count(F.lit(1)), F.sum("value"))
+            .count()
+        )
+
+    return n_turns, {
+        "kg_triples": q_kg_triples,
+        "ner_entities": q_ner_entities,
+        "cooccur": q_cooccur,
+        "linking": q_linking,
+        "minhash_dedup": q_minhash_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "knn": q_knn,
+        "event_cooccur": q_event_cooccur,
+        "session_agg": q_session_agg,
+    }
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    subset = os.environ.get("BENCH_QUERIES")
+    sf = sf_of(sf_dir)
+
+    from gliner_spark.plans.session import build_session
+
+    parts = max(cpus * 4, 64)
+    spark = build_session(
+        app_name=f"gliner-bench-sf{sf}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=parts,
+        extra_conf={"spark.executorEnv.OMP_NUM_THREADS": "1"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n_convs = n_convs_for(sf)
+    n_turns, queries = build_queries(spark, sf_dir, n_convs, parts)
+    if subset:
+        keep = set(subset.split(","))
+        queries = {k: v for k, v in queries.items() if k in keep}
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    for name, fn in queries.items():
+        print(f"[bench] running {name}", file=sys.stderr, flush=True)
+        t0 = time.time()
+        counts[name] = fn()
+        timings[name] = round(time.time() - t0, 3)
+        print(
+            f"[bench] {name}: {timings[name]}s rows={counts[name]}",
+            file=sys.stderr,
+            flush=True,
+        )
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "n_turns": n_turns,
+        "rows": counts,
+        "throughput": {
+            "turns_per_sec": round(n_turns / timings["kg_triples"], 1)
+            if "kg_triples" in timings
+            else None
+        },
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

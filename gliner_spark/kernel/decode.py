@@ -147,3 +147,89 @@ def decode_row(
     s, e, c, sc = threshold_candidates(probs, n_tokens, threshold)
     keep = greedy_select(s, e, sc, flat_ner=flat_ner, multi_label=multi_label)
     return s[keep], e[keep], c[keep], sc[keep]
+
+
+def _greedy_py(
+    ss: list, es: list, cs: list, scs: list, flat_ner: bool, multi_label: bool
+) -> list[tuple]:
+    """Pure-Python greedy non-overlap over one row's candidates — faster
+    than per-candidate numpy ops for the typical few-dozen-candidate case.
+    Bit-identical semantics to greedy_select/greedy_search_reference:
+    stable sort by score desc over (start, width, class) candidate order,
+    accept iff no conflict, final stable sort by start."""
+    n = len(ss)
+    order = sorted(range(n), key=lambda i: -scs[i])
+    acc: list[tuple] = []  # (start, end, idx)
+    for i in order:
+        s, e = ss[i], es[i]
+        ok = True
+        for as_, ae, _ in acc:
+            if (as_, ae) == (s, e):
+                if not multi_label:
+                    ok = False
+                    break
+                continue
+            if as_ > e or s > ae:
+                continue
+            if flat_ner:
+                ok = False
+                break
+            # nested mode: overlap conflicts unless one nests the other
+            if not ((as_ <= s and ae >= e) or (s <= as_ and e >= ae)):
+                ok = False
+                break
+        if ok:
+            acc.append((s, e, i))
+    acc.sort(key=lambda t: t[0])
+    return [(ss[i], es[i], cs[i], scs[i]) for _s, _e, i in acc]
+
+
+def decode_batch(
+    probs: np.ndarray,
+    n_tokens: np.ndarray,
+    threshold: float,
+    flat_ner: bool = True,
+    multi_label: bool = False,
+    n_labels: np.ndarray | None = None,
+) -> list[list[tuple]]:
+    """Batched decode: probs (B, L, K, C) → per-row lists of
+    (start, end_incl, class_idx, score) tuples, sorted by start.
+
+    One np.nonzero over the whole batch (row-major (b, s, k, c) order ⇒
+    each row's slice is exactly the reference torch.where order,
+    decoder.py:108) followed by a pure-Python greedy per row — amortizes
+    the per-row numpy call overhead that dominated decode_row at batch
+    scale. Semantically identical to [decode_row(probs[b], …) for b] —
+    pinned by tests against the reference-literal implementation.
+    """
+    B = probs.shape[0]
+    b_idx, s_idx, k_idx, c_idx = np.nonzero(probs > threshold)
+    valid = (s_idx + k_idx + 1) <= n_tokens[b_idx]
+    if n_labels is not None:
+        valid &= c_idx < n_labels[b_idx]
+    b_idx, s_idx, k_idx, c_idx = (
+        b_idx[valid],
+        s_idx[valid],
+        k_idx[valid],
+        c_idx[valid],
+    )
+    scores = probs[b_idx, s_idx, k_idx, c_idx]
+    e_idx = s_idx + k_idx
+    bounds = np.searchsorted(b_idx, np.arange(B + 1))
+    ss_l = s_idx.tolist()
+    es_l = e_idx.tolist()
+    cs_l = c_idx.tolist()
+    sc_l = scores.tolist()
+    out: list[list[tuple]] = []
+    for b in range(B):
+        lo, hi = int(bounds[b]), int(bounds[b + 1])
+        if lo == hi:
+            out.append([])
+            continue
+        out.append(
+            _greedy_py(
+                ss_l[lo:hi], es_l[lo:hi], cs_l[lo:hi], sc_l[lo:hi],
+                flat_ner, multi_label,
+            )
+        )
+    return out

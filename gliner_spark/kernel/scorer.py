@@ -35,8 +35,14 @@ _EPS = 1e-8
 
 
 def stable_token_id(token: str, buckets: int) -> int:
-    """crc32-based stable hash (Python's hash() is salted per process)."""
-    return zlib.crc32(token.lower().encode("utf-8")) % buckets
+    """crc32-based stable hash (Python's hash() is salted per process).
+
+    Case-SENSITIVE, like the reference's DeBERTa tokenizer: distinct
+    surface casings must get distinct embeddings, otherwise bit-equal
+    label vectors create score ties whose resolution depends on BLAS
+    column blocking (batch-shape dependent) rather than on semantics.
+    """
+    return zlib.crc32(token.encode("utf-8")) % buckets
 
 
 class HashedBiEncoder:
@@ -54,13 +60,23 @@ class HashedBiEncoder:
         self.start_table = self.emb @ w_start  # (buckets, dim)
         self.end_table = self.emb @ w_end      # (buckets, dim)
         self._label_cache: dict[str, np.ndarray] = {}
+        self._tok_cache: dict[str, int] = {}
 
     # ------------------------------------------------------------------ ids
+    _TOK_CACHE_MAX = 1 << 20  # memo cap; beyond it, compute without insert
+
     def token_ids(self, tokens: list[str]) -> np.ndarray:
         b = self.cfg.buckets
-        return np.fromiter(
-            (stable_token_id(t, b) for t in tokens), dtype=np.int64, count=len(tokens)
-        )
+        cache = self._tok_cache
+        out = np.empty(len(tokens), dtype=np.int64)
+        for i, t in enumerate(tokens):
+            v = cache.get(t)
+            if v is None:
+                v = zlib.crc32(t.encode("utf-8")) % b
+                if len(cache) < self._TOK_CACHE_MAX:
+                    cache[t] = v
+            out[i] = v
+        return out
 
     def ids_matrix(self, token_lists: list[list[str]]) -> tuple[np.ndarray, np.ndarray]:
         """Pad a batch of token lists → (ids (B, Lmax) int64, lengths (B,))."""
@@ -94,29 +110,33 @@ class HashedBiEncoder:
         return np.stack([self.encode_label(lb) for lb in labels])
 
     # -------------------------------------------------------------- scoring
-    def span_reps(self, ids: np.ndarray, max_width: int) -> np.ndarray:
-        """Normalized span reps (B, L, K, dim) for spans (s, s+k).
-
-        rep[b, s, k] = tanh(start_proj(tok s) + end_proj(tok s+k)); positions
-        past the padded edge reuse the last column (they are filtered by the
-        end>len(tokens) rule at decode, mirroring decoder.py:110-112).
-        """
+    def _span_vecs(self, ids: np.ndarray, max_width: int):
+        """(s_vec (B,L,d), e_pad (B,L+K-1,d)): e_pad lets every width-k
+        shift be a zero-copy VIEW e_pad[:, k:k+L]. Positions past the
+        padded edge reuse the last column (such spans always fail the
+        end<=len rule at decode, mirroring decoder.py:110-112, so the
+        filler never reaches output)."""
         s_vec = self.start_table[ids]  # (B, L, d)
         e_vec = self.end_table[ids]
+        if max_width > 1:
+            pad = np.broadcast_to(
+                e_vec[:, -1:, :], (e_vec.shape[0], max_width - 1, e_vec.shape[2])
+            )
+            e_pad = np.concatenate([e_vec, pad], axis=1)
+        else:
+            e_pad = e_vec
+        return s_vec, e_pad
+
+    def span_reps(self, ids: np.ndarray, max_width: int) -> np.ndarray:
+        """Normalized span reps (B, L, K, dim) for spans (s, s+k):
+        rep[b, s, k] = tanh(start_proj(tok s) + end_proj(tok s+k)), unit-
+        normalized. Kept for introspection/tests; the scoring fast path
+        below never materializes this 4-D tensor."""
+        s_vec, e_pad = self._span_vecs(ids, max_width)
         B, L, d = s_vec.shape
         rep = np.empty((B, L, max_width, d), dtype=np.float32)
         for k in range(max_width):
-            # end vector shifted left by k; positions past the edge reuse the
-            # last column (such spans always fail end<=len and are skipped,
-            # so the filler value never reaches output).
-            if k == 0:
-                shifted = e_vec
-            elif k < L:
-                pad = np.repeat(e_vec[:, -1:, :], k, axis=1)
-                shifted = np.concatenate([e_vec[:, k:, :], pad], axis=1)
-            else:
-                shifted = np.repeat(e_vec[:, -1:, :], L, axis=1)
-            rep[:, :, k, :] = s_vec + shifted
+            rep[:, :, k, :] = s_vec + e_pad[:, k : k + L]
         np.tanh(rep, out=rep)
         rep /= np.linalg.norm(rep, axis=-1, keepdims=True) + _EPS
         return rep
@@ -126,15 +146,29 @@ class HashedBiEncoder:
     ) -> np.ndarray:
         """Shared-label scoring: probs (B, L, K, C).
 
-        One matmul per batch — the broadcast-join pattern (SURVEY §2.3 J1):
-        label_mat is the broadcast side, span reps the streamed side.
+        One matmul per width — the broadcast-join pattern (SURVEY §2.3 J1):
+        label_mat is the broadcast side, span reps the streamed side. The
+        per-width loop works on (B, L, d) slices (views of e_pad), keeping
+        the live working set at O(B·L·d) instead of O(B·L·K·d).
         """
         c = self.cfg
-        rep = self.span_reps(ids, max_width)  # (B,L,K,d) normalized
-        logits = rep @ label_mat.T.astype(np.float32)  # (B,L,K,C) cosine
-        logits *= np.float32(c.alpha * math.sqrt(c.dim))
-        logits += np.float32(c.beta)
-        return _sigmoid(logits)
+        s_vec, e_pad = self._span_vecs(ids, max_width)
+        B, L, d = s_vec.shape
+        labT = np.ascontiguousarray(label_mat.T, dtype=np.float32)
+        C = labT.shape[1]
+        scale = np.float32(c.alpha * math.sqrt(c.dim))
+        out = np.empty((B, L, max_width, C), dtype=np.float32)
+        tmp = np.empty((B, L, d), dtype=np.float32)
+        for k in range(max_width):
+            np.add(s_vec, e_pad[:, k : k + L], out=tmp)
+            np.tanh(tmp, out=tmp)
+            nrm = np.sqrt(np.einsum("bld,bld->bl", tmp, tmp)) + _EPS
+            lg = tmp.reshape(B * L, d) @ labT
+            lg = lg.reshape(B, L, C)
+            lg *= (scale / nrm)[:, :, None]
+            lg += np.float32(c.beta)
+            out[:, :, k, :] = lg
+        return _sigmoid(out)
 
     def score_batch_ragged(
         self,
@@ -144,11 +178,11 @@ class HashedBiEncoder:
     ) -> np.ndarray:
         """Per-row label sets (RE pass, processor.py:255-266 semantics).
 
-        Pads labels to Cmax and runs ONE einsum blkd,bcd->blkc — the
-        reference's own padding trick (gliner/modeling/base.py:537-543).
-        Padded label slots score prob 0 (they are zero vectors → logit =
-        beta < 0 → below any sane threshold), and decode additionally
-        bounds c by the per-row label count.
+        Pads labels to Cmax and runs one einsum per width — the
+        reference's padding trick (gliner/modeling/base.py:537-543) with
+        the same per-width view structure as score_batch. Padded label
+        slots score sigmoid(beta) ≈ 0 (zero vectors), and decode
+        additionally bounds c by the per-row label count.
         """
         c = self.cfg
         B = ids.shape[0]
@@ -159,11 +193,21 @@ class HashedBiEncoder:
         for i, m in enumerate(label_mats):
             if m.shape[0]:
                 lab[i, : m.shape[0], :] = m
-        rep = self.span_reps(ids, max_width)
-        logits = np.einsum("blkd,bcd->blkc", rep, lab, optimize=True)
-        logits *= np.float32(c.alpha * math.sqrt(c.dim))
-        logits += np.float32(c.beta)
-        return _sigmoid(logits)
+        s_vec, e_pad = self._span_vecs(ids, max_width)
+        B, L, d = s_vec.shape
+        scale = np.float32(c.alpha * math.sqrt(c.dim))
+        labT = np.ascontiguousarray(lab.transpose(0, 2, 1))  # (B, d, C)
+        out = np.empty((B, L, max_width, cmax), dtype=np.float32)
+        tmp = np.empty((B, L, d), dtype=np.float32)
+        for k in range(max_width):
+            np.add(s_vec, e_pad[:, k : k + L], out=tmp)
+            np.tanh(tmp, out=tmp)
+            nrm = np.sqrt(np.einsum("bld,bld->bl", tmp, tmp)) + _EPS
+            lg = np.matmul(tmp, labT)  # batched gemm (B,L,d)@(B,d,C)
+            lg *= (scale / nrm)[:, :, None]
+            lg += np.float32(c.beta)
+            out[:, :, k, :] = lg
+        return _sigmoid(out)
 
 
 _SCORER_CACHE: dict[ScorerConfig, "HashedBiEncoder"] = {}

@@ -108,8 +108,13 @@ def minhash_near_duplicates(
     n_perms: int = 64,
     n_bands: int = 16,
     jaccard_threshold: float = 0.7,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
-    """→ verified near-dup pairs (doc_a, doc_b, jaccard), doc_a < doc_b."""
+    """→ verified near-dup pairs (doc_a, doc_b, jaccard), doc_a < doc_b.
+
+    `max_bucket_size` caps LSH bucket fan-out (see
+    linking.candidate_pairs) — boilerplate-heavy corpora otherwise explode
+    the band self-join quadratically."""
     rows_per_band = n_perms // n_bands
     sh = doc_shingles(docs, text_col, shingle_n)
     sigs = minhash_sigs(sh, "doc_id", n_perms)
@@ -130,6 +135,14 @@ def minhash_near_duplicates(
             )
         ).alias("band", "bh"),
     )
+    if max_bucket_size is not None:
+        ok = (
+            banded.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") <= max_bucket_size)
+            .select("band", "bh")
+        )
+        banded = banded.join(ok, on=["band", "bh"])
     pairs = (
         banded.alias("l")
         .join(

@@ -69,10 +69,13 @@ def shingle_set(col, n: int = 3):
 
 
 def surface_table(mentions: DataFrame, surface_col: str = "text") -> DataFrame:
-    """mentions → distinct surfaces with mention counts and modal type.
+    """mentions → distinct surfaces with mention counts, modal type, and a
+    stable 64-bit `surface_id` = xxhash64(surface).
 
     One hash-agg shuffle on the surface string; count and the per-label
-    counts fold map-side."""
+    counts fold map-side. All downstream joins/shuffles (banding, pair
+    distinct, connected components) are keyed by the 8-byte id, not the
+    string — at 10^12 turns the id keys cut shuffle volume by ~5-10×."""
     per_label = mentions.groupBy(
         F.col(surface_col).alias("surface"), F.col("label")
     ).agg(F.count(F.lit(1)).alias("n"))
@@ -82,7 +85,7 @@ def surface_table(mentions: DataFrame, surface_col: str = "text") -> DataFrame:
         F.max(F.struct(F.col("n"), F.col("label"))).getField("label").alias(
             "ent_type"
         ),
-    )
+    ).withColumn("surface_id", F.xxhash64("surface"))
 
 
 def minhash_signatures(
@@ -91,14 +94,20 @@ def minhash_signatures(
     shingle_n: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """surfaces(surface, …) → (surface, shingles, sig:array<bigint>[n_perms]).
+    """surfaces(surface[, surface_id], …) → (surface_id, surface,
+    sig:array<bigint>[n_perms]).
 
     Fully native: explode distinct shingles → base hash folded to [0, p) →
-    64 partial-aggregating min()s → reassembled signature array.
+    64 partial-aggregating min()s (grouped on the 8-byte id) → reassembled
+    signature array.
     """
     coeffs = _perm_coeffs(n_perms, seed)
+    if "surface_id" not in surfaces.columns:
+        surfaces = surfaces.withColumn("surface_id", F.xxhash64("surface"))
     sh = surfaces.select(
-        "surface", F.explode(shingle_set(F.col("surface"), shingle_n)).alias("sh")
+        "surface_id",
+        "surface",
+        F.explode(shingle_set(F.col("surface"), shingle_n)).alias("sh"),
     ).withColumn("h", F.pmod(F.xxhash64(F.lit(seed), F.col("sh")), F.lit(_MERSENNE)))
     aggs = [
         F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(
@@ -106,24 +115,36 @@ def minhash_signatures(
         )
         for p, (a, b) in enumerate(coeffs)
     ]
-    sigs = sh.groupBy("surface").agg(*aggs)
+    sigs = sh.groupBy("surface_id").agg(F.first("surface").alias("surface"), *aggs)
     sig_arr = F.array(*[F.col(f"_s{p}") for p in range(n_perms)])
-    return sigs.select("surface", sig_arr.alias("sig"))
+    return sigs.select("surface_id", "surface", sig_arr.alias("sig"))
 
 
 def candidate_pairs(
     with_sigs: DataFrame,
     n_bands: int = 16,
     rows_per_band: int = 4,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """LSH banding: equal band-slice hash in ANY band → candidate pair.
 
     Returns (surface_a, surface_b) with surface_a < surface_b, distinct.
     The distinct() here shuffles only candidate pairs (small); the band
     join itself is equi on (band, band_hash).
+
+    `max_bucket_size` drops band buckets above the cap before the
+    self-join — the standard guard against the O(bucket²) blowup on
+    low-entropy corpora (boilerplate / templated text). A dropped bucket
+    only loses candidates that the OTHER n_bands−1 bands can still
+    propose; near-dup families larger than the cap are exactly the ones
+    every band agrees on, so recall loss is confined to mega-clusters
+    that downstream connected components would merge transitively anyway.
+
+    Every shuffled row here is (int64, int64): band rows, the self-join,
+    and the pair distinct all move 8-byte ids, never surface strings.
     """
     banded = with_sigs.select(
-        "surface",
+        "surface_id",
         F.posexplode(
             F.array(
                 *[
@@ -139,16 +160,20 @@ def candidate_pairs(
             )
         ).alias("band", "band_hash"),
     )
-    a = banded.select(
-        F.col("surface").alias("surface_a"), "band", "band_hash"
-    )
-    b = banded.select(
-        F.col("surface").alias("surface_b"), "band", "band_hash"
-    )
+    if max_bucket_size is not None:
+        ok_buckets = (
+            banded.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") <= max_bucket_size)
+            .select("band", "band_hash")
+        )
+        banded = banded.join(ok_buckets, on=["band", "band_hash"])
+    a = banded.select(F.col("surface_id").alias("id_a"), "band", "band_hash")
+    b = banded.select(F.col("surface_id").alias("id_b"), "band", "band_hash")
     return (
         a.join(b, on=["band", "band_hash"], how="inner")
-        .where(F.col("surface_a") < F.col("surface_b"))
-        .select("surface_a", "surface_b")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .distinct()
     )
 
@@ -159,28 +184,36 @@ def verified_pairs(
     jaccard_threshold: float = 0.6,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Exact Jaccard over shingle sets; keeps pairs ≥ threshold.
+    """Exact Jaccard over shingle sets; keeps id pairs ≥ threshold.
 
-    Two equi-joins against the (small) surface table to fetch shingle
-    arrays; intersection/union are array ops, no shuffle beyond the joins.
+    `pairs` is (id_a, id_b); two id-keyed equi-joins fetch the shingle
+    arrays (and surface strings for downstream display); the intersect/
+    union are array expressions, no extra shuffle beyond the joins.
+    Output: (id_a, id_b, surface_a, surface_b, jaccard).
     """
+    if "surface_id" not in surfaces.columns:
+        surfaces = surfaces.withColumn("surface_id", F.xxhash64("surface"))
     sh = surfaces.select(
-        "surface", shingle_set(F.col("surface"), shingle_n).alias("shingles")
+        "surface_id",
+        "surface",
+        shingle_set(F.col("surface"), shingle_n).alias("shingles"),
     )
     j = (
         pairs.join(
             sh.select(
+                F.col("surface_id").alias("id_a"),
                 F.col("surface").alias("surface_a"),
                 F.col("shingles").alias("sh_a"),
             ),
-            "surface_a",
+            "id_a",
         )
         .join(
             sh.select(
+                F.col("surface_id").alias("id_b"),
                 F.col("surface").alias("surface_b"),
                 F.col("shingles").alias("sh_b"),
             ),
-            "surface_b",
+            "id_b",
         )
         .withColumn(
             "jaccard",
@@ -189,57 +222,124 @@ def verified_pairs(
         )
     )
     return j.where(F.col("jaccard") >= jaccard_threshold).select(
-        "surface_a", "surface_b", "jaccard"
+        "id_a", "id_b", "surface_a", "surface_b", "jaccard"
     )
 
 
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
-    max_iter: int = 20,
+    max_iter: int = 25,
+    id_col: str = "id",
+    edge_cols: tuple[str, str] = ("id_a", "id_b"),
 ) -> DataFrame:
-    """Min-label propagation: vertices(surface) × edges(surface_a, surface_b)
-    → (surface, component) where component is the MIN surface id (xxhash64
-    of the min surface string) in the connected component.
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) → (id, component) where component is the MIN id of the
+    component. Ids may be any orderable type; int64 keys keep every
+    iteration's shuffle at 16 bytes/row.
 
-    Driver-controlled loop; each iteration is join + union + min-agg;
-    localCheckpoint truncates lineage so plans stay bounded (SURVEY §4).
-    Converges in O(component diameter) ≤ max_iter rounds; similarity
-    components are near-cliques so 3-4 rounds typically suffice.
+    Why not plain min-label propagation: that converges in O(diameter)
+    rounds, and near-dup similarity graphs over templated text form LONG
+    CHAINS (a~b~c~… with consecutive Jaccard above threshold), which made
+    propagation pathologically slow at sf0.1. Star operations converge in
+    O(log n) rounds regardless of diameter.
+
+    Each round: large-star (every node links its larger neighbors to its
+    current minimum neighbor) then small-star (links smaller-or-equal
+    neighbors to the minimum), expressed as groupBy-min + re-expansion;
+    localCheckpoint after each round truncates lineage (Catalyst cannot
+    iterate, SURVEY §4). Convergence = edge multiset stable, checked by a
+    cheap count+hash aggregate rather than a full self-join.
     """
-    sym = edges.select(
-        F.col("surface_a").alias("src"), F.col("surface_b").alias("dst")
-    ).union(
+    ca, cb = edge_cols
+    # work on (u, v) pairs ordered u < v; the "parent" relation converges
+    # to star graphs centered at component minima
+    e = (
         edges.select(
-            F.col("surface_b").alias("src"), F.col("surface_a").alias("dst")
+            F.least(ca, cb).alias("u"), F.greatest(ca, cb).alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _sig(df: DataFrame) -> tuple:
+        # pmod keeps each term < 2^31 so the int64 sum cannot overflow
+        # under ANSI mode for any realistic edge count (< ~4e9 rows)
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(_MERSENNE))).alias("h"),
+        ).collect()[0]
+        return (r["n"], r["h"])
+
+    def _large_star(ed: DataFrame) -> DataFrame:
+        """For each node x: connect every strictly-larger neighbor to
+        min(N(x) ∪ {x})."""
+        nbrs = ed.select("u", "v").union(
+            ed.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = nbrs.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            nbrs.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(
+                F.least("v", "m").alias("u"), F.greatest("v", "m").alias("v")
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(ed: DataFrame) -> DataFrame:
+        """For each node x: connect all smaller-or-equal neighbors (and x)
+        to the minimum of those neighbors."""
+        nbrs = ed.select("u", "v").union(
+            ed.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        grouped = (
+            nbrs.where(F.col("v") < F.col("u"))
+            .groupBy("u")
+            .agg(F.collect_set("v").alias("vs"))
+            .select("u", F.array_min("vs").alias("m"), F.explode("vs").alias("v"))
+        )
+        # emit (v, m) for v ≠ m, plus (u, m) exactly once (the v == m slot)
+        return (
+            grouped.select(
+                F.when(F.col("v") == F.col("m"), F.col("u"))
+                .otherwise(F.col("v"))
+                .alias("a"),
+                F.col("m").alias("b"),
+            )
+            .select(
+                F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    sig = _sig(e)
+    for _ in range(max_iter):
+        e = _large_star(e).localCheckpoint()
+        e = _small_star(e).localCheckpoint()
+        new_sig = _sig(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+
+    # converged: every edge now points v → its component minimum u
+    membership = e.select(
+        F.col("v").alias(id_col), F.col("u").alias("component")
+    ).groupBy(id_col).agg(F.min("component").alias("component"))
+    return (
+        vertices.select(id_col)
+        .join(membership, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("component"),
         )
     )
-    comp = vertices.select(
-        F.col("surface"), F.col("surface").alias("component")
-    ).localCheckpoint()
-    sym = sym.localCheckpoint()
-
-    for _ in range(max_iter):
-        msgs = sym.join(
-            comp.withColumnRenamed("surface", "src"), on="src"
-        ).select(F.col("dst").alias("surface"), "component")
-        new_comp = (
-            comp.unionByName(msgs)
-            .groupBy("surface")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint()
-        )
-        changed = (
-            new_comp.alias("n")
-            .join(comp.alias("o"), on="surface")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        comp = new_comp
-        if changed == 0:
-            break
-    return comp
 
 
 def canonicalize(
@@ -251,6 +351,7 @@ def canonicalize(
     jaccard_threshold: float = 0.6,
     seed: int = 42,
     max_iter: int = 20,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """mentions → canonical-entity map:
     (surface, entity_id, canonical, ent_type, n_mentions).
@@ -260,12 +361,16 @@ def canonicalize(
     rows_per_band = max(n_perms // n_bands, 1)
     surfaces = surface_table(mentions, surface_col)
     sigs = minhash_signatures(surfaces, n_perms, shingle_n, seed)
-    pairs = candidate_pairs(sigs, n_bands, rows_per_band)
+    pairs = candidate_pairs(sigs, n_bands, rows_per_band, max_bucket_size)
     verified = verified_pairs(pairs, surfaces, jaccard_threshold, shingle_n)
     comps = connected_components(
-        surfaces.select("surface"), verified, max_iter
+        surfaces.select(F.col("surface_id").alias("id")),
+        verified.select("id_a", "id_b"),
+        max_iter,
     )
-    with_stats = comps.join(surfaces, on="surface")
+    with_stats = comps.withColumnRenamed("id", "surface_id").join(
+        surfaces, on="surface_id"
+    )
     canon = with_stats.groupBy("component").agg(
         F.max(F.struct(F.col("n_mentions"), F.col("surface")))
         .getField("surface")

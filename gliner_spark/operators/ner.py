@@ -30,40 +30,40 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from ..config import PipelineConfig, DEFAULT
-from ..kernel.decode import decode_row
+from ..kernel.decode import decode_batch
 from ..kernel.scorer import HashedBiEncoder, get_scorer
 from ..kernel.tokenizer import prep_tokens
+
+_ENTITY_FIELDS = [
+    T.StructField("start", T.IntegerType(), False),
+    T.StructField("end", T.IntegerType(), False),
+    T.StructField("text", T.StringType(), False),
+    T.StructField("label", T.StringType(), False),
+    T.StructField("score", T.DoubleType(), False),
+    T.StructField("tok_start", T.IntegerType(), False),
+    T.StructField("tok_end", T.IntegerType(), False),
+]
+
+_ENTITY_ARROW_FIELDS = [
+    ("start", pa.int32()),
+    ("end", pa.int32()),
+    ("text", pa.string()),
+    ("label", pa.string()),
+    ("score", pa.float64()),
+    ("tok_start", pa.int32()),
+    ("tok_end", pa.int32()),
+]
 
 ENTITY_SCHEMA = T.StructType(
     [
         T.StructField("conv_id", T.StringType(), False),
         T.StructField("turn_idx", T.IntegerType(), False),
-        T.StructField("start", T.IntegerType(), False),
-        T.StructField("end", T.IntegerType(), False),
-        T.StructField("text", T.StringType(), False),
-        T.StructField("label", T.StringType(), False),
-        T.StructField("score", T.DoubleType(), False),
-        T.StructField("tok_start", T.IntegerType(), False),
-        T.StructField("tok_end", T.IntegerType(), False),
-    ]
-)
-
-_ENTITY_ARROW = pa.schema(
-    [
-        ("conv_id", pa.string()),
-        ("turn_idx", pa.int32()),
-        ("start", pa.int32()),
-        ("end", pa.int32()),
-        ("text", pa.string()),
-        ("label", pa.string()),
-        ("score", pa.float64()),
-        ("tok_start", pa.int32()),
-        ("tok_end", pa.int32()),
+        *_ENTITY_FIELDS,
     ]
 )
 
 # dense working-set budget for one scoring chunk: B*Lmax*K*(dim+C) float32s
-_CHUNK_BUDGET_ELEMS = 24_000_000  # ~96 MB of float32
+_CHUNK_BUDGET_ELEMS = 6_000_000  # ~24 MB of float32 working set
 
 
 def _chunk_rows(lengths: list[int], max_width: int, dim: int, n_labels: int):
@@ -99,26 +99,24 @@ def _score_and_decode_batch(
     prepped = [prep_tokens(t, cfg.max_len) for t in texts]
     lengths = [len(p[0]) for p in prepped]
     out: list[list[tuple]] = [None] * len(texts)  # type: ignore[list-item]
-    labels_arr = np.asarray(labels, dtype=object)
     for lo, hi in _chunk_rows(lengths, cfg.max_width, scorer.cfg.dim, len(labels)):
         ids, _ = scorer.ids_matrix([prepped[i][0] for i in range(lo, hi)])
         probs = scorer.score_batch(ids, label_mat, cfg.max_width)
+        decoded = decode_batch(
+            probs,
+            np.asarray(lengths[lo:hi], dtype=np.int64),
+            threshold,
+            flat_ner=cfg.flat_ner,
+            multi_label=cfg.multi_label,
+        )
         for i in range(lo, hi):
             tokens, tstarts, tends = prepped[i]
-            s, e, c, sc = decode_row(
-                probs[i - lo],
-                len(tokens),
-                threshold,
-                flat_ner=cfg.flat_ner,
-                multi_label=cfg.multi_label,
-            )
             text = texts[i]
             rows = []
-            for si, ei, ci, sci in zip(s, e, c, sc):
-                cs, ce = tstarts[int(si)], tends[int(ei)]
+            for si, ei, ci, sci in decoded[i - lo]:
+                cs, ce = tstarts[si], tends[ei]
                 rows.append(
-                    (cs, ce, text[cs:ce], labels_arr[int(ci)], float(sci),
-                     int(si), int(ei))
+                    (cs, ce, text[cs:ce], labels[ci], float(sci), si, ei)
                 )
             out[i] = rows
     return out
@@ -129,11 +127,17 @@ def extract_entities(
     labels: list[str],
     cfg: PipelineConfig | None = None,
     threshold: float | None = None,
+    passthrough: tuple[str, ...] = ("conv_id", "turn_idx"),
 ) -> DataFrame:
-    """transcripts(conv_id, turn_idx, text, …) → entities DataFrame.
+    """transcripts(…, text) → entities DataFrame.
 
     Narrow transformation; output partitioning inherits the scan. Labels
     are deduped order-preserving (reference gliner/model.py:202).
+
+    `passthrough` columns are carried into the output untouched via Arrow
+    `take` (zero-copy gather of the input arrays, any type incl. ts) —
+    consumers that need e.g. the event timestamp (streaming windows) list
+    it here instead of joining back.
     """
     cfg = cfg or DEFAULT
     thr = cfg.threshold if threshold is None else threshold
@@ -142,21 +146,25 @@ def extract_entities(
     # (tiny) — semantically a broadcast of the build side of the span×label
     # cross-score join (SURVEY §2.3 J1).
     label_mat = get_scorer(cfg.scorer).encode_labels(labels)
+    passthrough = tuple(passthrough)
+
+    in_fields = {f.name: f for f in transcripts.schema.fields}
+    out_schema = T.StructType(
+        [in_fields[c] for c in passthrough] + _ENTITY_FIELDS
+    )
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         scorer = get_scorer(cfg.scorer)  # per-worker memoized, deterministic
         for batch in batches:
-            conv = batch.column("conv_id").to_pylist()
-            turn = batch.column("turn_idx").to_pylist()
             texts = batch.column("text").to_pylist()
             per_row = _score_and_decode_batch(
                 texts, scorer, label_mat, labels, cfg, thr
             )
-            cols: dict[str, list] = {k: [] for k in _ENTITY_ARROW.names}
-            for cid, tix, rows in zip(conv, turn, per_row):
+            idx: list[int] = []
+            cols: dict[str, list] = {n: [] for n, _t in _ENTITY_ARROW_FIELDS}
+            for i, rows in enumerate(per_row):
                 for cs, ce, sp, lb, sc, ts_, te_ in rows:
-                    cols["conv_id"].append(cid)
-                    cols["turn_idx"].append(tix)
+                    idx.append(i)
                     cols["start"].append(cs)
                     cols["end"].append(ce)
                     cols["text"].append(sp)
@@ -164,7 +172,12 @@ def extract_entities(
                     cols["score"].append(sc)
                     cols["tok_start"].append(ts_)
                     cols["tok_end"].append(te_)
-            yield pa.RecordBatch.from_pydict(cols, schema=_ENTITY_ARROW)
+            take = pa.array(idx, type=pa.int64())
+            arrays = [batch.column(c).take(take) for c in passthrough] + [
+                pa.array(cols[n], type=t) for n, t in _ENTITY_ARROW_FIELDS
+            ]
+            names = list(passthrough) + [n for n, _t in _ENTITY_ARROW_FIELDS]
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
-    projected = transcripts.select("conv_id", "turn_idx", "text")
-    return projected.mapInArrow(run, ENTITY_SCHEMA)
+    projected = transcripts.select(*passthrough, "text")
+    return projected.mapInArrow(run, out_schema)

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from ..config import PipelineConfig, DEFAULT
-from ..kernel.decode import decode_row
+from ..kernel.decode import decode_batch
 from ..kernel.scorer import HashedBiEncoder, get_scorer
 from ..kernel.tokenizer import prep_tokens
 from .ner import _score_and_decode_batch, _CHUNK_BUDGET_ELEMS
@@ -98,41 +98,80 @@ def relation_labels_for(
 
 
 def _relation_pass(
-    prompts: list[str],
+    texts: list[str],
+    prefix: str,
     per_row_labels: list[list[str]],
     scorer: HashedBiEncoder,
     cfg: PipelineConfig,
     threshold: float,
 ) -> list[list[tuple]]:
-    """Ragged-label scoring of prompts → per-row accepted candidate tuples
-    (char_start, char_end, span_text, label, score)."""
-    prepped = [prep_tokens(t, cfg.max_len) for t in prompts]
+    """Ragged-label scoring of (prefix + text) prompts → per-row accepted
+    candidate tuples (char_start, char_end, span_text, label, score).
+
+    Efficiency structure (semantics identical to tokenizing each prompt
+    whole — pinned by the oracle parity test):
+      * the prompt prefix ends in whitespace, so the reference regex can
+        never produce a token crossing the prefix/text boundary →
+        prefix tokens are computed ONCE and text tokens are shifted, not
+        re-tokenized per row;
+      * rows with zero labels (no pass-1 entities) never enter a chunk —
+        at production scale most turns have few/no entities and skipping
+        them is the dominant saving;
+      * chunk packing sorts rows by (label count, length) so the padded
+        (B, Lmax, K, Cmax) tensor is dense — unsorted packing wastes
+        ~3× on Cmax-vs-mean padding. Per-row results are written back by
+        original index, so output order is unaffected.
+    """
+    assert prefix[-1].isspace()
+    p_toks, p_starts, p_ends = prep_tokens(prefix, cfg.max_len)
+    shift = len(prefix)
+    prepped = []
+    for t in texts:
+        toks, starts, ends = prep_tokens(t, cfg.max_len)
+        if toks == ["[PAD]"] and not t.strip():
+            comb = (list(p_toks), list(p_starts), list(p_ends))
+        else:
+            comb = (
+                p_toks + toks,
+                p_starts + [s + shift for s in starts],
+                p_ends + [e + shift for e in ends],
+            )
+        prepped.append(
+            (comb[0][: cfg.max_len], comb[1][: cfg.max_len], comb[2][: cfg.max_len])
+        )
     lengths = [len(p[0]) for p in prepped]
     counts = [len(ls) for ls in per_row_labels]
-    out: list[list[tuple]] = [[] for _ in prompts]
-    for lo, hi in _chunk_ragged(lengths, counts, cfg.max_width, scorer.cfg.dim):
-        rows = list(range(lo, hi))
+    out: list[list[tuple]] = [[] for _ in texts]
+    eligible = sorted(
+        (i for i in range(len(texts)) if counts[i] > 0),
+        key=lambda i: (counts[i], lengths[i]),
+    )
+    for lo, hi in _chunk_ragged(
+        [lengths[i] for i in eligible],
+        [counts[i] for i in eligible],
+        cfg.max_width,
+        scorer.cfg.dim,
+    ):
+        rows = eligible[lo:hi]
         ids, _ = scorer.ids_matrix([prepped[i][0] for i in rows])
         label_mats = [scorer.encode_labels(per_row_labels[i]) for i in rows]
         probs = scorer.score_batch_ragged(ids, label_mats, cfg.max_width)
+        decoded = decode_batch(
+            probs,
+            np.asarray([lengths[i] for i in rows], dtype=np.int64),
+            threshold,
+            flat_ner=cfg.flat_ner,
+            multi_label=cfg.multi_label,
+            n_labels=np.asarray([counts[i] for i in rows], dtype=np.int64),
+        )
         for bi, i in enumerate(rows):
             labels = per_row_labels[i]
-            if not labels:
-                continue
             tokens, tstarts, tends = prepped[i]
-            s, e, c, sc = decode_row(
-                probs[bi],
-                len(tokens),
-                threshold,
-                flat_ner=cfg.flat_ner,
-                multi_label=cfg.multi_label,
-                n_labels=len(labels),
-            )
-            text = prompts[i]
+            text = prefix + texts[i]
             acc = []
-            for si, ei, ci, sci in zip(s, e, c, sc):
-                cs, ce = tstarts[int(si)], tends[int(ei)]
-                acc.append((cs, ce, text[cs:ce], labels[int(ci)], float(sci)))
+            for si, ei, ci, sci in decoded[bi]:
+                cs, ce = tstarts[si], tends[ei]
+                acc.append((cs, ce, text[cs:ce], labels[ci], float(sci)))
             out[i] = acc
     return out
 
@@ -177,9 +216,10 @@ def extract_triples(
                 relation_labels_for([r[2] for r in rows], relations)
                 for rows in ner_rows
             ]
-            prompts = [prefix + t for t in texts]
             # pass 2: ragged-label RE scoring
-            rel_rows = _relation_pass(prompts, per_row_labels, scorer, cfg, rel_thr)
+            rel_rows = _relation_pass(
+                texts, prefix, per_row_labels, scorer, cfg, rel_thr
+            )
 
             cols: dict[str, list] = {k: [] for k in _TRIPLE_ARROW.names}
             for cid, tix, rows in zip(conv, turn, rel_rows):

@@ -17,13 +17,8 @@ import zipfile
 from pyspark.sql import SparkSession
 
 
-def ship_package(spark: SparkSession) -> str:
-    """Ship gliner_spark to executors (programmatic --py-files).
-
-    Python workers don't inherit the driver's sys.path; without this,
-    mapInArrow closures referencing gliner_spark fail with
-    ModuleNotFoundError on any non-repo cwd or real cluster.
-    """
+def build_package_zip() -> str:
+    """Build (or refresh) the gliner_spark zip for --py-files shipping."""
     import gliner_spark
 
     pkg_dir = os.path.dirname(os.path.abspath(gliner_spark.__file__))
@@ -48,17 +43,49 @@ def ship_package(spark: SparkSession) -> str:
                         )
                         zf.write(full, rel)
         os.replace(tmp, zip_path)
+    return zip_path
+
+
+def ship_package(spark: SparkSession) -> str:
+    """Ship gliner_spark to executors (programmatic --py-files).
+
+    Python workers don't inherit the driver's sys.path; without this,
+    mapInArrow closures referencing gliner_spark fail with
+    ModuleNotFoundError on any non-repo cwd or real cluster.
+    """
+    zip_path = build_package_zip()
     spark.sparkContext.addPyFile(zip_path)
     return zip_path
+
+
+def _set_worker_env_defaults() -> None:
+    """Env the python workers must inherit (set before the JVM spawns).
+
+    - single-threaded BLAS: 1 worker per core; nested BLAS threads only
+      oversubscribe;
+    - glibc malloc mmap/trim thresholds raised: numpy's multi-MB scoring
+      temporaries otherwise mmap+munmap on every chunk, and munmap's TLB
+      shootdown IPIs serialize ALL cores — measured 80%+ system time and
+      ~2× per-row dilation at 32 workers on this box before the fix;
+    - Arrow system allocator: routes pyarrow buffers through the same
+      (now well-behaved) glibc malloc.
+    """
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
+    os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+    os.environ.setdefault("MKL_NUM_THREADS", "1")
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+    os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
 
 
 def build_session(
     app_name: str = "gliner-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
-    arrow_batch_rows: int = 512,
+    arrow_batch_rows: int = 8192,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    _set_worker_env_defaults()
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"

@@ -1,0 +1,107 @@
+"""Structured-Streaming surface (SURVEY §2.10).
+
+The reference is strictly batch and the north rule requires batch +
+checkpoint/resume, but a live transcript feed is the natural production
+shape for this engine, so the streaming path is first-class:
+
+ * `read_transcript_stream` — file-source stream over an Iceberg/parquet
+   landing dir (micro-batch = newly arrived files). The extraction stage
+   (operators/ner.py mapInArrow) is a NARROW streaming transformation, so
+   the same code serves batch and stream — only watermarks and sinks
+   differ. `ts` rides through extraction via the passthrough gather.
+ * `windowed_entity_counts` — tumbling-window counts with a watermark for
+   late turns: the standard late-data-tolerant aggregation.
+ * `stream_to_kg` — foreachBatch bridge: each micro-batch runs the batch
+   triple extractor and APPENDS to the triples table; per-batch lineage
+   rows come from the checkpointed batch_id, making replays idempotent
+   (overwrite-by-batch-id), which is exactly Structured Streaming's
+   exactly-once file-sink contract extended to our lineage table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import PipelineConfig, DEFAULT
+from ..operators.ner import extract_entities
+from ..sources.transcripts import TRANSCRIPT_SCHEMA
+
+
+def read_transcript_stream(
+    spark: SparkSession, landing_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    reader = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .format("parquet")
+        .option("path", landing_dir)
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load()
+
+
+def stream_entities(
+    stream: DataFrame,
+    labels: list[str],
+    cfg: PipelineConfig | None = None,
+) -> DataFrame:
+    """Streaming NER: identical operator to batch, with ts passed through
+    for downstream event-time windows."""
+    return extract_entities(
+        stream, labels, cfg, passthrough=("conv_id", "turn_idx", "ts")
+    )
+
+
+def windowed_entity_counts(
+    entities_with_ts: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling-window per-label mention counts, late data bounded by the
+    watermark (events later than it are dropped, state is GC'd)."""
+    return (
+        entities_with_ts.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("label"))
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "label",
+            "n_mentions",
+        )
+    )
+
+
+def stream_to_kg(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    entity_types: list[str],
+    relations: list[str],
+    cfg: PipelineConfig | None = None,
+):
+    """foreachBatch bridge: micro-batch → fused triple extraction →
+    append to <out_dir>/triples_stream partitioned by batch_id (idempotent
+    on replay: a re-delivered batch_id overwrites its own partition only).
+    Returns the StreamingQuery."""
+    from ..operators.relations import extract_triples
+
+    cfg = cfg or DEFAULT
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        triples = extract_triples(batch_df, relations, entity_types, cfg)
+        (
+            triples.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{out_dir}/triples_stream")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -73,10 +73,14 @@ def test_minhash_identical_normalized_surfaces_have_equal_sigs(spark, mentions_d
 
 def test_lsh_finds_identical_normalized_pairs(spark, mentions_df):
     sigs = minhash_signatures(surface_table(mentions_df))
-    pairs = {(r.surface_a, r.surface_b)
-             for r in candidate_pairs(sigs).collect()}
-    assert ("Acme Corp", "acme-corp") in pairs
-    assert ("Alice Chen", "alice chen") in pairs
+    ids = {r.surface: r.surface_id for r in sigs.collect()}
+    pairs = {(r.id_a, r.id_b) for r in candidate_pairs(sigs).collect()}
+
+    def pair(a, b):
+        return (min(ids[a], ids[b]), max(ids[a], ids[b]))
+
+    assert pair("Acme Corp", "acme-corp") in pairs
+    assert pair("Alice Chen", "alice chen") in pairs
 
 
 def test_verified_pairs_match_python_jaccard(spark, mentions_df):
@@ -91,17 +95,30 @@ def test_verified_pairs_match_python_jaccard(spark, mentions_df):
 
 
 def test_connected_components_chain(spark):
-    verts = spark.createDataFrame([Row(surface=s) for s in "abcdef"])
+    verts = spark.createDataFrame([Row(id=s) for s in "abcdef"])
     edges = spark.createDataFrame(
-        [Row(surface_a="a", surface_b="b"),
-         Row(surface_a="b", surface_b="c"),
-         Row(surface_a="d", surface_b="e")]
+        [Row(id_a="a", id_b="b"),
+         Row(id_a="b", id_b="c"),
+         Row(id_a="d", id_b="e")]
     )
-    comp = {r.surface: r.component
+    comp = {r.id: r.component
             for r in connected_components(verts, edges).collect()}
     assert comp["a"] == comp["b"] == comp["c"] == "a"
     assert comp["d"] == comp["e"] == "d"
     assert comp["f"] == "f"
+
+
+def test_connected_components_long_chain(spark):
+    """O(log n) star convergence on a 40-node path graph (the diameter
+    case that killed plain label propagation)."""
+    n = 40
+    verts = spark.createDataFrame([Row(id=i) for i in range(n)])
+    edges = spark.createDataFrame(
+        [Row(id_a=i, id_b=i + 1) for i in range(n - 1)]
+    )
+    comp = {r.id: r.component
+            for r in connected_components(verts, edges).collect()}
+    assert set(comp.values()) == {0}
 
 
 def test_canonicalize_end_to_end(spark, mentions_df):

@@ -1,0 +1,86 @@
+"""Flagship KG-extraction job for the two-cluster-size scaling protocol.
+
+Launched via spark-submit --py-files <gliner_spark.zip>:
+
+  spark-submit --master local[8]  --py-files $ZIP tools/kg_job.py
+  spark-submit --master local[32] --py-files $ZIP tools/kg_job.py
+
+Protocol notes (why each knob is what it is — measured on this box, see
+BASELINE.md "Measured scaling"):
+ * Input is a FIXED parquet table (written once by tools/scaling_bench.py,
+   identical bytes for both runs); the timed region is only the fused
+   NER+RE triple extraction — the stage whose scaling the north rule
+   measures. Parquet scan gives vectorized decode + column pruning, like
+   the production Iceberg path.
+ * spark.task.cpus=2 at BOTH parallelism levels: each task runs a
+   CPU-bound python worker AND JVM-side Arrow/scan work; giving a task 2
+   core-slots keeps the JVM from fighting the workers for cores — the
+   same executor sizing a real Python-UDF-heavy cluster job uses. With
+   1 slot/task the 4N run oversubscribes (2 threads/core) and per-row
+   compute dilates ~2×, which is an artifact of the single-box proxy,
+   not of the dataflow.
+ * Worker env (single-thread BLAS, malloc mmap thresholds, Arrow system
+   pool) comes from plans/session defaults — the munmap TLB-shootdown
+   storm otherwise costs 80%+ system time at 32 workers.
+
+Prints one JSON line: {cpus, n_turns, n_triples, wall_s, turns_per_sec}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gliner_spark.plans.session import _set_worker_env_defaults  # noqa: E402
+
+_set_worker_env_defaults()
+
+INPUT = os.environ.get("SCALE_INPUT", "/tmp/gliner_scale_input.parquet")
+ENTITY_TYPES = ["person", "organization", "location", "service", "tool"]
+RELATIONS = ["works for", "located in", "uses"]
+
+
+def main():
+    from pyspark.sql import SparkSession
+
+    from gliner_spark.operators.relations import extract_triples
+
+    spark = (
+        SparkSession.builder.appName("kg-scaling-job")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        .config("spark.sql.shuffle.partitions", "256")
+        .config("spark.task.cpus", "2")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    cpus = spark.sparkContext.defaultParallelism
+
+    transcripts = spark.read.parquet(INPUT)
+    n_turns = transcripts.count()
+
+    t0 = time.time()
+    n_triples = extract_triples(transcripts, RELATIONS, ENTITY_TYPES).count()
+    wall = time.time() - t0
+
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "n_turns": n_turns,
+                "n_triples": n_triples,
+                "wall_s": round(wall, 3),
+                "turns_per_sec": round(n_turns / wall, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
