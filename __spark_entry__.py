@@ -365,6 +365,27 @@ def _q_knn_ivf(spark, sf_dir):
     return knn_ivf(emb, queries, k=5, n_cells=8, n_probe=4)
 
 
+def _q_ner_token_mode(spark, sf_dir):
+    from gliner_spark.operators.ner import extract_entities_token
+
+    return extract_entities_token(_doc_transcripts(spark, sf_dir), ENTITY_TYPES)
+
+
+def _q_classify_docs(spark, sf_dir):
+    from gliner_spark.operators.multitask import classify
+
+    return classify(
+        _doc_transcripts(spark, sf_dir),
+        ["database tuning", "stream processing", "query planning"],
+    )
+
+
+def _q_summarize_docs(spark, sf_dir):
+    from gliner_spark.operators.multitask import summarize
+
+    return summarize(_doc_transcripts(spark, sf_dir))
+
+
 def _q_multimodal_features(spark, sf_dir):
     from gliner_spark.operators.multimodal import extract_features, synth_assets
 
@@ -409,6 +430,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": _q_minhash_near_dup,
         "simhash_near_dup": _q_simhash_near_dup,
         "knn_ivf": _q_knn_ivf,
+        "ner_token_mode": _q_ner_token_mode,
+        "classify_docs": _q_classify_docs,
+        "summarize_docs": _q_summarize_docs,
         "multimodal_features": _q_multimodal_features,
         "graph_edges": _q_graph_edges,
     }

@@ -26,6 +26,11 @@ class ScorerConfig:
     # calibrated so ~1-3% of span×label cells clear sigmoid>0.5
     alpha: float = 2.0
     beta: float = -4.0
+    # token-level scorer: logit = token_alpha * z + token_beta over the
+    # vocab-standardized channel; spans need start ∧ end ∧ all-inside
+    # above threshold, so per-role fire rates are kept moderate (~18%)
+    token_alpha: float = 1.5
+    token_beta: float = -1.4
 
 
 @dataclass(frozen=True)

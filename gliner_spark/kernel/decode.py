@@ -184,6 +184,111 @@ def _greedy_py(
     return [(ss[i], es[i], cs[i], scs[i]) for _s, _e, i in acc]
 
 
+def token_decode_reference(
+    probs: np.ndarray,
+    n_tokens: int,
+    threshold: float,
+    flat_ner: bool = False,
+    multi_label: bool = False,
+) -> list[tuple]:
+    """Literal restatement of the reference TokenDecoder
+    (gliner/decoding/decoder.py:130-170) for one row — the property-test
+    oracle for decode_row_token.
+
+    probs: (L, C, 3) sigmoid scores; roles [start, end, inside]. Candidate
+    enumeration: above-threshold starts (row-major (pos, cls)) × above-
+    threshold ends, ed ≥ st ∧ same class; the span is skipped if ANY
+    inside score is strictly below the threshold (`(ins < threshold)
+    .any()`, decoder.py:141-143); span score = min(inside ∪ {start_score,
+    end_score}) (decoder.py:144-149, SURVEY §2.4 A4); then the same
+    greedy_search as span mode.
+    """
+    p = probs[:n_tokens]
+    p_start, p_end, p_ins = p[:, :, 0], p[:, :, 1], p[:, :, 2]
+    start_idx = np.where(p_start > threshold)
+    end_idx = np.where(p_end > threshold)
+    cands = []
+    for st, cls_st in zip(*start_idx):
+        for ed, cls_ed in zip(*end_idx):
+            if ed >= st and cls_st == cls_ed:
+                ins = p_ins[st : ed + 1, cls_st]
+                if (ins < threshold).any():
+                    continue
+                combined_min = min(
+                    float(ins.min()),
+                    float(p_start[st, cls_st]),
+                    float(p_end[ed, cls_st]),
+                )
+                cands.append((int(st), int(ed), int(cls_st), combined_min))
+    return greedy_search_reference(
+        cands, flat_ner=flat_ner, multi_label=multi_label
+    )
+
+
+def decode_row_token(
+    probs: np.ndarray,
+    n_tokens: int,
+    threshold: float,
+    flat_ner: bool = False,
+    multi_label: bool = False,
+) -> list[tuple]:
+    """Vectorized token decode for one row (probs (L, C, 3)) →
+    [(start, end_incl, class_idx, score), …] sorted by start.
+
+    Per class: above-threshold start/end positions pair via the interval
+    predicate; the all-inside-above-threshold constraint means valid spans
+    lie within maximal runs of inside>thr, checked with a prefix-sum over
+    the below-threshold indicator; min-inside via a sliding minimum is
+    O(run) using prefix arg-min windows — here run lengths are ≤ L so a
+    simple per-pair slice-min stays cheap and exactly matches the
+    reference float semantics. Candidate order is (start-pos, class) major
+    then (end-pos, class) — identical to the reference's nested
+    torch.where loops, so greedy tie behavior is preserved.
+    """
+    p = probs[:n_tokens]
+    p_start, p_end, p_ins = p[:, :, 0], p[:, :, 1], p[:, :, 2]
+    s_pos, s_cls = np.where(p_start > threshold)
+    if len(s_pos) == 0:
+        return []
+    C = p.shape[1]
+    # per-class above-threshold end positions (ascending — for a fixed
+    # class, the reference's (pos, cls) row-major inner loop visits its
+    # matching ends in position order, so this preserves candidate order)
+    ends_by_cls = [
+        np.where(p_end[:, ci] > threshold)[0] for ci in range(C)
+    ]
+    # next 'bad' inside position at-or-after i, per class: every end
+    # strictly before it satisfies the all-inside-above-threshold rule.
+    # STRICT <, matching the reference's `(ins < threshold).any()` skip
+    # (decoder.py:141-143)
+    bad = p_ins < threshold
+    nb = np.where(bad, np.arange(n_tokens)[:, None], n_tokens)
+    nb = np.minimum.accumulate(nb[::-1], axis=0)[::-1]  # (L, C)
+    cands = []
+    for st, cls_st in zip(s_pos.tolist(), s_cls.tolist()):
+        ec = ends_by_cls[cls_st]
+        lo = int(np.searchsorted(ec, st))
+        hi = int(np.searchsorted(ec, nb[st, cls_st]))
+        if lo == hi:
+            continue
+        st_score = float(p_start[st, cls_st])
+        col = p_ins[:, cls_st]
+        for ed in ec[lo:hi].tolist():
+            score = min(
+                float(col[st : ed + 1].min()),
+                st_score,
+                float(p_end[ed, cls_st]),
+            )
+            cands.append((st, ed, cls_st, score))
+    if not cands:
+        return []
+    ss = [c[0] for c in cands]
+    es = [c[1] for c in cands]
+    cs = [c[2] for c in cands]
+    scs = [c[3] for c in cands]
+    return _greedy_py(ss, es, cs, scs, flat_ner, multi_label)
+
+
 def decode_batch(
     probs: np.ndarray,
     n_tokens: np.ndarray,

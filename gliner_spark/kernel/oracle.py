@@ -101,6 +101,50 @@ class OraclePipeline:
             )
         return ents
 
+    # ------------------------------------------------------ token-level NER
+    def run_token(
+        self,
+        texts: list[str],
+        labels: list[str],
+        threshold: float | None = None,
+        flat_ner: bool = True,
+        multi_label: bool = False,
+    ) -> list[list[dict]]:
+        """Token-level decode path (reference TokenProcessor/TokenDecoder,
+        decoder.py:130-170): start/end/inside scores per (token, class),
+        start×end pair join, min-score spans, greedy non-overlap."""
+        from .decode import decode_row_token
+
+        thr = self.cfg.threshold if threshold is None else threshold
+        labels = list(dict.fromkeys(labels))
+        label_mat = self.scorer.encode_labels(labels)
+        out = []
+        for text in texts:
+            tokens, starts, ends = self._prep(text)
+            if label_mat.shape[0] == 0:
+                out.append([])
+                continue
+            ids, _ = self.scorer.ids_matrix([tokens])
+            probs = self.scorer.token_scores(ids, label_mat)[0]
+            spans = decode_row_token(
+                probs, len(tokens), thr, flat_ner=flat_ner,
+                multi_label=multi_label,
+            )
+            ents = []
+            for si, ei, ci, sci in spans:
+                cs, ce = starts[si], ends[ei]
+                ents.append(
+                    {
+                        "start": cs,
+                        "end": ce,
+                        "text": text[cs:ce],
+                        "label": labels[ci],
+                        "score": float(sci),
+                    }
+                )
+            out.append(ents)
+        return out
+
     # -------------------------------------------------------- relation pass
     def unique_entity_texts(self, entities: list[dict]) -> list[str]:
         """First-occurrence-ordered unique surface forms (see module note)."""

@@ -61,6 +61,23 @@ class HashedBiEncoder:
         self.end_table = self.emb @ w_end      # (buckets, dim)
         self._label_cache: dict[str, np.ndarray] = {}
         self._tok_cache: dict[str, int] = {}
+        # token-level scorer parameters (reference Scorer,
+        # modeling/scorers.py:4-35: two-way token/label projections, a
+        # concat(token0, label0, token0⊙label0-style interaction) MLP to 3
+        # scores per (token, class): start/end/inside)
+        wt0 = (rng.standard_normal((c.dim, c.dim)) * scale).astype(np.float32)
+        wt1 = (rng.standard_normal((c.dim, c.dim)) * scale).astype(np.float32)
+        # (the reference Scorer also projects the label through a second
+        # head whose contribution is constant per (class, role); under the
+        # vocab standardization in token_scores it cancels exactly, so it
+        # is not materialized here)
+        self.wl1 = (rng.standard_normal((c.dim, c.dim)) * scale).astype(np.float32)
+        self.out_a = (rng.standard_normal((c.dim, 3)) * scale).astype(np.float32)
+        self.out_c = (rng.standard_normal((c.dim, 3)) * scale).astype(np.float32)
+        self.tok0_table = np.tanh(self.emb @ wt0)  # (buckets, dim)
+        self.tok1_table = np.tanh(self.emb @ wt1)
+        self.tok0_out = self.tok0_table @ self.out_a  # (buckets, 3)
+        self._token_stats: dict[bytes, tuple[np.ndarray, np.ndarray]] = {}
 
     # ------------------------------------------------------------------ ids
     _TOK_CACHE_MAX = 1 << 20  # memo cap; beyond it, compute without insert
@@ -207,6 +224,51 @@ class HashedBiEncoder:
             lg *= (scale / nrm)[:, :, None]
             lg += np.float32(c.beta)
             out[:, :, k, :] = lg
+        return _sigmoid(out)
+
+
+    # ------------------------------------------------------- token scoring
+    def token_scores(
+        self, ids: np.ndarray, label_mat: np.ndarray
+    ) -> np.ndarray:
+        """Token-level probs (B, L, C, 3): sigmoid scores per (token,
+        class) for the three position roles (start, end, inside) — the
+        reference's Scorer output contract (modeling/scorers.py:18-35),
+        deterministic-numpy edition:
+
+          logit[b,l,c,:] = t0[b,l]·A + l0[c]·B + (t1[b,l] ⊙ l1[c])·C
+
+        with the same alpha/beta calibration as the span scorer.
+        """
+        c = self.cfg
+        t1 = self.tok1_table[ids]
+        l1 = np.tanh(label_mat @ self.wl1)  # (C, d)
+        B, L, d = t1.shape
+        C = label_mat.shape[0]
+        base_tok = self.tok0_out[ids].reshape(B * L, 3)  # (B·L, 3)
+        out = np.empty((B, L, C, 3), dtype=np.float32)
+        t1_flat = t1.reshape(B * L, d)
+        alpha_t = np.float32(c.token_alpha)
+        beta_t = np.float32(c.token_beta)
+        for ci in range(C):
+            m = l1[ci][:, None] * self.out_c  # (d, 3)
+            # per-(class, role) calibration against the FULL vocabulary
+            # distribution — random projections otherwise leave a constant
+            # per-role bias that the logit scale amplifies into dead or
+            # saturated channels. Deterministic, input-independent, cached.
+            key = l1[ci].tobytes()
+            stats = self._token_stats.get(key)
+            if stats is None:
+                vocab = self.tok0_out + self.tok1_table @ m  # (buckets, 3)
+                stats = (
+                    vocab.mean(axis=0),
+                    vocab.std(axis=0) + np.float32(_EPS),
+                )
+                self._token_stats[key] = stats
+            mu, sd = stats
+            inter = t1_flat @ m  # (B·L, 3)
+            z = (base_tok + inter - mu) / sd
+            out[:, :, ci, :] = (alpha_t * z + beta_t).reshape(B, L, 3)
         return _sigmoid(out)
 
 

@@ -122,6 +122,76 @@ def _score_and_decode_batch(
     return out
 
 
+def extract_entities_token(
+    transcripts: DataFrame,
+    labels: list[str],
+    cfg: PipelineConfig | None = None,
+    threshold: float | None = None,
+    passthrough: tuple[str, ...] = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """Token-level decode variant (reference TokenProcessor/TokenDecoder
+    family — SURVEY §2.2 P5-token, §2.3 J3 start×end pair join, §2.4 A4
+    min-over-parts span score). Same narrow mapInArrow shape as
+    extract_entities; only the scoring tensor (B, L, C, 3) and the decode
+    rule differ. Config flag equivalent of the reference's processor
+    hierarchy choice (processor.py:297 vs :486)."""
+    from ..kernel.decode import decode_row_token
+
+    cfg = cfg or DEFAULT
+    thr = cfg.threshold if threshold is None else threshold
+    labels = list(dict.fromkeys(labels))
+    label_mat = get_scorer(cfg.scorer).encode_labels(labels)
+    passthrough = tuple(passthrough)
+    in_fields = {f.name: f for f in transcripts.schema.fields}
+    out_schema = T.StructType(
+        [in_fields[c] for c in passthrough] + _ENTITY_FIELDS
+    )
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        scorer = get_scorer(cfg.scorer)
+        for batch in batches:
+            texts = batch.column("text").to_pylist()
+            prepped = [prep_tokens(t, cfg.max_len) for t in texts]
+            lengths = [len(p[0]) for p in prepped]
+            idx: list[int] = []
+            cols: dict[str, list] = {n: [] for n, _t in _ENTITY_ARROW_FIELDS}
+            # chunk budget: (B, Lmax) × (3·C + dim) working floats per token
+            for lo, hi in _chunk_rows(lengths, 3, scorer.cfg.dim, len(labels)):
+                ids, _ = scorer.ids_matrix(
+                    [prepped[i][0] for i in range(lo, hi)]
+                )
+                probs = scorer.token_scores(ids, label_mat)
+                for i in range(lo, hi):
+                    tokens, tstarts, tends = prepped[i]
+                    spans = decode_row_token(
+                        probs[i - lo],
+                        len(tokens),
+                        thr,
+                        flat_ner=cfg.flat_ner,
+                        multi_label=cfg.multi_label,
+                    )
+                    text = texts[i]
+                    for si, ei, ci, sci in spans:
+                        cs, ce = tstarts[si], tends[ei]
+                        idx.append(i)
+                        cols["start"].append(cs)
+                        cols["end"].append(ce)
+                        cols["text"].append(text[cs:ce])
+                        cols["label"].append(labels[ci])
+                        cols["score"].append(float(sci))
+                        cols["tok_start"].append(si)
+                        cols["tok_end"].append(ei)
+            take = pa.array(idx, type=pa.int64())
+            arrays = [batch.column(c).take(take) for c in passthrough] + [
+                pa.array(cols[n], type=t) for n, t in _ENTITY_ARROW_FIELDS
+            ]
+            names = list(passthrough) + [n for n, _t in _ENTITY_ARROW_FIELDS]
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    projected = transcripts.select(*passthrough, "text")
+    return projected.mapInArrow(run, out_schema)
+
+
 def extract_entities(
     transcripts: DataFrame,
     labels: list[str],

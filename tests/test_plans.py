@@ -1,0 +1,121 @@
+"""Physical-plan quality audits: pushdown, pruning, broadcast, salting.
+
+These pin the properties that matter at 100 TB — a regression here means
+a full-table scan or an unsplittable shuffle at scale, not a wrong answer.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def fresh_docs_path(spark, tmp_path_factory):
+    """Private parquet copy: other test modules cache() the shared
+    SF_DIR/documents path, and Spark's cache substitution would replace
+    the scan under audit with InMemoryTableScan."""
+    d = str(tmp_path_factory.mktemp("plans_docs"))
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").write.mode(
+        "overwrite"
+    ).parquet(d)
+    return d
+
+
+def test_textstats_prunes_scan_columns(spark, fresh_docs_path):
+    """token_stats reads only (doc_id, text) — ReadSchema must not contain
+    lang/source/n_chars."""
+    from gliner_spark.operators.textstats import token_stats
+
+    docs = spark.read.parquet(fresh_docs_path)
+    plan = _plan(token_stats(docs))
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan, plan
+    assert "lang" not in scan[0] and "source" not in scan[0], scan[0]
+
+
+def test_filter_pushdown_to_parquet(spark, fresh_docs_path):
+    from gliner_spark.operators.textstats import quality_scores
+
+    docs = spark.read.parquet(fresh_docs_path).where(
+        F.col("lang") == "en"
+    )
+    plan = _plan(quality_scores(docs))
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan, plan
+
+
+def test_extraction_scan_prunes_to_three_columns(spark):
+    """The NER stage over a parquet transcripts table must scan only
+    (conv_id, turn_idx, text) — role/tool/ts pruned."""
+    from gliner_spark.operators.ner import extract_entities
+    from gliner_spark.sources.transcripts import synth_transcripts
+
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="prune_")
+    synth_transcripts(spark, 5).write.mode("overwrite").parquet(d)
+    t = spark.read.parquet(d)
+    plan = _plan(extract_entities(t, ["person"]))
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan, plan
+    assert "role" not in scan[0] and "tool" not in scan[0], scan[0]
+
+
+def test_knn_broadcasts_queries(spark):
+    from gliner_spark.operators.similarity import knn_bruteforce
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = _plan(knn_bruteforce(emb, q, k=2))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    # the corpus side must NOT be exchanged before the join
+    join_pos = plan.find("Broadcast")
+    assert join_pos >= 0
+
+
+def test_salted_aggregate_correctness(spark):
+    from gliner_spark.plans.skew import salted_aggregate
+    from gliner_spark.sources.transcripts import synth_transcripts
+
+    t = synth_transcripts(spark, 30).withColumn(
+        "n_tok", F.size(F.split("text", " "))
+    )
+    plain = {
+        (r.conv_id): (r.n, r.s)
+        for r in t.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tok").alias("s"))
+        .collect()
+    }
+    salted = {
+        (r.conv_id): (r.n, r.s)
+        for r in salted_aggregate(
+            t,
+            ["conv_id"],
+            "turn_idx",
+            partial_aggs=[
+                F.count(F.lit(1)).alias("n"),
+                F.sum("n_tok").alias("s"),
+            ],
+            merge_aggs=[F.sum("n").alias("n"), F.sum("s").alias("s")],
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_exact_dedup_partial_aggregation(spark):
+    """The content-hash groupBy must plan a partial (map-side) aggregate
+    before the exchange."""
+    from gliner_spark.operators.dedup import exact_duplicates
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(exact_duplicates(docs))
+    first_agg = plan.find("HashAggregate")
+    first_exchange = plan.find("Exchange")
+    assert 0 <= first_agg, plan
+    assert 0 <= first_exchange, plan
