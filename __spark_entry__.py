@@ -392,6 +392,18 @@ def _q_multimodal_features(spark, sf_dir):
     return extract_features(synth_assets(spark, 200))
 
 
+def _q_turn_cooccur(spark, sf_dir):
+    """W4 in the turn domain: co-occurring entity mentions within a
+    2-turn window over documents-as-multi-turn conversations (each doc
+    split into per-sentence pseudo-turns is overkill here; docs are
+    single-turn so this exercises the same-turn pair path)."""
+    from gliner_spark.operators.cooccur import induce_cooccurrence
+    from gliner_spark.operators.ner import extract_entities
+
+    ents = extract_entities(_doc_transcripts(spark, sf_dir), ENTITY_TYPES)
+    return induce_cooccurrence(ents, turn_window=2)
+
+
 def _q_graph_edges(spark, sf_dir):
     """End-to-end: triples → canonical map → rewritten triples → edges."""
     from gliner_spark.operators.graph import build_edges
@@ -434,6 +446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classify_docs": _q_classify_docs,
         "summarize_docs": _q_summarize_docs,
         "multimodal_features": _q_multimodal_features,
+        "turn_cooccur": _q_turn_cooccur,
         "graph_edges": _q_graph_edges,
     }
 

@@ -127,9 +127,15 @@ def build_queries(spark, sf_dir: str, n_convs: int, parts: int):
             .count()
         )
 
+    def q_token_ner():
+        from gliner_spark.operators.ner import extract_entities_token
+
+        return extract_entities_token(transcripts, ENTITY_TYPES).count()
+
     return n_turns, {
         "kg_triples": q_kg_triples,
         "ner_entities": q_ner_entities,
+        "token_ner": q_token_ner,
         "cooccur": q_cooccur,
         "linking": q_linking,
         "minhash_dedup": q_minhash_dedup,

@@ -321,8 +321,9 @@ def connected_components(
 
     sig = _sig(e)
     for _ in range(max_iter):
-        e = _large_star(e).localCheckpoint()
-        e = _small_star(e).localCheckpoint()
+        # one materialization per round: the large-star intermediate stays
+        # lazy inside the small-star plan (two shuffles fused into one job)
+        e = _small_star(_large_star(e)).localCheckpoint()
         new_sig = _sig(e)
         if new_sig == sig:
             break

@@ -68,7 +68,6 @@ def centroid_table(
         ),
         _unit(),
     )
-    dim_idx = F.sequence(F.lit(1), F.size("unit"))
     exploded = assigned.select(
         "cell", F.posexplode(F.col("unit")).alias("d", "v")
     )

@@ -1,0 +1,87 @@
+"""End-to-end KG pipeline as a spark-submit job (the north rule's
+deployment shape: `spark-submit --py-files` on a cluster).
+
+  ZIP=$(python -c "from gliner_spark.plans.session import \
+        build_package_zip; print(build_package_zip())")
+  spark-submit --master local[32] --py-files $ZIP tools/pipeline_job.py \
+      --out /root/repo/_out/kg --n-convs 2000
+
+Runs (or RESUMES — rerun with the same --out and it skips completed
+stages via the lineage table) the full dataflow: extraction → fused RE
+triples → co-occurrence → linking/canonicalization → nodes/edges +
+lineage/metrics. Prints one JSON line of stage row counts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gliner_spark.plans.session import _set_worker_env_defaults  # noqa: E402
+
+_set_worker_env_defaults()
+
+ENTITY_TYPES = ["person", "organization", "location", "service", "tool"]
+RELATIONS = ["works for", "located in", "uses"]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/root/repo/_out/kg")
+    ap.add_argument("--n-convs", type=int, default=2000)
+    ap.add_argument("--input", default=None,
+                    help="existing transcripts parquet (else synthesized)")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from gliner_spark.pipeline import run_pipeline
+    from gliner_spark.sources.transcripts import synth_transcripts
+
+    spark = (
+        SparkSession.builder.appName("kg-pipeline")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.input:
+        transcripts = spark.read.parquet(args.input)
+        token = f"parquet:{args.input}"
+    else:
+        transcripts = synth_transcripts(spark, args.n_convs)
+        token = f"synth:{args.n_convs}"
+
+    t0 = time.time()
+    res = run_pipeline(
+        spark, transcripts, args.out, ENTITY_TYPES, RELATIONS,
+        input_token=token,
+    )
+    print(
+        json.dumps(
+            {
+                "out": args.out,
+                "wall_s": round(time.time() - t0, 2),
+                "entities": res.entities.count(),
+                "triples_re": res.triples.count(),
+                "triples_cooccur": res.cooccur.count(),
+                "canon_surfaces": res.canon_map.count(),
+                "nodes": res.nodes.count(),
+                "edges": res.edges.count(),
+                "lineage_rows": res.runner.lineage().count(),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
