@@ -27,6 +27,25 @@ ENTITY_TYPES = ["person", "organization", "location", "service", "tool"]
 RELATIONS = ["works for", "located in", "uses"]
 
 
+_SHIPPED: set[int] = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship the gliner_spark zip to python workers once per session —
+    queries must work even when the driver's cwd isn't the repo root
+    (workers otherwise can't unpickle mapInArrow closures)."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    try:
+        from gliner_spark.plans.session import ship_package
+
+        ship_package(spark)
+    except Exception:
+        pass  # local imports already resolvable
+    _SHIPPED.add(key)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -42,6 +61,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _doc_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → the transcripts input shape (BASELINE.json input_hint);
     each document becomes a single-turn conversation."""
+    _ensure_shipped(spark)
     return _docs(spark, sf_dir).select(
         F.format_string("doc-%06d", F.col("doc_id")).alias("conv_id"),
         F.lit(0).cast("int").alias("turn_idx"),
@@ -389,6 +409,7 @@ def _q_summarize_docs(spark, sf_dir):
 def _q_multimodal_features(spark, sf_dir):
     from gliner_spark.operators.multimodal import extract_features, synth_assets
 
+    _ensure_shipped(spark)
     return extract_features(synth_assets(spark, 200))
 
 

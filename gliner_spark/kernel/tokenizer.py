@@ -33,6 +33,29 @@ def tokenize_with_offsets(text: str) -> tuple[list[str], list[int], list[int]]:
     return tokens, starts, ends
 
 
+def char_span_to_word_span(
+    text: str, char_start: int, char_end: int
+) -> tuple[int, int] | None:
+    """Char-offset span → (word_start, word_end_incl) token indices — the
+    reference's eval-data prep mapping (gliner/evaluation/evaluate.py:30-61
+    `process`: cumulative char counting to locate word boundaries of char
+    spans), restated over this tokenizer's exact offsets.
+
+    Returns the smallest token range covering [char_start, char_end), or
+    None when no token overlaps the span.
+    """
+    _toks, starts, ends = tokenize_with_offsets(text)
+    ws = we = None
+    for i, (s, e) in enumerate(zip(starts, ends)):
+        if e > char_start and s < char_end:
+            if ws is None:
+                ws = i
+            we = i
+    if ws is None:
+        return None
+    return ws, we
+
+
 def prep_tokens(
     text: str, max_len: int
 ) -> tuple[list[str], list[int], list[int]]:

@@ -93,10 +93,15 @@ def _score_and_decode_batch(
     labels: list[str],
     cfg: PipelineConfig,
     threshold: float,
+    prepped: list[tuple] | None = None,
 ):
     """Shared-label scoring of one list of texts → per-text entity tuples
-    (char_start, char_end, span_text, label, score, tok_start, tok_end)."""
-    prepped = [prep_tokens(t, cfg.max_len) for t in texts]
+    (char_start, char_end, span_text, label, score, tok_start, tok_end).
+
+    `prepped` lets callers share tokenization across passes (the fused RE
+    operator tokenizes each text once for both passes)."""
+    if prepped is None:
+        prepped = [prep_tokens(t, cfg.max_len) for t in texts]
     lengths = [len(p[0]) for p in prepped]
     out: list[list[tuple]] = [None] * len(texts)  # type: ignore[list-item]
     for lo, hi in _chunk_rows(lengths, cfg.max_width, scorer.cfg.dim, len(labels)):

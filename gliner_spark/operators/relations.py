@@ -104,6 +104,7 @@ def _relation_pass(
     scorer: HashedBiEncoder,
     cfg: PipelineConfig,
     threshold: float,
+    text_prepped: list[tuple] | None = None,
 ) -> list[list[tuple]]:
     """Ragged-label scoring of (prefix + text) prompts → per-row accepted
     candidate tuples (char_start, char_end, span_text, label, score).
@@ -125,9 +126,10 @@ def _relation_pass(
     assert prefix[-1].isspace()
     p_toks, p_starts, p_ends = prep_tokens(prefix, cfg.max_len)
     shift = len(prefix)
+    if text_prepped is None:
+        text_prepped = [prep_tokens(t, cfg.max_len) for t in texts]
     prepped = []
-    for t in texts:
-        toks, starts, ends = prep_tokens(t, cfg.max_len)
+    for t, (toks, starts, ends) in zip(texts, text_prepped):
         if toks == ["[PAD]"] and not t.strip():
             comb = (list(p_toks), list(p_starts), list(p_ends))
         else:
@@ -208,9 +210,12 @@ def extract_triples(
             conv = batch.column("conv_id").to_pylist()
             turn = batch.column("turn_idx").to_pylist()
             texts = batch.column("text").to_pylist()
-            # pass 1: shared-label NER (same kernel as operators/ner.py)
+            # pass 1: shared-label NER (same kernel as operators/ner.py);
+            # tokenization is shared with pass 2
+            prepped = [prep_tokens(t, cfg.max_len) for t in texts]
             ner_rows = _score_and_decode_batch(
-                texts, scorer, ent_label_mat, entity_types, cfg, ner_thr
+                texts, scorer, ent_label_mat, entity_types, cfg, ner_thr,
+                prepped=prepped,
             )
             per_row_labels = [
                 relation_labels_for([r[2] for r in rows], relations)
@@ -218,7 +223,8 @@ def extract_triples(
             ]
             # pass 2: ragged-label RE scoring
             rel_rows = _relation_pass(
-                texts, prefix, per_row_labels, scorer, cfg, rel_thr
+                texts, prefix, per_row_labels, scorer, cfg, rel_thr,
+                text_prepped=prepped,
             )
 
             cols: dict[str, list] = {k: [] for k in _TRIPLE_ARROW.names}
