@@ -320,6 +320,17 @@ def _q_set_ops(spark, sf_dir):
     return clicks.join(errors, ["user_id", "day"], "left_anti")
 
 
+def _q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (lag + running-sum window): 10-minute
+    inactivity gap per user over events."""
+    from gliner_spark.operators.sessions import sessionize
+
+    out = sessionize(
+        _events(spark, sf_dir), gap_seconds=600, order_cols=("event_id",)
+    )
+    return out.select("user_id", "event_id", "session_idx")
+
+
 def _q_session_agg(spark, sf_dir):
     """A-family hash aggregation with time bucketing (ts handling §2.8):
     per event_type per hour: count, sum/avg value."""
@@ -455,6 +466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prf_per_class": _q_prf_per_class,
         "topk_events": _q_topk_events,
         "set_ops": _q_set_ops,
+        "sessionize": _q_sessionize,
         "session_agg": _q_session_agg,
         # non-SQL-expressible (hashed scorer / sketches / iteration):
         "ner_entities": _q_ner_entities,
@@ -693,6 +705,21 @@ def oracle_sql() -> dict[str, str]:
             select user_id, day from (
               select distinct user_id, ts::date as day from events
               where event_type = 'error')
+        """,
+        "sessionize": """
+            with g as (
+              select user_id, event_id, ts,
+                     case when lag(ts) over w is null
+                          or epoch_us(ts) - epoch_us(lag(ts) over w)
+                             > 600000000
+                          then 1 else 0 end as new_s
+              from events
+              window w as (partition by user_id order by ts, event_id))
+            select user_id, event_id,
+                   sum(new_s) over (partition by user_id
+                                    order by ts, event_id
+                                    rows unbounded preceding) as session_idx
+            from g
         """,
         "session_agg": """
             select event_type, date_trunc('hour', ts) as hour,

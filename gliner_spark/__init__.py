@@ -13,3 +13,34 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API: `from gliner_spark import extract_entities` —
+    deferred so importing the package never pays Spark import time in
+    kernel-only contexts (the pytest oracle path)."""
+    _API = {
+        "extract_entities": ("gliner_spark.operators.ner", "extract_entities"),
+        "extract_entities_token": (
+            "gliner_spark.operators.ner", "extract_entities_token"),
+        "extract_triples": (
+            "gliner_spark.operators.relations", "extract_triples"),
+        "induce_cooccurrence": (
+            "gliner_spark.operators.cooccur", "induce_cooccurrence"),
+        "canonicalize": ("gliner_spark.operators.linking", "canonicalize"),
+        "rewrite_triples": (
+            "gliner_spark.operators.linking", "rewrite_triples"),
+        "build_nodes": ("gliner_spark.operators.graph", "build_nodes"),
+        "build_edges": ("gliner_spark.operators.graph", "build_edges"),
+        "run_pipeline": ("gliner_spark.pipeline", "run_pipeline"),
+        "build_session": ("gliner_spark.plans.session", "build_session"),
+        "synth_transcripts": (
+            "gliner_spark.sources.transcripts", "synth_transcripts"),
+        "PipelineConfig": ("gliner_spark.config", "PipelineConfig"),
+    }
+    if name in _API:
+        import importlib
+
+        mod, attr = _API[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'gliner_spark' has no attribute {name!r}")

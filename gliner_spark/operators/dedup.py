@@ -174,6 +174,41 @@ def minhash_near_duplicates(
     )
 
 
+def near_dedup_survivors(
+    docs: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.8,
+    **minhash_kwargs,
+) -> DataFrame:
+    """Full near-dedup: MinHash-LSH pairs → connected components over the
+    near-dup graph → keep the MIN doc_id per component (transitive
+    closure matters: A~B, B~C ⇒ one survivor even when A≁C directly —
+    pairwise-only dedup would keep two of the three).
+
+    Reuses the linking module's large-star/small-star components on int64
+    doc ids. Returns the surviving subset of `docs`.
+    """
+    from .linking import connected_components
+
+    pairs = minhash_near_duplicates(
+        docs, text_col, shingle_n, jaccard_threshold=jaccard_threshold,
+        **minhash_kwargs,
+    )
+    comps = connected_components(
+        docs.select(F.col("doc_id").alias("id")),
+        pairs.select(
+            F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+        ),
+    )
+    keep = (
+        comps.groupBy("component")
+        .agg(F.min("id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return docs.join(keep, "doc_id", "inner")
+
+
 # ------------------------------------------------------------------ simhash
 
 
@@ -263,6 +298,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """EXACT Jaccard similarity join via inverted index (no sketching).
 
@@ -275,6 +311,20 @@ def ngram_jaccard_pairs(
     sh = doc_shingles(docs, text_col, n).where(F.size("shingles") > 0)
     sizes = sh.select("doc_id", F.size("shingles").alias("n_grams"))
     inv = sh.select("doc_id", F.explode("shingles").alias("gram"))
+    if max_doc_freq is not None:
+        # df-capping: a gram in > max_doc_freq docs generates O(df²) join
+        # rows while its Jaccard contribution is spread so thin that the
+        # pairs it ALONE proposes sit far below any useful threshold —
+        # NOTE this changes exact intersection counts for pairs that also
+        # share rare grams, so it is opt-in (the oracle-checked query
+        # leaves it off; at 10^12 scale it is mandatory)
+        rare = (
+            inv.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_doc_freq)
+            .select("gram")
+        )
+        inv = inv.join(rare, "gram")
     inter = (
         inv.alias("l")
         .join(inv.alias("r"), "gram")

@@ -1,0 +1,151 @@
+"""Sessionization vs brute-force oracle; stateful streaming accumulation
+across restarts."""
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from gliner_spark.operators.sessions import session_stats, sessionize
+
+
+def _ts(minute):
+    return datetime.datetime(2025, 1, 1, 0, 0, 0) + datetime.timedelta(
+        minutes=minute
+    )
+
+
+EVENTS = [
+    # user 1: sessions [0, 5, 10], [60, 62], [200]  (gap 30 min)
+    (1, 0), (1, 5), (1, 10), (1, 60), (1, 62), (1, 200),
+    # user 2: single session
+    (2, 0), (2, 29),
+    # user 3: two back-to-back boundary (exactly gap → same session? gap
+    # strictly greater starts new; 30-min gap == threshold stays)
+    (3, 0), (3, 30),
+]
+
+
+@pytest.fixture(scope="module")
+def events_df(spark):
+    return spark.createDataFrame(
+        [Row(user_id=u, event_id=i, ts=_ts(m))
+         for i, (u, m) in enumerate(EVENTS)]
+    )
+
+
+def test_sessionize_boundaries(spark, events_df):
+    out = sessionize(events_df, gap_seconds=1800, order_cols=("event_id",))
+    by_user = {}
+    for r in out.collect():
+        by_user.setdefault(r.user_id, []).append((r.ts, r.session_idx))
+    for u in by_user:
+        by_user[u].sort()
+    assert [s for _t, s in by_user[1]] == [1, 1, 1, 2, 2, 3]
+    assert [s for _t, s in by_user[2]] == [1, 1]
+    # exactly-at-gap stays in the same session (strict > starts new)
+    assert [s for _t, s in by_user[3]] == [1, 1]
+
+
+def test_session_stats(spark, events_df):
+    s = sessionize(events_df, gap_seconds=1800, order_cols=("event_id",))
+    stats = {(r.user_id, r.session_idx): (r.n_events, r.duration_us)
+             for r in session_stats(s).collect()}
+    assert stats[(1, 1)] == (3, 10 * 60 * 1_000_000)
+    assert stats[(1, 3)] == (1, 0)
+    assert stats[(2, 1)] == (2, 29 * 60 * 1_000_000)
+
+
+def test_sessionize_on_events_table(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = sessionize(ev, gap_seconds=600, order_cols=("event_id",))
+    assert out.count() == ev.count()
+    # session ids deterministic across runs
+    a = sorted((r.event_id, r.session_id) for r in out.collect())
+    b = sorted(
+        (r.event_id, r.session_id)
+        for r in sessionize(ev, gap_seconds=600,
+                            order_cols=("event_id",)).collect()
+    )
+    assert a == b
+
+
+def test_stateful_running_stats_accumulates_across_restarts(
+    spark, tmp_path_factory
+):
+    from gliner_spark.sources.transcripts import synth_transcripts
+    from gliner_spark.streaming.ingest import read_transcript_stream
+    from gliner_spark.streaming.stateful import running_entity_stats
+
+    landing = str(tmp_path_factory.mktemp("stateful_landing"))
+    ckpt = str(tmp_path_factory.mktemp("stateful_ckpt"))
+    t = synth_transcripts(spark, n_convs=6).cache()
+    first = t.where("turn_idx < 2")
+    second = t.where("turn_idx >= 2")
+    first.write.mode("append").parquet(landing)
+
+    out_dir = str(tmp_path_factory.mktemp("stateful_out"))
+
+    def run_once(run_id):
+        stream = read_transcript_stream(spark, landing)
+        # stream of raw turns stands in for the entity stream (same shape:
+        # conv_id + text); state semantics are what's under test
+        stats = running_entity_stats(stream.select("conv_id", "text"))
+
+        def sink(batch_df, batch_id):
+            batch_df.withColumn("run_id", F.lit(run_id)).write.mode(
+                "append"
+            ).parquet(out_dir)
+
+        q = (
+            stats.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(300)
+        rows = (
+            spark.read.parquet(out_dir)
+            .where(F.col("run_id") == run_id)
+            .collect()
+        )
+        return {
+            r.conv_id: (r.n_mentions, r.n_distinct_surfaces) for r in rows
+        }
+
+    s1 = run_once(1)
+    assert all(n == 2 for n, _d in s1.values())
+
+    # new data arrives; a RESTARTED query must resume state from the
+    # checkpoint and accumulate
+    second.write.mode("append").parquet(landing)
+    s2 = run_once(2)
+    expected_total = {
+        r.conv_id: r.n for r in t.groupBy("conv_id").agg(
+            F.count(F.lit(1)).alias("n")).collect()
+    }
+    for conv, (n, _d) in s2.items():
+        assert n == expected_total[conv], conv
+
+
+def test_near_dedup_survivors_transitive(spark):
+    from gliner_spark.operators.dedup import near_dedup_survivors
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base + " iota"),       # ~ 1
+            Row(doc_id=3, text=base + " iota kappa"),  # ~ 2 (maybe not ~1)
+            Row(doc_id=4, text="completely different words entirely here"),
+        ]
+    )
+    surv = sorted(
+        r.doc_id
+        for r in near_dedup_survivors(
+            docs, shingle_n=2, jaccard_threshold=0.5
+        ).collect()
+    )
+    assert surv == [1, 4]

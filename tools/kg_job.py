@@ -64,6 +64,16 @@ def main():
     transcripts = spark.read.parquet(INPUT)
     n_turns = transcripts.count()
 
+    # warm-up through the SAME UDF: spawns + initializes every python
+    # worker (imports, scorer tables) and JIT-warms the JVM before the
+    # timed region — steady-state throughput is what the 10^12-turn
+    # extrapolation needs, not cold-start amortization
+    # sample() (not limit()) so every partition — hence every worker —
+    # participates in the warm-up
+    extract_triples(
+        transcripts.sample(0.03, seed=1), RELATIONS, ENTITY_TYPES
+    ).count()
+
     t0 = time.time()
     n_triples = extract_triples(transcripts, RELATIONS, ENTITY_TYPES).count()
     wall = time.time() - t0
