@@ -450,6 +450,22 @@ def _q_graph_edges(spark, sf_dir):
     return build_edges(rewrite_triples(triples, cm))
 
 
+def _q_entity_pagerank(spark, sf_dir):
+    """Iterative graph analytics over the materialized entity graph."""
+    from gliner_spark.operators.graph import build_edges, pagerank
+    from gliner_spark.operators.linking import canonicalize, rewrite_triples
+    from gliner_spark.operators.ner import extract_entities
+    from gliner_spark.operators.relations import extract_triples
+
+    t = _doc_transcripts(spark, sf_dir)
+    ents = extract_entities(t, ENTITY_TYPES)
+    triples = extract_triples(t, RELATIONS, ENTITY_TYPES)
+    cm = canonicalize(ents, jaccard_threshold=0.5)
+    edges = build_edges(rewrite_triples(triples, cm))
+    pr = pagerank(edges)
+    return pr.select("entity_id", F.round("rank", 8).alias("rank"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_stats": _q_token_stats,
@@ -481,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "turn_cooccur": _q_turn_cooccur,
         "graph_edges": _q_graph_edges,
+        "entity_pagerank": _q_entity_pagerank,
     }
 
 

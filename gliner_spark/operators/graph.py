@@ -31,6 +31,81 @@ def build_nodes(canon_map: DataFrame) -> DataFrame:
     )
 
 
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    max_iter: int = 15,
+    tol: float = 1e-6,
+    src_col: str = "subj_id",
+    dst_col: str = "obj_id",
+) -> DataFrame:
+    """Damped PageRank over the entity graph → (entity_id, rank).
+
+    Driver-controlled power iteration (Catalyst cannot iterate — same
+    pattern as connected components): contributions = rank/out_degree
+    pushed along edges, rank' = (1−d)/N + d·(Σ contributions + dangling
+    mass/N), localCheckpoint per iteration to cut lineage. Converges when
+    the L1 delta drops below `tol`. Each iteration is one equi-join + one
+    hash agg on int64 keys — the canonical iterative-graph shuffle shape.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).where(F.col("src") != F.col("dst")).distinct().localCheckpoint()
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = verts.count()
+    if n == 0:
+        return verts.withColumn("rank", F.lit(0.0))
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = verts.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    base = (1.0 - damping) / n
+
+    for _ in range(max_iter):
+        with_deg = ranks.join(
+            out_deg.withColumnRenamed("src", "id"), "id", "left"
+        )
+        contribs = (
+            with_deg.join(e, with_deg.id == e.src)
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        dangling = (
+            with_deg.where(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+            .collect()[0]["m"]
+        )
+        new_ranks = (
+            verts.join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce("inflow", F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+        delta = (
+            new_ranks.alias("n")
+            .join(ranks.alias("o"), "id")
+            .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("d"))
+            .collect()[0]["d"]
+        )
+        ranks = new_ranks
+        if delta < tol:
+            break
+    return ranks.select(F.col("id").alias("entity_id"), "rank")
+
+
 def build_edges(canonical_triples: DataFrame) -> DataFrame:
     """Canonicalized triples (subj_id, subj_canonical, pred, obj_id,
     obj_canonical, score, …) → edges with evidence stats."""

@@ -1,0 +1,65 @@
+"""PageRank vs a numpy power-iteration oracle on small graphs."""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+
+from gliner_spark.operators.graph import pagerank
+
+
+def numpy_pagerank(n, edge_list, damping=0.85, iters=50):
+    out_deg = np.zeros(n)
+    for s, _d in edge_list:
+        out_deg[s] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        inflow = np.zeros(n)
+        for s, d in edge_list:
+            inflow[d] += r[s] / out_deg[s]
+        dangling = r[out_deg == 0].sum()
+        r = (1 - damping) / n + damping * (inflow + dangling / n)
+    return r
+
+
+CASES = [
+    # simple chain with a cycle
+    [(0, 1), (1, 2), (2, 0), (2, 3)],
+    # star: hub collects rank
+    [(1, 0), (2, 0), (3, 0), (4, 0)],
+    # dangling node 3 (no out-edges)
+    [(0, 1), (1, 2), (2, 3)],
+]
+
+
+@pytest.mark.parametrize("edges", CASES)
+def test_pagerank_matches_numpy(spark, edges):
+    n = max(max(e) for e in edges) + 1
+    df = spark.createDataFrame(
+        [Row(subj_id=s, obj_id=d) for s, d in edges]
+    )
+    got = {r.entity_id: r.rank
+           for r in pagerank(df, max_iter=50, tol=1e-10).collect()}
+    exp = numpy_pagerank(n, edges)
+    for i in range(n):
+        assert got[i] == pytest.approx(exp[i], abs=1e-6), (i, got, exp)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_pagerank_on_pipeline_edges(spark):
+    """Runs over real canonicalized edges end-to-end (rank mass sums to 1,
+    hub entities outrank leaves)."""
+    from gliner_spark.operators.graph import build_edges
+    from gliner_spark.operators.linking import canonicalize, rewrite_triples
+    from gliner_spark.operators.ner import extract_entities
+    from gliner_spark.operators.relations import extract_triples
+    from gliner_spark.sources.transcripts import synth_transcripts
+
+    t = synth_transcripts(spark, n_convs=10)
+    ents = extract_entities(t, ["person", "organization", "tool"])
+    triples = extract_triples(t, ["uses"], ["person", "organization", "tool"])
+    cm = canonicalize(ents, jaccard_threshold=0.5)
+    edges = build_edges(rewrite_triples(triples, cm))
+    pr = pagerank(edges)
+    rows = pr.collect()
+    assert len(rows) > 5
+    assert sum(r.rank for r in rows) == pytest.approx(1.0, abs=1e-4)
