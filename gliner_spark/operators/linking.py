@@ -160,6 +160,9 @@ def candidate_pairs(
             )
         ).alias("band", "band_hash"),
     )
+    # materialize: the self-join's two branches and the bucket-size filter
+    # would otherwise each recompute the full minhash chain upstream
+    banded = banded.localCheckpoint()
     if max_bucket_size is not None:
         ok_buckets = (
             banded.groupBy("band", "band_hash")
@@ -232,6 +235,7 @@ def connected_components(
     max_iter: int = 25,
     id_col: str = "id",
     edge_cols: tuple[str, str] = ("id_a", "id_b"),
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -261,8 +265,15 @@ def connected_components(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
     )
+    # right-size the LOOP state: the iteration repeats ~log(n) rounds, so
+    # per-round fixed cost (task scheduling over empty partitions) is paid
+    # many times — shrink small edge sets below the session's global
+    # shuffle width. One count() up front buys it.
+    if n_partitions is None:
+        n_edges = e.count()
+        n_partitions = max(4, min(256, n_edges // 50_000 + 1))
+    e = e.repartition(n_partitions, "u").localCheckpoint()
 
     def _sig(df: DataFrame) -> tuple:
         # pmod keeps each term < 2^31 so the int64 sum cannot overflow
@@ -360,7 +371,10 @@ def canonicalize(
     entity_id = xxhash64 of the canonical surface — stable across runs and
     cluster sizes."""
     rows_per_band = max(n_perms // n_bands, 1)
-    surfaces = surface_table(mentions, surface_col)
+    # surfaces feeds four consumers (sigs, two shingle joins in verify,
+    # the stats join) — materialize once instead of recomputing the
+    # mention aggregation per branch
+    surfaces = surface_table(mentions, surface_col).localCheckpoint()
     sigs = minhash_signatures(surfaces, n_perms, shingle_n, seed)
     pairs = candidate_pairs(sigs, n_bands, rows_per_band, max_bucket_size)
     verified = verified_pairs(pairs, surfaces, jaccard_threshold, shingle_n)

@@ -67,6 +67,48 @@ def test_resume_skips_completed_stages(spark, tiny_transcripts, tmp_path_factory
     assert second.runner.lineage().count() == n_lineage1
 
 
+def test_mid_run_crash_resume(spark, tiny_transcripts, tmp_path_factory,
+                              monkeypatch):
+    """North-rule resume: kill the pipeline mid-run (crash injected at the
+    canonicalization stage), rerun, and require (a) the stages completed
+    before the crash are NOT recomputed and (b) the final triples equal a
+    never-crashed run's."""
+    import gliner_spark.pipeline as pipeline_mod
+
+    out = str(tmp_path_factory.mktemp("pipe_crash"))
+    real_canon = pipeline_mod.canonicalize
+    calls = {"n": 0}
+
+    def exploding_canonicalize(*a, **kw):
+        calls["n"] += 1
+        raise RuntimeError("injected mid-run failure")
+
+    monkeypatch.setattr(pipeline_mod, "canonicalize", exploding_canonicalize)
+    with pytest.raises(RuntimeError, match="injected"):
+        _run(spark, tiny_transcripts, out)
+    assert calls["n"] == 1
+    runner_peek = __import__(
+        "gliner_spark.plans.lineage", fromlist=["StageRunner"]
+    ).StageRunner(spark, out)
+    done_before = {r.stage for r in runner_peek.lineage().collect()}
+    assert {"entities", "triples_re"} <= done_before
+    assert "canon_map" not in done_before
+
+    # recover: restore the real stage, rerun — earlier stages resume
+    monkeypatch.setattr(pipeline_mod, "canonicalize", real_canon)
+    res = _run(spark, tiny_transcripts, out)
+    lineage = res.runner.lineage().collect()
+    assert [r.stage for r in lineage].count("entities") == 1
+    assert [r.stage for r in lineage].count("triples_re") == 1
+    assert [r.stage for r in lineage].count("canon_map") == 1
+
+    clean = str(tmp_path_factory.mktemp("pipe_clean"))
+    ref = _run(spark, tiny_transcripts, clean)
+    assert sorted(map(tuple, res.canonical_triples.collect())) == sorted(
+        map(tuple, ref.canonical_triples.collect())
+    )
+
+
 def test_config_change_invalidates_only_downstream(
     spark, tiny_transcripts, tmp_path_factory
 ):
