@@ -147,6 +147,15 @@ def _q_language_id(spark, sf_dir):
     return language_id(_docs(spark, sf_dir))
 
 
+def _q_corpus_summary(spark, sf_dir):
+    """Sketch-based corpus profile (HLL vocab + GK quantiles) — the
+    mergeable-sketch shape exact distincts can't take at 10^12 docs.
+    Rows-only: HLL/GK estimates are implementation-specific."""
+    from gliner_spark.operators.textstats import corpus_summary
+
+    return corpus_summary(_docs(spark, sf_dir))
+
+
 def _q_fingerprint(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return docs.select(
@@ -491,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": _q_minhash_near_dup,
         "simhash_near_dup": _q_simhash_near_dup,
         "knn_ivf": _q_knn_ivf,
+        "corpus_summary": _q_corpus_summary,
         "ner_token_mode": _q_ner_token_mode,
         "classify_docs": _q_classify_docs,
         "summarize_docs": _q_summarize_docs,

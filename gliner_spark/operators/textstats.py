@@ -118,6 +118,44 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def corpus_summary(
+    docs: DataFrame, text_col: str = "text", rsd: float = 0.02
+) -> DataFrame:
+    """One-row corpus profile using SKETCHES, not exact distincts — the
+    only viable shape at 10^12 documents:
+
+      * vocabulary size via HyperLogLog++ (`approx_count_distinct`,
+        relative sd `rsd`) over the exploded token stream — mergeable,
+        fixed memory, no giant distinct shuffle;
+      * token-count distribution via the GK quantile sketch
+        (`percentile_approx`).
+
+    Both partial-aggregate map-side and merge on the driver side of one
+    tiny shuffle."""
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
+    )
+    per_doc = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    vocab = toks.agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.approx_count_distinct("tok", rsd).alias("approx_vocab"),
+    )
+    dist = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.percentile_approx("n_tok", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10_000).alias("p50_p90_p99"),
+        F.round(F.avg("n_tok"), 6).alias("avg_tokens"),
+    )
+    return dist.crossJoin(vocab).select(
+        "n_docs",
+        "total_tokens",
+        "approx_vocab",
+        F.element_at("p50_p90_p99", 1).alias("p50_tokens"),
+        F.element_at("p50_p90_p99", 2).alias("p90_tokens"),
+        F.element_at("p50_p90_p99", 3).alias("p99_tokens"),
+        "avg_tokens",
+    )
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Content fingerprints: md5 of normalized text (exact identity) + a
     64-bit polynomial rolling hash over tokens (shift-resistant identity),

@@ -50,6 +50,34 @@ def write_table(
     return path
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    path: str | None = None,
+) -> None:
+    """Persist a table bucketed (and sorted) on the join key — the
+    co-located-join layout for repeated large⋈large joins.
+
+    Two tables bucketed identically on the same key join WITHOUT an
+    Exchange on either side (Spark reads each bucket pair directly), which
+    at 10^12 rows removes the dominant shuffle from e.g.
+    entities ⋈ triples ⋈ transcripts pipelines that all key on conv_id.
+    The Iceberg equivalent is a `bucket(N, conv_id)` partition transform;
+    this is the portable parquet-table form (metastore-registered, so the
+    bucketing metadata survives and the reader can exploit it).
+    """
+    writer = (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+    )
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+
+
 def read_table(spark: SparkSession, out_dir: str, name: str) -> DataFrame:
     if iceberg_available(spark) and "/" not in out_dir:
         return spark.read.table(f"{out_dir}.{name}")

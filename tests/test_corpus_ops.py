@@ -304,3 +304,23 @@ def test_frame_sample_plan(spark):
     assert all(r.frame_idx % 10 == 0 for r in rows)
     kinds = {r.kind for r in assets.collect()}
     assert "video" in kinds
+
+
+def test_corpus_summary_sketch_accuracy(spark, docs):
+    """HLL vocab estimate within rsd of the exact distinct; quantiles
+    bracket the exact median."""
+    import re as _re
+    from gliner_spark.operators.textstats import corpus_summary
+
+    row = corpus_summary(docs, rsd=0.02).collect()[0]
+    pat = _re.compile(r"\w+(?:[-_]\w+)*|\S")
+    texts = [r.text for r in docs.collect()]
+    all_toks = [t for x in texts for t in pat.findall(x.lower())]
+    exact_vocab = len(set(all_toks))
+    assert row.n_docs == len(texts)
+    assert row.total_tokens == len(all_toks)
+    assert abs(row.approx_vocab - exact_vocab) / exact_vocab < 0.05
+    counts = sorted(len(pat.findall(x.lower())) for x in texts)
+    exact_p50 = counts[len(counts) // 2]
+    assert abs(row.p50_tokens - exact_p50) <= max(2, exact_p50 * 0.05)
+    assert row.p50_tokens <= row.p90_tokens <= row.p99_tokens
