@@ -120,6 +120,57 @@ def extract_features(
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("data", T.BinaryType(), False),
+    ]
+)
+
+
+def resize_images(
+    assets: DataFrame, width: int = 224, height: int = 224,
+    decoder: str = "fake",
+) -> DataFrame:
+    """Image resize as a mapInPandas stage. decoder="real" is the
+    PIL.Image.resize integration point (NotImplemented here);
+    decoder="fake" emits a deterministic payload of the TARGET size
+    (hash-expanded bytes) so downstream batch-shape/memory behavior — the
+    Spark-side contract — is exercised for real: each output row carries
+    width·height bytes, so partition sizing and Arrow batch limits see
+    production-shaped data."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if decoder == "real":
+            raise NotImplementedError(
+                "PIL is not installed in this container; use decoder='fake'"
+            )
+        n_bytes = width * height
+        for pdf in batches:
+            imgs = pdf[pdf["kind"] == "image"]
+            if imgs.empty:
+                continue
+            out_payloads = []
+            for buf in imgs["data"]:
+                seed = np.frombuffer(buf[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
+                rng = np.random.RandomState(int(seed % (2**32)))
+                out_payloads.append(rng.bytes(n_bytes))
+            yield pd.DataFrame(
+                {
+                    "asset_id": imgs["asset_id"].values,
+                    "width": np.full(len(imgs), width, dtype=np.int32),
+                    "height": np.full(len(imgs), height, dtype=np.int32),
+                    "data": out_payloads,
+                }
+            )
+
+    return assets.select("asset_id", "kind", "data").mapInPandas(
+        run, RESIZED_SCHEMA
+    )
+
+
 def frame_sample_plan(assets: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling PLAN: expands per-asset frame indices natively
     (metadata-driven; the decode of each sampled frame is the stubbed

@@ -324,3 +324,20 @@ def test_corpus_summary_sketch_accuracy(spark, docs):
     exact_p50 = counts[len(counts) // 2]
     assert abs(row.p50_tokens - exact_p50) <= max(2, exact_p50 * 0.05)
     assert row.p50_tokens <= row.p90_tokens <= row.p99_tokens
+
+
+def test_multimodal_resize_stub(spark):
+    from gliner_spark.operators.multimodal import resize_images, synth_assets
+
+    assets = synth_assets(spark, 60)
+    out = resize_images(assets, width=32, height=16)
+    rows = out.collect()
+    n_images = assets.where("kind = 'image'").count()
+    assert len(rows) == n_images > 0
+    assert all(len(r.data) == 32 * 16 for r in rows)
+    # deterministic across runs
+    again = sorted((r.asset_id, bytes(r.data)) for r in resize_images(
+        synth_assets(spark, 60), width=32, height=16).collect())
+    assert sorted((r.asset_id, bytes(r.data)) for r in rows) == again
+    with pytest.raises(Exception):
+        resize_images(assets, decoder="real").collect()
