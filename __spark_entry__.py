@@ -340,6 +340,33 @@ def _q_sessionize(spark, sf_dir):
     return out.select("user_id", "event_id", "session_idx")
 
 
+def _q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary over lineitem: the canonical
+    wide-aggregate shape (grouping + 6 aggregates + date filter pushdown)
+    that any analytics engine must plan as scan→partial agg→exchange→
+    final agg."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("sum_disc_price"),
+            F.round(
+                F.round(F.sum("l_quantity"), 2) / F.count(F.lit(1)), 6
+            ).alias("avg_qty"),
+            F.round(
+                F.round(F.sum("l_discount"), 2) / F.count(F.lit(1)), 6
+            ).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
 def _q_session_agg(spark, sf_dir):
     """A-family hash aggregation with time bucketing (ts handling §2.8):
     per event_type per hour: count, sum/avg value."""
@@ -348,8 +375,14 @@ def _q_session_agg(spark, sf_dir):
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 6).alias("sum_value"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        # avg derived from the ROUNDED sum: sums of 2-decimal data are
+        # cross-engine-stable at 2dp (boundary 0.005 ≫ accumulation
+        # noise), so both engines divide IDENTICAL doubles — a directly
+        # rounded avg sits exactly on decimal boundaries and flips
+        F.round(F.round(F.sum("value"), 2) / F.count(F.lit(1)), 6).alias(
+            "avg_value"
+        ),
     )
 
 
@@ -493,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": _q_set_ops,
         "sessionize": _q_sessionize,
         "session_agg": _q_session_agg,
+        "pricing_summary": _q_pricing_summary,
         # non-SQL-expressible (hashed scorer / sketches / iteration):
         "ner_entities": _q_ner_entities,
         "re_triples": _q_re_triples,
@@ -733,6 +767,21 @@ def oracle_sql() -> dict[str, str]:
               select distinct user_id, ts::date as day from events
               where event_type = 'error')
         """,
+        "pricing_summary": """
+            select l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) as sum_qty,
+                   round(sum(l_extendedprice), 2) as sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     as sum_disc_price,
+                   round(round(sum(l_quantity), 2) / count(*), 6)
+                     as avg_qty,
+                   round(round(sum(l_discount), 2) / count(*), 6)
+                     as avg_disc,
+                   count(*) as count_order
+            from lineitem
+            where l_shipdate <= '1998-09-02'
+            group by l_returnflag, l_linestatus
+        """,
         "sessionize": """
             with g as (
               select user_id, event_id, ts,
@@ -751,8 +800,8 @@ def oracle_sql() -> dict[str, str]:
         "session_agg": """
             select event_type, date_trunc('hour', ts) as hour,
                    count(*) as n,
-                   round(sum(value), 6) as sum_value,
-                   round(avg(value), 6) as avg_value
+                   round(sum(value), 2) as sum_value,
+                   round(round(sum(value), 2) / count(*), 6) as avg_value
             from events group by 1, 2
         """,
     }
