@@ -11,8 +11,11 @@ connected components) are rows-only checked and their semantics are gated
 instead by tests/ (pure-Python oracle parity, brute-force oracles).
 
 Column names and rounding are aligned between both sides; floating point
-expressions are computed in double on both engines and rounded to 6
-decimals before comparison.
+expressions are computed in double on both engines and rounded before
+comparison. Large SUMs round at 2dp (stable for 2-decimal source data:
+boundary 0.005 ≫ accumulation-order noise) and AVGs are derived from the
+rounded sum so both engines divide identical doubles — directly rounded
+avgs sit exactly on decimal boundaries and flip with sum order.
 """
 
 from __future__ import annotations
