@@ -150,6 +150,12 @@ def _q_language_id(spark, sf_dir):
     return language_id(_docs(spark, sf_dir))
 
 
+def _q_redact_pii(spark, sf_dir):
+    from gliner_spark.operators.textstats import redact_pii
+
+    return redact_pii(_docs(spark, sf_dir))
+
+
 def _q_corpus_summary(spark, sf_dir):
     """Sketch-based corpus profile (HLL vocab + GK quantiles) — the
     mergeable-sketch shape exact distincts can't take at 10^12 docs.
@@ -431,6 +437,20 @@ def _q_simhash_near_dup(spark, sf_dir):
     return simhash_near_duplicates(_docs(spark, sf_dir), max_hamming=8)
 
 
+def _q_kmeans(spark, sf_dir):
+    """Lloyd's k-means over embeddings (iterative, broadcast centroids).
+    Rows-only: cluster geometry is init-dependent; determinism and blob
+    recovery are pytest-gated."""
+    from gliner_spark.operators.similarity import kmeans
+
+    assigned, _cents, _inertia = kmeans(
+        _embeddings(spark, sf_dir), k=8, max_iter=5
+    )
+    return assigned.select(
+        "vec_id", "cluster", F.round("dist2", 6).alias("dist2")
+    )
+
+
 def _q_knn_ivf(spark, sf_dir):
     from gliner_spark.operators.similarity import knn_ivf
 
@@ -519,6 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality,
         "language_id": _q_language_id,
         "fingerprint": _q_fingerprint,
+        "redact_pii": _q_redact_pii,
         "ngram_jaccard": _q_ngram_jaccard,
         "knn_bruteforce": _q_knn,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -537,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": _q_minhash_near_dup,
         "simhash_near_dup": _q_simhash_near_dup,
         "knn_ivf": _q_knn_ivf,
+        "kmeans_clusters": _q_kmeans,
         "corpus_summary": _q_corpus_summary,
         "ner_token_mode": _q_ner_token_mode,
         "classify_docs": _q_classify_docs,
@@ -649,6 +671,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint": f"""
             select doc_id, md5({_NORM_SQL}) as content_md5 from documents
+        """,
+        "redact_pii": r"""
+            with r as (
+              select doc_id,
+                     regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '(\+?\d{1,2}[-. ]?)?(\(\d{3}\)|\d{3})[-. ]?\d{3}[-. ]?\d{4}',
+                       '<PHONE>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                       '<IP>', 'g') as redacted_text
+              from documents)
+            select doc_id, redacted_text,
+                   len(string_split(redacted_text, '<EMAIL>')) - 1
+                     as n_emails,
+                   len(string_split(redacted_text, '<PHONE>')) - 1
+                     as n_phones,
+                   len(string_split(redacted_text, '<IP>')) - 1 as n_ips
+            from r
         """,
         "ngram_jaccard": f"""
             with toks as (

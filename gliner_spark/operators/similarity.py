@@ -86,6 +86,98 @@ def centroid_table(
     )
 
 
+def kmeans(
+    embeddings: DataFrame,
+    k: int = 8,
+    max_iter: int = 10,
+    tol: float = 1e-5,
+    seed: int = 5,
+) -> tuple[DataFrame, list[list[float]], float]:
+    """Lloyd's k-means over the embedding column, Catalyst-native:
+
+    assignment  argmin ‖x − c‖² per row via an array-of-structs min over
+                the k BROADCAST centroid literals (centroids are tiny —
+                they ride the plan, the data never shuffles for
+                assignment);
+    update      posexplode(vector) → groupBy(cluster, dim).avg — one
+                map-side-combining shuffle of (cluster, dim, partial)
+                rows per iteration;
+    driver      collects k·dim doubles per iteration (the only collect),
+                checks centroid shift < tol.
+
+    Init = deterministic hash-cell means (centroid_table — a k-means
+    half-step from a hashed partition). Returns (assignments(vec_id,
+    cluster, dist2), centroids, inertia). Deterministic: hash init,
+    argmin ties broken by cluster index.
+    """
+    cents_df = centroid_table(embeddings, n_cells=k, seed=seed)
+    centroids = {
+        r["cell"]: list(r["centroid"]) for r in cents_df.collect()
+    }
+    cents = [centroids.get(i) for i in range(k)]
+    # hash cells can be empty for tiny inputs; re-seat on any present one
+    filler = next(c for c in cents if c is not None)
+    cents = [c if c is not None else filler for c in cents]
+
+    e = embeddings.select("vec_id", unit_vector("embedding").alias("x"))
+    e = e.localCheckpoint()  # scanned every iteration
+
+    def assign(cent_lists):
+        choices = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            "x",
+                            F.array(*[F.lit(v) for v in c]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    ).alias("dist2"),
+                    F.lit(i).alias("cluster"),
+                )
+                for i, c in enumerate(cent_lists)
+            ]
+        )
+        best = F.array_min(choices)
+        return e.select(
+            "vec_id",
+            "x",
+            best.getField("cluster").alias("cluster"),
+            best.getField("dist2").alias("dist2"),
+        )
+
+    assigned = None
+    for _ in range(max_iter):
+        assigned = assign(cents)
+        new_rows = (
+            assigned.select("cluster", F.posexplode("x").alias("d", "v"))
+            .groupBy("cluster", "d")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "m"))),
+                    lambda s: s.getField("m"),
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        new_map = {r["cluster"]: list(r["centroid"]) for r in new_rows}
+        new_cents = [new_map.get(i, cents[i]) for i in range(k)]
+        shift = max(
+            sum((a - b) ** 2 for a, b in zip(c0, c1)) ** 0.5
+            for c0, c1 in zip(cents, new_cents)
+        )
+        cents = new_cents
+        if shift < tol:
+            break
+    final = assign(cents)
+    inertia = final.agg(F.sum("dist2").alias("i")).collect()[0]["i"]
+    return final.select("vec_id", "cluster", "dist2"), cents, float(inertia)
+
+
 def knn_ivf(
     embeddings: DataFrame,
     queries: DataFrame,

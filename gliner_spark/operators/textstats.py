@@ -118,6 +118,41 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# PII patterns: RE2/Java/Python-compatible (no lookarounds/backrefs), so
+# the same strings drive Spark, DuckDB oracle checks, and the py oracle
+PII_PATTERNS = [
+    # order matters: emails before phones (digit runs inside addresses)
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"(\+?\d{1,2}[-. ]?)?(\(\d{3}\)|\d{3})[-. ]?\d{3}[-. ]?\d{4}", "<PHONE>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-data PII scrubbing: replace emails / phone numbers / IPv4
+    addresses with typed placeholders. Pure regexp_replace chain — a
+    narrow map stage that pipelines with the scan (zero shuffle at any
+    scale), and the redaction-count columns make the downstream audit
+    (how much was scrubbed per source) a plain aggregation."""
+    redacted = F.col(text_col)
+    for pat, repl in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, repl)
+    out = docs.withColumn("redacted_text", redacted)
+    return out.select(
+        "doc_id",
+        F.col("redacted_text"),
+        F.size(F.split("redacted_text", "<EMAIL>", -1)).alias("_e"),
+        F.size(F.split("redacted_text", "<PHONE>", -1)).alias("_p"),
+        F.size(F.split("redacted_text", "<IP>", -1)).alias("_i"),
+    ).select(
+        "doc_id",
+        "redacted_text",
+        (F.col("_e") - 1).alias("n_emails"),
+        (F.col("_p") - 1).alias("n_phones"),
+        (F.col("_i") - 1).alias("n_ips"),
+    )
+
+
 def corpus_summary(
     docs: DataFrame, text_col: str = "text", rsd: float = 0.02
 ) -> DataFrame:

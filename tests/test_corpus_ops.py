@@ -341,3 +341,64 @@ def test_multimodal_resize_stub(spark):
     assert sorted((r.asset_id, bytes(r.data)) for r in rows) == again
     with pytest.raises(Exception):
         resize_images(assets, decoder="real").collect()
+
+
+def test_redact_pii_vs_python(spark):
+    import re as _re
+    from gliner_spark.operators.textstats import PII_PATTERNS, redact_pii
+
+    samples = [
+        (0, "email john.doe@example.com and jane_x@sub.domain.org"),
+        (1, "call +1-555-123-4567 or (555) 987-6543"),
+        (2, "host 192.168.1.100 and 10.0.0.1:8080"),
+        (3, "clean text with no identifiers at all"),
+        (4, "mixed: a@b.io then 555-111-2222 at 8.8.8.8 done"),
+    ]
+    df = spark.createDataFrame(samples, ["doc_id", "text"])
+    got = {r.doc_id: r for r in redact_pii(df).collect()}
+    for i, t in samples:
+        exp = t
+        for pat, repl in PII_PATTERNS:
+            exp = _re.sub(pat, repl, exp)
+        assert got[i].redacted_text == exp, (i, got[i].redacted_text, exp)
+    assert got[0].n_emails == 2 and got[1].n_phones == 2
+    assert got[2].n_ips == 2 and got[3].n_emails == 0
+    assert (got[4].n_emails, got[4].n_phones, got[4].n_ips) == (1, 1, 1)
+
+
+def test_kmeans_recovers_separable_blobs(spark):
+    import numpy as np
+    from gliner_spark.operators.similarity import kmeans
+
+    rng = np.random.RandomState(3)
+    centers = np.eye(4)[:3] * 5  # 3 well-separated centers in 4-d
+    rows = []
+    for i in range(150):
+        c = i % 3
+        v = centers[c] + rng.normal(0, 0.05, 4)
+        rows.append((i, [float(x) for x in v], c))
+    df = spark.createDataFrame(
+        [(i, v) for i, v, _c in rows], ["vec_id", "embedding"]
+    )
+    assigned, cents, inertia = kmeans(df, k=3, max_iter=10)
+    got = {r.vec_id: r.cluster for r in assigned.collect()}
+    # each true blob maps to exactly one k-means cluster
+    for true_c in range(3):
+        labels = {got[i] for i, _v, c in rows if c == true_c}
+        assert len(labels) == 1, (true_c, labels)
+    # the three blobs land in three distinct clusters
+    assert len({next(iter({got[i] for i, _v, c in rows if c == t}))
+                for t in range(3)}) == 3
+    assert inertia < 1.0  # tight blobs on the unit sphere
+
+
+def test_kmeans_deterministic_and_inertia_bounded(spark, embeddings):
+    from gliner_spark.operators.similarity import kmeans
+
+    a1, c1, i1 = kmeans(embeddings, k=4, max_iter=5)
+    a2, c2, i2 = kmeans(embeddings, k=4, max_iter=5)
+    assert c1 == c2 and i1 == i2
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
+    # more clusters → no worse inertia
+    _a, _c, i8 = kmeans(embeddings, k=8, max_iter=5)
+    assert i8 <= i1 + 1e-9
