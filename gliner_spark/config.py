@@ -49,6 +49,11 @@ class PipelineConfig:
     lsh_bands: int = 16          # 16 bands × 4 rows
     shingle_size: int = 3
     jaccard_threshold: float = 0.6
+    # canonicalization links NAME-like surfaces (≤ this many tokens);
+    # longer spans pass through as their own canonical form — linking
+    # every 12-token span surface is a different (and quadratically
+    # blowing-up) workload than entity linking
+    link_max_tokens: int = 3
     # turn-window relation scoping (SURVEY §2.5 W4)
     turn_window: int = 2
     scorer: ScorerConfig = field(default_factory=ScorerConfig)

@@ -18,17 +18,49 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def build_nodes(canon_map: DataFrame) -> DataFrame:
+def build_nodes(
+    canon_map: DataFrame, canonical_triples: DataFrame | None = None
+) -> DataFrame:
     """canon_map(surface, entity_id, canonical, ent_type, n_mentions,
     entity_mentions) → nodes(entity_id, canonical, ent_type, n_mentions,
-    n_surfaces)."""
-    return canon_map.groupBy("entity_id", "canonical").agg(
+    n_surfaces).
+
+    When `canonical_triples` is given, nodes additionally cover every
+    triple ENDPOINT — surfaces outside the linking scope (e.g. spans
+    longer than link_max_tokens) are their own canonical form with
+    ent_type null; without this, edges would dangle."""
+    linked = canon_map.groupBy("entity_id", "canonical").agg(
         F.max(F.struct(F.col("n_mentions"), F.col("ent_type")))
         .getField("ent_type")
         .alias("ent_type"),
         F.sum("n_mentions").alias("n_mentions"),
         F.count(F.lit(1)).alias("n_surfaces"),
     )
+    if canonical_triples is None:
+        return linked
+    endpoints = (
+        canonical_triples.select(
+            F.col("subj_id").alias("entity_id"),
+            F.col("subj_canonical").alias("canonical"),
+        )
+        .union(
+            canonical_triples.select(
+                F.col("obj_id").alias("entity_id"),
+                F.col("obj_canonical").alias("canonical"),
+            )
+        )
+        .distinct()
+    )
+    unlinked = endpoints.join(
+        linked.select("entity_id"), "entity_id", "left_anti"
+    ).select(
+        "entity_id",
+        "canonical",
+        F.lit(None).cast("string").alias("ent_type"),
+        F.lit(0).cast("long").alias("n_mentions"),
+        F.lit(1).cast("long").alias("n_surfaces"),
+    )
+    return linked.unionByName(unlinked)
 
 
 def pagerank(

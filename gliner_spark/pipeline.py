@@ -80,12 +80,20 @@ def run_pipeline(
         cfg.lsh_bands,
         cfg.shingle_size,
         cfg.jaccard_threshold,
+        cfg.link_max_tokens,
+    )
+    # link NAME-like mentions only (≤ link_max_tokens tokens): longer span
+    # surfaces keep themselves as canonical via rewrite_triples' coalesce
+    from pyspark.sql import functions as F
+
+    linkable = entities.where(
+        F.col("tok_end") - F.col("tok_start") < cfg.link_max_tokens
     )
     canon_map = runner.run_stage(
         "canon_map",
         fp_canon,
         lambda: canonicalize(
-            entities,
+            linkable,
             n_perms=cfg.minhash_perms,
             n_bands=cfg.lsh_bands,
             shingle_n=cfg.shingle_size,
@@ -100,8 +108,10 @@ def run_pipeline(
         lambda: rewrite_triples(triples, canon_map),
     )
 
-    fp_nodes = fingerprint("nodes", fp_canon)
-    nodes = runner.run_stage("nodes", fp_nodes, lambda: build_nodes(canon_map))
+    fp_nodes = fingerprint("nodes", fp_canon, fp_ct)
+    nodes = runner.run_stage(
+        "nodes", fp_nodes, lambda: build_nodes(canon_map, canonical_triples)
+    )
 
     fp_edges = fingerprint("edges", fp_ct)
     edges = runner.run_stage(

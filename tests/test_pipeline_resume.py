@@ -116,14 +116,16 @@ def test_config_change_invalidates_only_downstream(
     first = _run(spark, tiny_transcripts, out)
     base_stages = first.runner.lineage().count()
 
-    # changing the relation list must rerun triples_re + triples_canonical +
-    # edges, but NOT entities / canon_map / cooccur / nodes
+    # changing the relation list must rerun triples_re + triples_canonical
+    # + nodes + edges (nodes cover triple endpoints), but NOT entities /
+    # canon_map / cooccur
     second = _run(spark, tiny_transcripts, out, relations=["uses"])
     lin = second.runner.lineage().collect()
-    assert len(lin) == base_stages + 3
+    assert len(lin) == base_stages + 4
     rerun = [r.stage for r in lin]
     assert rerun.count("triples_re") == 2
     assert rerun.count("triples_canonical") == 2
+    assert rerun.count("nodes") == 2
     assert rerun.count("edges") == 2
     assert rerun.count("entities") == 1
     assert rerun.count("canon_map") == 1

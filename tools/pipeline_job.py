@@ -3,8 +3,12 @@ deployment shape: `spark-submit --py-files` on a cluster).
 
   ZIP=$(python -c "from gliner_spark.plans.session import \
         build_package_zip; print(build_package_zip())")
-  spark-submit --master local[32] --py-files $ZIP tools/pipeline_job.py \
+  spark-submit --master local[32] --driver-memory 16g \
+      --py-files $ZIP tools/pipeline_job.py \
       --out /root/repo/_out/kg --n-convs 2000
+
+(local mode runs executors inside the driver JVM — size --driver-memory
+for the shuffle stages; spark-submit's 1g default OOMs beyond ~50k turns)
 
 Runs (or RESUMES — rerun with the same --out and it skips completed
 stages via the lineage table) the full dataflow: extraction → fused RE
