@@ -330,8 +330,13 @@ def _q_topk_events(spark, sf_dir):
 def _q_set_ops(spark, sf_dir):
     """U2 (set difference via anti-join): (user, day) pairs with a click
     but no error that day."""
+    # day as STRING: pandas renders Spark dates as datetime.date but
+    # DuckDB dates as midnight Timestamps — strings are the one date form
+    # both engines canonicalize identically
     ev = _events(spark, sf_dir).select(
-        "user_id", "event_type", F.to_date("ts").alias("day")
+        "user_id",
+        "event_type",
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
     )
     clicks = ev.where("event_type = 'click'").select("user_id", "day").distinct()
     errors = ev.where("event_type = 'error'").select("user_id", "day").distinct()
@@ -483,10 +488,26 @@ def _q_summarize_docs(spark, sf_dir):
 
 
 def _q_multimodal_features(spark, sf_dir):
+    """Binary-asset feature extraction (mapInPandas over Arrow batches).
+    The feature vector is posexploded to scalar (dim, value) rows — the
+    driver's canonicalizer hashes scalars only (r01: array<float> columns
+    raise `unhashable type: 'list'` in its pandas factorize)."""
     from gliner_spark.operators.multimodal import extract_features, synth_assets
 
     _ensure_shipped(spark)
-    return extract_features(synth_assets(spark, 200))
+    feats = extract_features(synth_assets(spark, 200))
+    return feats.select(
+        "asset_id",
+        "kind",
+        "n_bytes",
+        F.posexplode("feature").alias("dim", "value"),
+    ).select(
+        "asset_id",
+        "kind",
+        "n_bytes",
+        "dim",
+        F.round(F.col("value").cast("double"), 6).alias("value"),
+    )
 
 
 def _q_turn_cooccur(spark, sf_dir):
@@ -596,15 +617,20 @@ def oracle_sql() -> dict[str, str]:
         for lang, ws in lang_markers.items()
     )
     # deterministic argmax with alphabetical tie-break = greatest struct of
-    # (hits, -rank); replicate with a CASE cascade in ascending rank order
+    # (hits, -rank); replicate with a CASE cascade in ascending rank order.
+    # Every comparison is STRICT: a language wins only when strictly above
+    # all alphabetically-earlier candidates — ties go to the earlier code,
+    # exactly matching the Spark struct-max (-rank) tie-break. ('>=' here
+    # silently flipped ties to the later language; latent at sf0.01 where
+    # no doc ties, fatal on any corpus with one.)
     pred_lang = (
         "case when length(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0 "
         "then 'zh' "
         "when greatest(hits_de, hits_en, hits_es, hits_fr) = 0 then 'und' "
-        "when hits_fr >= hits_de and hits_fr > hits_en and hits_fr > hits_es "
+        "when hits_fr > hits_de and hits_fr > hits_en and hits_fr > hits_es "
         "then 'fr' "
-        "when hits_es >= hits_de and hits_es > hits_en then 'es' "
-        "when hits_en >= hits_de then 'en' else 'de' end"
+        "when hits_es > hits_de and hits_es > hits_en then 'es' "
+        "when hits_en > hits_de then 'en' else 'de' end"
     )
     return {
         "token_stats": f"""
@@ -757,7 +783,11 @@ def oracle_sql() -> dict[str, str]:
             h as (select doc_id, lang, text, {hit_cols} from t),
             p as (select doc_id, lang, {pred_lang} as pred_lang from h)
             select count(*) as n_docs,
-                   sum(case when pred_lang = lang then 1 else 0 end) as tp,
+                   -- ::bigint — DuckDB sum() yields HUGEINT (int128) which
+                   -- pandas-converts to float64 (3.0 vs Spark's bigint 3):
+                   -- the r01 hash mismatch. count(*) is already bigint.
+                   sum(case when pred_lang = lang then 1 else 0
+                     end)::bigint as tp,
                    round(sum(case when pred_lang = lang then 1 else 0
                      end)::double / count(*), 6) as accuracy
             from p
@@ -804,12 +834,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "set_ops": """
             select user_id, day from (
-              select distinct user_id, ts::date as day from events
-              where event_type = 'click')
+              select distinct user_id, strftime(ts::date, '%Y-%m-%d') as day
+              from events where event_type = 'click')
             except
             select user_id, day from (
-              select distinct user_id, ts::date as day from events
-              where event_type = 'error')
+              select distinct user_id, strftime(ts::date, '%Y-%m-%d') as day
+              from events where event_type = 'error')
         """,
         "pricing_summary": """
             select l_returnflag, l_linestatus,
@@ -836,9 +866,12 @@ def oracle_sql() -> dict[str, str]:
               from events
               window w as (partition by user_id order by ts, event_id))
             select user_id, event_id,
-                   sum(new_s) over (partition by user_id
-                                    order by ts, event_id
-                                    rows unbounded preceding) as session_idx
+                   -- ::bigint: windowed sum() is HUGEINT in DuckDB →
+                   -- float64 under pandas conversion; Spark emits bigint
+                   (sum(new_s) over (partition by user_id
+                                     order by ts, event_id
+                                     rows unbounded preceding))::bigint
+                     as session_idx
             from g
         """,
         "session_agg": """

@@ -27,14 +27,29 @@ TABLES = [
 
 
 def canon_value(v):
+    # r01 lesson: both engines must be canonicalized from their PANDAS
+    # representation, the way the driver does it — DuckDB fetchall() hands
+    # back Python ints for HUGEINT sums and hid a real driver mismatch
+    # (pandas converts HUGEINT to float64: 3.0 vs Spark's int64 3).
+    import numpy as np
+
     if v is None:
         return "\\N"
-    if isinstance(v, float):
+    if isinstance(v, (np.ndarray, list, tuple)):
+        # the driver's canonicalizer CANNOT hash these (pandas factorize
+        # raises `unhashable type`); surface the same failure locally
+        raise TypeError(
+            "unhashable array-typed cell (driver canonicalizer would "
+            "raise `unhashable type: 'list'`) — project scalar columns"
+        )
+    if isinstance(v, (float, np.floating)):
         if math.isnan(v):
             return "nan"
-        return f"{v:.6f}"
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon_value(x) for x in v) + "]"
+        return f"{float(v):.6f}"
+    if isinstance(v, np.integer):
+        return str(int(v))
+    if isinstance(v, np.bool_):
+        return str(bool(v))
     if hasattr(v, "isoformat"):
         return v.isoformat()
     return str(v)
@@ -76,8 +91,12 @@ def main():
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
-            cols = df.columns
-            rows = [tuple(r) for r in df.collect()]
+            pdf = df.toPandas()  # pandas path = what the driver hashes
+            cols = list(pdf.columns)
+            rows = [tuple(r) for r in pdf.itertuples(index=False, name=None)]
+            if rows:  # probe hashability like the driver's factorize does
+                for v in rows[0]:
+                    canon_value(v)
         except Exception as e:
             failures.append((name, f"spark error: {e}"))
             print(f"FAIL  {name}: spark error: {str(e)[:300]}")
@@ -87,9 +106,11 @@ def main():
             print(f"ok-   {name}: rows={len(rows)} (rows-only, {spark_s:.1f}s)")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            opdf = con.execute(oracles[name]).df()
+            ocols = list(opdf.columns)
+            orows = [
+                tuple(r) for r in opdf.itertuples(index=False, name=None)
+            ]
         except Exception as e:
             failures.append((name, f"duckdb error: {e}"))
             print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
