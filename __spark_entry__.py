@@ -49,16 +49,29 @@ def _ensure_shipped(spark: SparkSession) -> None:
     _SHIPPED.add(key)
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """testdata parquet is single-row-group → 1-partition scans; widen so
+    per-row expression work parallelizes (no-op on multi-split inputs —
+    see plans/session.widen_small_input). Per-row values are unchanged, so
+    oracle hashes are partitioning-independent."""
+    try:
+        from gliner_spark.plans.session import widen_small_input
+
+        return widen_small_input(df)
+    except Exception:
+        return df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _widen(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _widen(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def _doc_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -510,6 +523,86 @@ def _q_multimodal_features(spark, sf_dir):
     )
 
 
+def _synth_mentions(spark, sf_dir):
+    """Deterministic cross-engine mentions table: documents grouped into
+    pseudo-conversations (conv = doc_id % 100, turn = doc_id // 100), the
+    first 3 long words (regex [a-z]{7,}) of each doc as mentions, mention
+    index as the position key, a length-derived score. Everything here is
+    expressible identically in DuckDB, which upgrades the co-occurrence
+    operator from rows-only to hash-checked."""
+    words = F.slice(
+        F.regexp_extract_all(F.col("text"), F.lit("[a-z]{7,}"), 0), 1, 3
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            F.concat(F.lit("conv-"), F.col("doc_id") % 100).alias("conv_id"),
+            (F.col("doc_id") / 100).cast("int").alias("turn_idx"),
+            F.posexplode(words).alias("start", "text"),
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            "start",
+            F.col("start").alias("end"),
+            "text",
+            F.lit("term").alias("label"),
+            F.round(0.5 + (F.length("text") % 5) * 0.1, 6).alias("score"),
+        )
+    )
+
+
+def _q_mention_cooccur(spark, sf_dir):
+    """W4 turn-window co-occurrence, oracle-checked: the real
+    induce_cooccurrence operator (bucketized range join) over the
+    deterministic synthetic mentions table."""
+    from gliner_spark.operators.cooccur import induce_cooccurrence
+
+    pairs = induce_cooccurrence(_synth_mentions(spark, sf_dir), turn_window=2)
+    return pairs.select(
+        "conv_id",
+        "subj",
+        "subj_label",
+        "pred",
+        "obj",
+        "obj_label",
+        F.round("score", 6).alias("score"),
+        "turn_a",
+        "turn_b",
+        "dist",
+    )
+
+
+def _q_edge_agg(spark, sf_dir):
+    """Graph edge materialization (build_edges hash agg), oracle-checked
+    over deterministic synthetic canonical triples derived from events."""
+    from gliner_spark.operators.graph import build_edges
+
+    ev = _events(spark, sf_dir)
+    triples = ev.select(
+        F.col("user_id").cast("long").alias("subj_id"),
+        F.concat(F.lit("u"), F.col("user_id")).alias("subj_canonical"),
+        F.col("event_type").alias("pred"),
+        F.pmod(F.col("event_id"), F.lit(50)).cast("long").alias("obj_id"),
+        F.concat(F.lit("o"), F.pmod(F.col("event_id"), F.lit(50))).alias(
+            "obj_canonical"
+        ),
+        F.round(F.col("value"), 2).alias("score"),
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("conv_id"),
+    )
+    edges = build_edges(triples)
+    return edges.select(
+        "subj_id",
+        "subj_canonical",
+        "pred",
+        "obj_id",
+        "obj_canonical",
+        "n_evidence",
+        F.round("score", 6).alias("score"),
+        "n_convs",
+    )
+
+
 def _q_turn_cooccur(spark, sf_dir):
     """W4 in the turn domain: co-occurring entity mentions within a
     2-turn window over documents-as-multi-turn conversations (each doc
@@ -572,6 +665,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "session_agg": _q_session_agg,
         "pricing_summary": _q_pricing_summary,
+        "mention_cooccur": _q_mention_cooccur,
+        "edge_agg": _q_edge_agg,
         # non-SQL-expressible (hashed scorer / sketches / iteration):
         "ner_entities": _q_ner_entities,
         "re_triples": _q_re_triples,
@@ -873,6 +968,49 @@ def oracle_sql() -> dict[str, str]:
                                      rows unbounded preceding))::bigint
                      as session_idx
             from g
+        """,
+        "mention_cooccur": """
+            with ws as (
+              select doc_id,
+                     list_slice(regexp_extract_all(text, '[a-z]{7,}'), 1, 3)
+                       as ws
+              from documents),
+            m as (
+              select 'conv-' || (doc_id % 100) as conv_id,
+                     (doc_id // 100)::int as turn_idx,
+                     (i - 1)::int as pos,
+                     ws[i] as text,
+                     round(0.5 + (length(ws[i]) % 5) * 0.1, 6) as score
+              from ws,
+                   unnest(generate_series(1, least(len(ws), 3))) as u(i))
+            select a.conv_id,
+                   a.text as subj, 'term' as subj_label,
+                   'co_occurs_with' as pred,
+                   b.text as obj, 'term' as obj_label,
+                   round(least(a.score, b.score), 6) as score,
+                   a.turn_idx as turn_a, b.turn_idx as turn_b,
+                   b.turn_idx - a.turn_idx as dist
+            from m a join m b
+              on a.conv_id = b.conv_id
+             and abs(b.turn_idx - a.turn_idx) <= 2
+             and (a.turn_idx, a.pos, a.text) < (b.turn_idx, b.pos, b.text)
+        """,
+        "edge_agg": """
+            with t as (
+              select user_id::bigint as subj_id,
+                     'u' || user_id as subj_canonical,
+                     event_type as pred,
+                     (event_id % 50)::bigint as obj_id,
+                     'o' || (event_id % 50) as obj_canonical,
+                     round(value, 2) as score,
+                     strftime(ts::date, '%Y-%m-%d') as conv_id
+              from events)
+            select subj_id, subj_canonical, pred, obj_id, obj_canonical,
+                   count(*) as n_evidence,
+                   round(max(score), 6) as score,
+                   count(distinct conv_id) as n_convs
+            from t
+            group by subj_id, subj_canonical, pred, obj_id, obj_canonical
         """,
         "session_agg": """
             select event_type, date_trunc('hour', ts) as hour,

@@ -33,6 +33,17 @@ class ScorerConfig:
     token_beta: float = -1.4
 
 
+# the reference span-rep registry (gliner/modeling/span_rep.py:381-421);
+# this engine's fixed scorer realizes markerV0 — other modes are VALID
+# reference configs that are not implemented here, and must be rejected
+# loudly rather than silently scored as markerV0
+SPAN_MODES_REFERENCE = (
+    "markerV0", "marker", "query", "mlp", "cat", "conv_conv", "conv_max",
+    "conv_mean", "conv_sum", "conv_share",
+)
+SPAN_MODES_IMPLEMENTED = ("markerV0",)
+
+
 @dataclass(frozen=True)
 class PipelineConfig:
     max_width: int = 12          # reference gliner/config.py:13
@@ -40,6 +51,12 @@ class PipelineConfig:
     threshold: float = 0.5       # reference gliner/model.py:352-356
     flat_ner: bool = True
     multi_label: bool = False
+    # tokenizer registry name (kernel/tokenizer.py SPLITTERS — mirrors
+    # reference WordsSplitter, tokenizer.py:269-296); whitespace default
+    # keeps fixture parity, 'cjk'/'universal' fix han-run clumping
+    tokenizer: str = "whitespace"
+    # span representation mode; only markerV0 exists in this engine
+    span_mode: str = "markerV0"
     # relation pass (reference gliner/multitask/relation_extraction.py:30,85)
     re_prompt: str = "Extract relationships between entities from the text: "
     ner_threshold: float = 0.5
@@ -57,6 +74,26 @@ class PipelineConfig:
     # turn-window relation scoping (SURVEY §2.5 W4)
     turn_window: int = 2
     scorer: ScorerConfig = field(default_factory=ScorerConfig)
+
+    def __post_init__(self) -> None:
+        from .kernel.tokenizer import SPLITTERS
+
+        if self.span_mode not in SPAN_MODES_IMPLEMENTED:
+            known = (
+                "a reference span mode (span_rep.py:381-421) not "
+                "implemented by this engine"
+                if self.span_mode in SPAN_MODES_REFERENCE
+                else "not a reference span mode at all"
+            )
+            raise ValueError(
+                f"span_mode={self.span_mode!r} is {known}; "
+                f"implemented: {SPAN_MODES_IMPLEMENTED}"
+            )
+        if self.tokenizer not in SPLITTERS:
+            raise ValueError(
+                f"tokenizer={self.tokenizer!r} is not registered; "
+                f"choose one of {sorted(SPLITTERS)}"
+            )
 
 
 DEFAULT = PipelineConfig()

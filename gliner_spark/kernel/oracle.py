@@ -37,7 +37,7 @@ class OraclePipeline:
     # ------------------------------------------------------------- NER pass
     def _prep(self, text: str):
         """Tokenize + truncate + empty guard (processor.py:345-352)."""
-        return prep_tokens(text, self.cfg.max_len)
+        return prep_tokens(text, self.cfg.max_len, self.cfg.tokenizer)
 
     def run(
         self,
@@ -177,7 +177,9 @@ class OraclePipeline:
         for preds in rel_preds:
             triples = []
             for t in preds:
-                source, rel_label = t["label"].split("<>")
+                # rsplit mirrors operators/relations.py: entity surfaces
+                # may contain '<>', relation names never do
+                source, rel_label = t["label"].rsplit("<>", 1)
                 triples.append(
                     {
                         "source": source.strip(),

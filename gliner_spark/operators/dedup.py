@@ -8,8 +8,9 @@ pipeline runs before anything else. All variants are shuffle-frugal:
                  entity linking, generalized to any (id, shingles) input);
   simhash        64-bit sign-of-weighted-sum sketch, computed with 64
                  map-side-partial sum aggregates; near-dup candidates via
-                 4×16-bit band equality (any band equal ⇒ hamming ≤ 48,
-                 catches hamming ≤ 3 with high prob), verified by exact
+                 (max_hamming + 1)-band equality — pigeonhole: ≤ max_hamming
+                 differing bits across > max_hamming bands leaves ≥ 1 band
+                 identical, so recall is GUARANTEED, then verified by exact
                  hamming on the bit vectors;
   ngram-jaccard  exact Jaccard over word n-gram sets via an inverted-index
                  self-join (explode gram → equi-join → count) — quadratic
@@ -78,27 +79,19 @@ def minhash_sigs(
     n_perms: int = 64,
     seed: int = 7,
 ) -> DataFrame:
-    """(id, sig array<bigint>) via explode → 64 partial-min aggregates.
-    Docs with no shingles get an empty-sentinel single shingle."""
-    coeffs = _perm_coeffs(n_perms, seed)
-    sh = with_shingles.select(
-        id_col,
-        F.explode(
-            F.when(F.size("shingles") > 0, F.col("shingles")).otherwise(
-                F.array(F.lit("\x00empty"))
-            )
-        ).alias("sh"),
-    ).withColumn("h", F.pmod(F.xxhash64(F.lit(seed), F.col("sh")), F.lit(_MERSENNE)))
-    aggs = [
-        F.min(
-            F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))
-        ).alias(f"_s{p}")
-        for p, (a, b) in enumerate(coeffs)
-    ]
-    sigs = sh.groupBy(id_col).agg(*aggs)
-    return sigs.select(
-        id_col, F.array(*[F.col(f"_s{p}") for p in range(n_perms)]).alias("sig")
+    """(id, sig array<bigint>) as a pure map-side array expression — zero
+    shuffle (see linking.minhash_array; identical values to the old
+    explode → 64-min-aggregates shape, which shuffled every (id, shingle)
+    row). Docs with no shingles get an empty-sentinel single shingle."""
+    from .linking import minhash_array
+
+    padded = F.when(F.size("shingles") > 0, F.col("shingles")).otherwise(
+        F.array(F.lit("\x00empty"))
     )
+    hashes, coeffs, perm_min = minhash_array(padded, n_perms, seed)
+    with_h = with_shingles.select(id_col, hashes.alias("_hs"))
+    sig_arr = F.array(*[perm_min(F.col("_hs"), a, b) for a, b in coeffs])
+    return with_h.select(id_col, sig_arr.alias("sig"))
 
 
 def minhash_near_duplicates(
@@ -135,6 +128,10 @@ def minhash_near_duplicates(
             )
         ).alias("band", "bh"),
     )
+    # materialize once: the bucket filter and both self-join branches
+    # would otherwise each recompute the full 64-aggregate signature chain
+    # (same pattern as linking.candidate_pairs)
+    banded = banded.localCheckpoint()
     if max_bucket_size is not None:
         ok = (
             banded.groupBy("band", "bh")
@@ -233,20 +230,42 @@ def simhash_bits(docs: DataFrame, text_col: str = "text", bits: int = 64) -> Dat
     return agg.select("doc_id", bit_arr.alias("bits"))
 
 
-def simhash_near_duplicates(
-    docs: DataFrame,
-    text_col: str = "text",
+def _band_slices(bits: int, n_bands: int) -> list[tuple[int, int]]:
+    """Contiguous (start, length) chunks covering [0, bits), sizes as equal
+    as possible. Bands need not be equal-sized for the pigeonhole bound."""
+    base, extra = divmod(bits, n_bands)
+    slices, start = [], 0
+    for b in range(n_bands):
+        length = base + (1 if b < extra else 0)
+        slices.append((start, length))
+        start += length
+    return slices
+
+
+def simhash_candidates(
+    with_bits: DataFrame,
     max_hamming: int = 3,
     bits: int = 64,
-    n_bands: int = 4,
+    n_bands: int | None = None,
 ) -> DataFrame:
-    """Near-dups by simhash hamming distance ≤ max_hamming.
+    """(doc_id, bits) → verified pairs (doc_a, doc_b, hamming ≤ max_hamming).
 
-    Pigeonhole blocking: with 4 bands of 16 bits, any pair at hamming ≤ 3
-    agrees exactly on ≥1 band → candidate; verified by exact hamming."""
-    per_band = bits // n_bands
-    sh = simhash_bits(docs, text_col, bits)
-    banded = sh.select(
+    Pigeonhole blocking with a GUARANTEE: n_bands defaults to
+    max_hamming + 1, so any pair within max_hamming differing bits has at
+    least one band with zero differences → exact band-hash match →
+    candidate. (r01 used a fixed 4 bands with max_hamming=8 — pairs at
+    hamming 4–8 were found only by luck.) Caller-supplied n_bands below
+    the bound is rejected rather than silently lossy."""
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"n_bands={n_bands} breaks the pigeonhole recall guarantee for "
+            f"max_hamming={max_hamming}; need n_bands >= max_hamming + 1"
+        )
+    if n_bands > bits:
+        raise ValueError(f"n_bands={n_bands} exceeds bits={bits}")
+    banded = with_bits.select(
         "doc_id",
         "bits",
         F.posexplode(
@@ -257,16 +276,21 @@ def simhash_near_duplicates(
                         F.concat_ws(
                             "",
                             *[
-                                F.element_at("bits", b * per_band + r + 1)
-                                for r in range(per_band)
+                                F.element_at("bits", start + r + 1)
+                                for r in range(length)
                             ],
                         ),
                     )
-                    for b in range(n_bands)
+                    for b, (start, length) in enumerate(
+                        _band_slices(bits, n_bands)
+                    )
                 ]
             )
         ).alias("band", "bh"),
     )
+    # materialize once: both self-join branches would otherwise recompute
+    # the 64-sum simhash sketch chain
+    banded = banded.localCheckpoint()
     cand = (
         banded.alias("l")
         .join(banded.alias("r"), on=["band", "bh"])
@@ -288,6 +312,20 @@ def simhash_near_duplicates(
     return cand.withColumn("hamming", hamming).where(
         F.col("hamming") <= max_hamming
     ).select("doc_a", "doc_b", "hamming")
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = 64,
+    n_bands: int | None = None,
+) -> DataFrame:
+    """Near-dups by simhash hamming distance ≤ max_hamming; banding via
+    simhash_candidates (n_bands auto-sized to max_hamming + 1 so the
+    pigeonhole recall guarantee always holds)."""
+    sh = simhash_bits(docs, text_col, bits)
+    return simhash_candidates(sh, max_hamming, bits, n_bands)
 
 
 # ------------------------------------------------------- exact ngram jaccard

@@ -88,6 +88,31 @@ def surface_table(mentions: DataFrame, surface_col: str = "text") -> DataFrame:
     ).withColumn("surface_id", F.xxhash64("surface"))
 
 
+def minhash_array(shingles_col, n_perms: int, seed: int):
+    """MinHash signature as ONE map-side array expression over a shingle
+    ARRAY column: base-hash each shingle once (folded to [0, p) so the
+    ANSI int64 multiply cannot overflow), then per permutation
+    array_min(transform(h → (a·h + b) mod p)).
+
+    Identical values to the explode → 64-min-aggregates formulation, but
+    ZERO shuffle and no 64-buffer aggregate: the r01 shape moved every
+    (id, shingle) row through an exchange and paid a 64-column aggregate
+    whose generated code dominated wall time at small scale; this is a
+    narrow projection that pipelines with the scan at any scale."""
+    coeffs = _perm_coeffs(n_perms, seed)
+    hashes = F.transform(
+        shingles_col,
+        lambda s: F.pmod(F.xxhash64(F.lit(seed), s), F.lit(_MERSENNE)),
+    )
+    def perm_min(hs, a, b):
+        return F.array_min(
+            F.transform(
+                hs, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE))
+            )
+        )
+    return hashes, coeffs, perm_min
+
+
 def minhash_signatures(
     surfaces: DataFrame,
     n_perms: int = 64,
@@ -95,29 +120,17 @@ def minhash_signatures(
     seed: int = 42,
 ) -> DataFrame:
     """surfaces(surface[, surface_id], …) → (surface_id, surface,
-    sig:array<bigint>[n_perms]).
-
-    Fully native: explode distinct shingles → base hash folded to [0, p) →
-    64 partial-aggregating min()s (grouped on the 8-byte id) → reassembled
-    signature array.
-    """
-    coeffs = _perm_coeffs(n_perms, seed)
+    sig:array<bigint>[n_perms]). Pure map stage (see minhash_array)."""
     if "surface_id" not in surfaces.columns:
         surfaces = surfaces.withColumn("surface_id", F.xxhash64("surface"))
-    sh = surfaces.select(
-        "surface_id",
-        "surface",
-        F.explode(shingle_set(F.col("surface"), shingle_n)).alias("sh"),
-    ).withColumn("h", F.pmod(F.xxhash64(F.lit(seed), F.col("sh")), F.lit(_MERSENNE)))
-    aggs = [
-        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(
-            f"_s{p}"
-        )
-        for p, (a, b) in enumerate(coeffs)
-    ]
-    sigs = sh.groupBy("surface_id").agg(F.first("surface").alias("surface"), *aggs)
-    sig_arr = F.array(*[F.col(f"_s{p}") for p in range(n_perms)])
-    return sigs.select("surface_id", "surface", sig_arr.alias("sig"))
+    hashes, coeffs, perm_min = minhash_array(
+        shingle_set(F.col("surface"), shingle_n), n_perms, seed
+    )
+    with_h = surfaces.select("surface_id", "surface", hashes.alias("_hs"))
+    sig_arr = F.array(
+        *[perm_min(F.col("_hs"), a, b) for a, b in coeffs]
+    )
+    return with_h.select("surface_id", "surface", sig_arr.alias("sig"))
 
 
 def candidate_pairs(

@@ -101,7 +101,7 @@ def _score_and_decode_batch(
     `prepped` lets callers share tokenization across passes (the fused RE
     operator tokenizes each text once for both passes)."""
     if prepped is None:
-        prepped = [prep_tokens(t, cfg.max_len) for t in texts]
+        prepped = [prep_tokens(t, cfg.max_len, cfg.tokenizer) for t in texts]
     lengths = [len(p[0]) for p in prepped]
     out: list[list[tuple]] = [None] * len(texts)  # type: ignore[list-item]
     for lo, hi in _chunk_rows(lengths, cfg.max_width, scorer.cfg.dim, len(labels)):
@@ -156,7 +156,7 @@ def extract_entities_token(
         scorer = get_scorer(cfg.scorer)
         for batch in batches:
             texts = batch.column("text").to_pylist()
-            prepped = [prep_tokens(t, cfg.max_len) for t in texts]
+            prepped = [prep_tokens(t, cfg.max_len, cfg.tokenizer) for t in texts]
             lengths = [len(p[0]) for p in prepped]
             idx: list[int] = []
             cols: dict[str, list] = {n: [] for n, _t in _ENTITY_ARROW_FIELDS}

@@ -124,10 +124,10 @@ def _relation_pass(
         original index, so output order is unaffected.
     """
     assert prefix[-1].isspace()
-    p_toks, p_starts, p_ends = prep_tokens(prefix, cfg.max_len)
+    p_toks, p_starts, p_ends = prep_tokens(prefix, cfg.max_len, cfg.tokenizer)
     shift = len(prefix)
     if text_prepped is None:
-        text_prepped = [prep_tokens(t, cfg.max_len) for t in texts]
+        text_prepped = [prep_tokens(t, cfg.max_len, cfg.tokenizer) for t in texts]
     prepped = []
     for t, (toks, starts, ends) in zip(texts, text_prepped):
         if toks == ["[PAD]"] and not t.strip():
@@ -212,7 +212,7 @@ def extract_triples(
             texts = batch.column("text").to_pylist()
             # pass 1: shared-label NER (same kernel as operators/ner.py);
             # tokenization is shared with pass 2
-            prepped = [prep_tokens(t, cfg.max_len) for t in texts]
+            prepped = [prep_tokens(t, cfg.max_len, cfg.tokenizer) for t in texts]
             ner_rows = _score_and_decode_batch(
                 texts, scorer, ent_label_mat, entity_types, cfg, ner_thr,
                 prepped=prepped,
@@ -230,7 +230,11 @@ def extract_triples(
             cols: dict[str, list] = {k: [] for k in _TRIPLE_ARROW.names}
             for cid, tix, rows in zip(conv, turn, rel_rows):
                 for cs, ce, span_text, label, score in rows:
-                    parts = label.split("<>")
+                    # rsplit: an entity surface may itself contain '<>';
+                    # the RELATION never does (caller-supplied list), so
+                    # splitting on the LAST marker is unambiguous — and
+                    # must match kernel/oracle.py exactly (parity tests)
+                    parts = label.rsplit("<>", 1)
                     cols["conv_id"].append(cid)
                     cols["turn_idx"].append(tix)
                     cols["subj"].append(parts[0].strip())

@@ -5,13 +5,14 @@
                  window ranking. The corpus side never shuffles its
                  vectors — only (query_id, vec_id, score) survivor rows
                  reach the rank shuffle.
- knn_ivf         IVF-style ANN: deterministic centroid table (hash-sampled
-                 corpus vectors) → assign each corpus vector to its nearest
-                 centroid (broadcast centroids, native argmax) → probe only
-                 the n_probe closest cells per query. The inverted-file
-                 partitioning is exactly a repartition-by-cell; at 100 TB
-                 the cell assignment is precomputed/bucketed once and
-                 queries touch n_probe/n_cells of the data.
+ knn_ivf         IVF ANN: k-means-trained centroids → every corpus vector
+                 assigned to its nearest-centroid Voronoi cell (broadcast
+                 centroid literals, native argmin — the same expression
+                 k-means assignment uses) → probe only the n_probe closest
+                 cells per query. The inverted-file partitioning is exactly
+                 a repartition-by-cell; at 100 TB the cell assignment is
+                 precomputed/bucketed once and queries touch
+                 n_probe/n_cells of the data.
 
 Scores are rounded to 6 decimals before ranking with a vec_id tie-break,
 making rankings reproducible across engines (DuckDB oracle) and summation
@@ -54,6 +55,32 @@ def knn_bruteforce(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "cos", "rank")
     )
+
+
+def nearest_centroid(vec_col: Column, cent_lists: list[list[float]]) -> Column:
+    """argmin over ‖x − c_i‖² as ONE native expression: the k centroids
+    ride the plan as literals (broadcast by construction — no join, no
+    shuffle for assignment), the min is a struct-ordered array_min with
+    deterministic index tie-break. Shared by kmeans assignment and the IVF
+    cell routing so both always use the identical metric."""
+    choices = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        vec_col,
+                        F.array(*[F.lit(v) for v in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("dist2"),
+                F.lit(i).alias("cluster"),
+            )
+            for i, c in enumerate(cent_lists)
+        ]
+    )
+    return F.array_min(choices)
 
 
 def centroid_table(
@@ -116,31 +143,16 @@ def kmeans(
     }
     cents = [centroids.get(i) for i in range(k)]
     # hash cells can be empty for tiny inputs; re-seat on any present one
-    filler = next(c for c in cents if c is not None)
+    filler = next((c for c in cents if c is not None), None)
+    if filler is None:
+        raise ValueError("kmeans requires a non-empty embeddings input")
     cents = [c if c is not None else filler for c in cents]
 
     e = embeddings.select("vec_id", unit_vector("embedding").alias("x"))
     e = e.localCheckpoint()  # scanned every iteration
 
     def assign(cent_lists):
-        choices = F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            "x",
-                            F.array(*[F.lit(v) for v in c]),
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, v: acc + v,
-                    ).alias("dist2"),
-                    F.lit(i).alias("cluster"),
-                )
-                for i, c in enumerate(cent_lists)
-            ]
-        )
-        best = F.array_min(choices)
+        best = nearest_centroid(F.col("x"), cent_lists)
         return e.select(
             "vec_id",
             "x",
@@ -185,33 +197,63 @@ def knn_ivf(
     n_cells: int = 16,
     n_probe: int = 4,
     seed: int = 5,
+    kmeans_iter: int = 4,
 ) -> DataFrame:
-    """IVF ANN: search only the n_probe cells whose centroid is closest to
-    the query. Approximate — recall rises with n_probe (= exact when
-    n_probe = n_cells). Returns (query_id, vec_id, cos, rank)."""
-    cents = centroid_table(embeddings, n_cells, seed)
-    corpus = embeddings.select(
-        "vec_id",
-        _unit(),
-        F.pmod(F.xxhash64(F.lit(seed), F.col("vec_id")), F.lit(n_cells)).alias(
-            "cell"
-        ),
+    """IVF ANN: k-means-trained cells, nearest-centroid routing.
+
+    train   Lloyd's k-means (few iterations partition well enough) gives
+            the n_cells centroids;
+    assign  every corpus vector routes to its argmin-‖x−c‖² cell — the
+            SAME `nearest_centroid` expression k-means assignment uses,
+            so cell contents really are the Voronoi regions the probe
+            step assumes (the r01 version hash-assigned cells at random,
+            making probing ≈ uniform sampling — not ANN);
+    probe   each query searches only its n_probe nearest cells (again by
+            ‖q−c‖², the identical metric — unit vectors make L2 and
+            cosine rankings agree up to the |c|² offset handled by using
+            one metric on both sides), then exact cosine within them.
+
+    Approximate — recall rises with n_probe (= exact at n_probe =
+    n_cells, and far above n_probe/n_cells on clustered data, which is
+    the property the recall pytest pins). At 100 TB the assignment is
+    precomputed once and written bucketed by cell; queries then touch
+    n_probe/n_cells of the data with no shuffle of corpus vectors.
+    Returns (query_id, vec_id, cos, rank).
+    """
+    _assigned, cents, _inertia = kmeans(
+        embeddings, k=n_cells, max_iter=kmeans_iter, seed=seed
     )
+    corpus = embeddings.select("vec_id", _unit()).withColumn(
+        "cell", nearest_centroid(F.col("unit"), cents).getField("cluster")
+    )
+    # rank cells per query by centroid distance — all native, no join:
+    # sort the k (dist2, cell) structs and keep the n_probe closest
     q = queries.select("query_id", _unit().alias("q_unit"))
-    # rank cells per query by centroid similarity (tiny cross product)
-    qc = q.crossJoin(F.broadcast(cents)).select(
+    cell_structs = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        "q_unit",
+                        F.array(*[F.lit(v) for v in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("dist2"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    probes = q.select(
         "query_id",
         "q_unit",
-        "cell",
-        F.round(_dot("q_unit", "centroid"), 6).alias("c_cos"),
-    )
-    wc = Window.partitionBy("query_id").orderBy(
-        F.col("c_cos").desc(), F.col("cell").asc()
-    )
-    probes = qc.withColumn("crank", F.row_number().over(wc)).where(
-        F.col("crank") <= n_probe
-    ).select("query_id", "q_unit", "cell")
-    # probe: equi-join on cell — touches only n_probe/n_cells of the corpus
+        F.explode(
+            F.slice(F.array_sort(cell_structs), 1, n_probe)
+        ).alias("probe"),
+    ).select("query_id", "q_unit", F.col("probe.cell").alias("cell"))
+    # probe: equi-join on cell — touches only the probed Voronoi regions
     scored = corpus.join(F.broadcast(probes), "cell").select(
         "query_id",
         "vec_id",

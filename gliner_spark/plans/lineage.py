@@ -116,8 +116,20 @@ class StageRunner:
         import datetime
 
         path = os.path.join(self.out_dir, stage)
+        # the stage path is OVERWRITTEN per run while lineage rows are
+        # append-only, so a complete lineage row alone can point at data a
+        # LATER run with a different config wrote. The marker file pins
+        # which fingerprint the bytes on disk actually belong to; resume
+        # only when both agree (else recompute — correct, just slower).
+        marker = os.path.join(path, "_FINGERPRINT")
         if self._completed(stage, fp) and os.path.exists(path):
-            return self.spark.read.parquet(path)
+            try:
+                with open(marker) as fh:
+                    on_disk_fp = fh.read().strip()
+            except OSError:
+                on_disk_fp = None
+            if on_disk_fp == fp:
+                return self.spark.read.parquet(path)
 
         t0 = time.time()
         df = produce()
@@ -125,6 +137,8 @@ class StageRunner:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(path)
+        with open(marker, "w") as fh:
+            fh.write(fp)
         out = self.spark.read.parquet(path)
         n_rows = out.count()
         n_parts = out.rdd.getNumPartitions()

@@ -112,3 +112,22 @@ def build_session(
     spark = builder.getOrCreate()
     ship_package(spark)
     return spark
+
+
+def widen_small_input(df, min_parts: int | None = None):
+    """Parallelize a narrow scan: a small single-file (single-row-group)
+    parquet input arrives as ONE partition, so every downstream per-row
+    expression (regex tokenization, shingling, vector math) runs on one
+    core no matter how many the session has — measured 20s+ single-core
+    tails on the sf0.1 bench. Repartitioning the raw rows is a trivially
+    cheap shuffle at that size.
+
+    Guarded to be a NO-OP at scale: production inputs already carry at
+    least as many splits as cores, so this never adds a shuffle where the
+    scan is wide enough."""
+    spark = df.sparkSession
+    if min_parts is None:
+        min_parts = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= min_parts:
+        return df
+    return df.repartition(min_parts)

@@ -402,3 +402,80 @@ def test_kmeans_deterministic_and_inertia_bounded(spark, embeddings):
     # more clusters → no worse inertia
     _a, _c, i8 = kmeans(embeddings, k=8, max_iter=5)
     assert i8 <= i1 + 1e-9
+
+
+def test_kmeans_empty_input_raises(spark):
+    from gliner_spark.operators.similarity import kmeans
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="non-empty"):
+        kmeans(empty, k=2, max_iter=1)
+
+
+def test_simhash_exact_hamming_guarantee(spark):
+    """Pigeonhole recall: a pair at EVERY hamming distance h ≤ max_hamming
+    (including exactly max_hamming) must be found — not probabilistically,
+    always. r01 used 4 fixed bands with max_hamming=8, guaranteeing only
+    h ≤ 3."""
+    import random
+
+    from gliner_spark.operators.dedup import simhash_candidates
+
+    rng = random.Random(9)
+    max_h = 8
+    rows, expected = [], set()
+    next_id = 0
+    for h in range(max_h + 1):
+        base = [rng.randint(0, 1) for _ in range(64)]
+        other = list(base)
+        for pos in rng.sample(range(64), h):
+            other[pos] ^= 1
+        a, b = next_id, next_id + 1
+        next_id += 2
+        rows += [(a, base), (b, other)]
+        expected.add((a, b, h))
+    df = spark.createDataFrame(rows, ["doc_id", "bits"])
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_candidates(df, max_hamming=max_h).collect()
+    }
+    assert expected <= got, expected - got
+
+
+def test_simhash_rejects_lossy_banding(spark):
+    from gliner_spark.operators.dedup import simhash_candidates
+
+    df = spark.createDataFrame([(0, [0] * 64)], ["doc_id", "bits"])
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_candidates(df, max_hamming=8, n_bands=4)
+
+
+def test_knn_ivf_clustered_recall_beats_probe_fraction(spark):
+    """The property that makes IVF an ANN index: on clustered data,
+    probing the nearest cells recovers far more than n_probe/n_cells of
+    the true neighbors (random cell assignment — the r01 bug — cannot
+    beat the probe fraction in expectation)."""
+    import numpy as np
+
+    from gliner_spark.operators.similarity import knn_bruteforce, knn_ivf
+
+    rng = np.random.RandomState(7)
+    centers = rng.standard_normal((8, 16)) * 5.0
+    rows = [
+        (i, (centers[i % 8] + rng.normal(0, 0.3, 16)).tolist())
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = df.where("vec_id < 24").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in knn_bruteforce(df, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in knn_ivf(df, queries, k=5, n_cells=8, n_probe=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall  # probe fraction is only 2/8 = 0.25

@@ -129,3 +129,29 @@ def test_config_change_invalidates_only_downstream(
     assert rerun.count("edges") == 2
     assert rerun.count("entities") == 1
     assert rerun.count("canon_map") == 1
+
+
+def test_resume_never_returns_stale_other_fingerprint_output(
+    spark, tmp_path_factory
+):
+    """Lineage rows are append-only but stage paths are overwritten per
+    run: after run(A) → run(B) → run(A), the old complete (stage, fpA)
+    row must NOT resume from the path (which now holds B's output) — the
+    on-disk fingerprint marker forces a recompute."""
+    from gliner_spark.plans.lineage import StageRunner, fingerprint
+
+    out = str(tmp_path_factory.mktemp("stale"))
+    runner = StageRunner(spark, out)
+    fp_a, fp_b = fingerprint("s", "A"), fingerprint("s", "B")
+
+    def produce_a():
+        return spark.range(3).selectExpr("id", "'A' as tag")
+
+    def produce_b():
+        return spark.range(5).selectExpr("id", "'B' as tag")
+
+    assert runner.run_stage("s", fp_a, produce_a).count() == 3
+    assert runner.run_stage("s", fp_b, produce_b).count() == 5
+    again = runner.run_stage("s", fp_a, produce_a)
+    assert again.count() == 3
+    assert {r.tag for r in again.collect()} == {"A"}

@@ -149,3 +149,19 @@ def test_exact_dedup_partial_aggregation(spark):
     first_exchange = plan.find("Exchange")
     assert 0 <= first_agg, plan
     assert 0 <= first_exchange, plan
+
+
+def test_minhash_signatures_is_pure_map_stage(spark):
+    """Signatures must be a narrow projection: no exchange, no aggregate
+    (r01 exploded shingles through a 64-buffer SortAggregate — a full
+    shuffle of every (id, shingle) row that a map-side array expression
+    makes unnecessary)."""
+    from gliner_spark.operators.linking import minhash_signatures
+
+    surfaces = spark.createDataFrame(
+        [("alpha corp",), ("beta inc",)], ["surface"]
+    )
+    plan = _plan(minhash_signatures(surfaces, n_perms=8))
+    assert plan.find("SortAggregate") < 0, plan
+    assert plan.find("HashAggregate") < 0, plan
+    assert plan.find("Exchange") < 0, plan
