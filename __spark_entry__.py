@@ -603,6 +603,49 @@ def _q_edge_agg(spark, sf_dir):
     )
 
 
+def _q_confidence_splits(spark, sf_dir):
+    """Curation workflow (reference create_confidence_splits.py): k-fold
+    assignment + per-example gold-span confidence under the token scorer.
+    Gold spans synthesized deterministically (first tokens of each doc).
+    Rows-only: confidences come from the hash scorer; the span-score math
+    is pytest-pinned to reproduce the token decoder exactly."""
+    from gliner_spark.operators.curation import confidence_splits
+
+    t = _doc_transcripts(spark, sf_dir)
+    gold = t.select(
+        "conv_id",
+        "turn_idx",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("tok_start"),
+                    F.lit(1).alias("tok_end"),
+                    F.lit("person").alias("label"),
+                ),
+                F.struct(
+                    F.lit(2).alias("tok_start"),
+                    F.lit(4).alias("tok_end"),
+                    F.lit("organization").alias("label"),
+                ),
+                F.struct(
+                    F.lit(5).alias("tok_start"),
+                    F.lit(5).alias("tok_end"),
+                    F.lit("tool").alias("label"),
+                ),
+            )
+        ).alias("g"),
+    ).select("conv_id", "turn_idx", "g.tok_start", "g.tok_end", "g.label")
+    out = confidence_splits(t, gold, ENTITY_TYPES, k=5, threshold=0.3)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "fold",
+        "n_spans",
+        F.round("min_confidence", 6).alias("min_confidence"),
+        F.round("mean_confidence", 6).alias("mean_confidence"),
+    )
+
+
 def _q_turn_cooccur(spark, sf_dir):
     """W4 in the turn domain: co-occurring entity mentions within a
     2-turn window over documents-as-multi-turn conversations (each doc
@@ -680,6 +723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classify_docs": _q_classify_docs,
         "summarize_docs": _q_summarize_docs,
         "multimodal_features": _q_multimodal_features,
+        "confidence_splits": _q_confidence_splits,
         "turn_cooccur": _q_turn_cooccur,
         "graph_edges": _q_graph_edges,
         "entity_pagerank": _q_entity_pagerank,

@@ -338,3 +338,47 @@ def decode_batch(
             )
         )
     return out
+
+
+def score_fixed_spans(
+    probs: np.ndarray,
+    spans: list[tuple],
+    n_tokens: int,
+    threshold: float = 0.4,
+    flat_ner: bool = True,
+    multi_label: bool = False,
+) -> list[tuple]:
+    """Confidence of FIXED (gold) spans under token-level probs (L, C, 3):
+    score = min(inside[st..ed, c] ∪ {start[st, c], end[ed, c]}); a span
+    with ANY inside prob < threshold is dropped, then greedy non-overlap —
+    the reference confidence-annotation path
+    (create_confidence_splits.py:43-59 `calculate_span_score` gold branch
+    + :16-36 `greedy_search`), used to annotate training data with model
+    confidence for curation splits.
+
+    spans: [(tok_start, tok_end_incl, class_idx)], indices into the
+    decoded token stream. Out-of-range or inverted spans are dropped
+    (truncation can orphan gold spans). Returns
+    [(tok_start, tok_end_incl, class_idx, score)] sorted by start.
+
+    This one function backs BOTH the Spark operator and the pure-Python
+    oracle — span-set parity is by construction (CLAUDE.md invariant).
+    """
+    ss: list[int] = []
+    es: list[int] = []
+    cs: list[int] = []
+    scs: list[float] = []
+    for st, ed, c in spans:
+        if st < 0 or ed < st or ed >= n_tokens or c < 0 or c >= probs.shape[1]:
+            continue
+        ins = probs[st : ed + 1, c, 2]
+        if (ins < threshold).any():
+            continue
+        sc = min(
+            float(ins.min()), float(probs[st, c, 0]), float(probs[ed, c, 1])
+        )
+        ss.append(int(st))
+        es.append(int(ed))
+        cs.append(int(c))
+        scs.append(sc)
+    return _greedy_py(ss, es, cs, scs, flat_ner, multi_label)

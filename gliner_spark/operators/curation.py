@@ -1,0 +1,201 @@
+"""Data-curation workflow: k-fold splits + model-confidence annotation.
+
+Spark-first restatement of the reference's training-data curation utility
+(create_confidence_splits.py): split a dataset into k folds, score every
+GOLD span with the model's token-level confidence (min over its inside
+scores plus the start/end scores, spans with any inside prob below the
+threshold dropped, greedy non-overlap — `calculate_span_score` +
+`greedy_search`, create_confidence_splits.py:16-59), and emit per-example
+confidence tables that drive relabeling / curriculum decisions.
+
+Differences from the reference, by design:
+ * fold assignment is a DETERMINISTIC hash bucket (pmod(xxhash64(seed,
+   id), k)) instead of sklearn KFold(shuffle, random_state) — the same
+   example always lands in the same fold on any cluster size, with no
+   global shuffle or driver-side index materialization (KFold needs the
+   full index list in memory; a hash is the only shape that survives
+   10^12 rows);
+ * the scoring pass is one narrow mapInArrow stage over transcripts with
+   their gold spans pre-grouped per turn — the reference's per-example
+   DataLoader loop, vectorized and shuffle-minimal: the only shuffle is
+   the gold-span groupBy and its join to transcripts on (conv_id,
+   turn_idx), both on the natural key.
+
+The span-confidence math itself lives in kernel/decode.score_fixed_spans,
+shared verbatim with the pure-Python oracle (parity by construction).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyarrow as pa
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import PipelineConfig, DEFAULT
+from ..kernel.decode import score_fixed_spans
+from ..kernel.scorer import get_scorer
+from ..kernel.tokenizer import prep_tokens
+
+GOLD_CONF_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("tok_start", T.IntegerType(), False),
+        T.StructField("tok_end", T.IntegerType(), False),
+        T.StructField("label", T.StringType(), False),
+        T.StructField("confidence", T.DoubleType(), False),
+    ]
+)
+
+
+def kfold_assign(
+    df: DataFrame,
+    k: int = 5,
+    seed: int = 42,
+    id_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """Append a deterministic `fold` column in [0, k). Equivalent role to
+    the reference's KFold(shuffle=True, random_state=42) split
+    (create_confidence_splits.py:75-78), as a stable hash bucket."""
+    if k < 2:
+        raise ValueError(f"k={k}: need at least 2 folds")
+    return df.withColumn(
+        "fold",
+        F.pmod(F.xxhash64(F.lit(seed), *[F.col(c) for c in id_cols]), F.lit(k))
+        .cast("int"),
+    )
+
+
+def score_gold_spans(
+    transcripts: DataFrame,
+    gold: DataFrame,
+    entity_types: list[str],
+    cfg: PipelineConfig | None = None,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Annotate gold spans with model confidence.
+
+    gold: (conv_id, turn_idx, tok_start, tok_end, label) — token-index
+    spans (end inclusive) as in the reference's tokenized gold format.
+    Returns the surviving spans with a `confidence` column; spans whose
+    label is outside `entity_types`, whose indices fall outside the
+    (possibly truncated) token stream, or whose inside scores dip below
+    `threshold` are dropped — reference semantics exactly.
+
+    Plan shape: gold groupBy (conv_id, turn_idx) → join transcripts on the
+    same key → ONE mapInArrow scoring stage (no per-row Python, Arrow
+    batches; ragged span lists ride as list columns).
+    """
+    cfg = cfg or DEFAULT
+    entity_types = list(dict.fromkeys(entity_types))
+    label_mat = get_scorer(cfg.scorer).encode_labels(entity_types)
+    cls_idx = {lab: i for i, lab in enumerate(entity_types)}
+
+    grouped = gold.groupBy("conv_id", "turn_idx").agg(
+        F.collect_list(
+            F.struct(
+                F.col("tok_start").cast("int").alias("s"),
+                F.col("tok_end").cast("int").alias("e"),
+                F.col("label").alias("l"),
+            )
+        ).alias("gold_spans")
+    )
+    joined = transcripts.select("conv_id", "turn_idx", "text").join(
+        grouped, on=["conv_id", "turn_idx"], how="inner"
+    )
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .ner import _chunk_rows
+
+        scorer = get_scorer(cfg.scorer)
+        for batch in batches:
+            conv = batch.column("conv_id").to_pylist()
+            turn = batch.column("turn_idx").to_pylist()
+            texts = batch.column("text").to_pylist()
+            span_lists = batch.column("gold_spans").to_pylist()
+            prepped = [prep_tokens(t, cfg.max_len, cfg.tokenizer) for t in texts]
+            lengths = [len(p[0]) for p in prepped]
+            cols: dict[str, list] = {
+                n: [] for n in GOLD_CONF_SCHEMA.fieldNames()
+            }
+            # chunked scoring (same budget policy as extract_entities_token)
+            for lo, hi in _chunk_rows(
+                lengths, 3, scorer.cfg.dim, len(entity_types)
+            ):
+                ids, _ = scorer.ids_matrix(
+                    [prepped[i][0] for i in range(lo, hi)]
+                )
+                probs = scorer.token_scores(ids, label_mat)
+                for i in range(lo, hi):
+                    spans = [
+                        (sp["s"], sp["e"], cls_idx[sp["l"]])
+                        for sp in span_lists[i]
+                        if sp["l"] in cls_idx
+                    ]
+                    for st, ed, ci, sc in score_fixed_spans(
+                        probs[i - lo],
+                        spans,
+                        lengths[i],
+                        threshold,
+                        flat_ner=cfg.flat_ner,
+                        multi_label=cfg.multi_label,
+                    ):
+                        cols["conv_id"].append(conv[i])
+                        cols["turn_idx"].append(turn[i])
+                        cols["tok_start"].append(st)
+                        cols["tok_end"].append(ed)
+                        cols["label"].append(entity_types[ci])
+                        cols["confidence"].append(float(sc))
+            yield pa.RecordBatch.from_pydict(
+                cols, schema=pa.schema(
+                    [
+                        ("conv_id", pa.string()),
+                        ("turn_idx", pa.int32()),
+                        ("tok_start", pa.int32()),
+                        ("tok_end", pa.int32()),
+                        ("label", pa.string()),
+                        ("confidence", pa.float64()),
+                    ]
+                )
+            )
+
+    return joined.mapInArrow(run, GOLD_CONF_SCHEMA)
+
+
+def confidence_splits(
+    transcripts: DataFrame,
+    gold: DataFrame,
+    entity_types: list[str],
+    k: int = 5,
+    cfg: PipelineConfig | None = None,
+    threshold: float = 0.4,
+    seed: int = 42,
+) -> DataFrame:
+    """The full curation table: per example (conv_id, turn_idx) — fold
+    assignment, surviving gold-span count, and min/mean model confidence
+    (examples whose every gold span is dropped keep n_spans = 0 with null
+    confidences, so low-confidence data is visible, not silently lost)."""
+    scored = score_gold_spans(transcripts, gold, entity_types, cfg, threshold)
+    per_example = scored.groupBy("conv_id", "turn_idx").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.min("confidence").alias("min_confidence"),
+        F.avg("confidence").alias("mean_confidence"),
+    )
+    examples = transcripts.join(
+        gold.select("conv_id", "turn_idx").distinct(),
+        on=["conv_id", "turn_idx"],
+        how="inner",
+    ).select("conv_id", "turn_idx")
+    base = kfold_assign(examples, k, seed)
+    return base.join(per_example, on=["conv_id", "turn_idx"], how="left").select(
+        "conv_id",
+        "turn_idx",
+        "fold",
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        "min_confidence",
+        "mean_confidence",
+    )

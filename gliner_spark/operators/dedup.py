@@ -6,8 +6,9 @@ pipeline runs before anything else. All variants are shuffle-frugal:
                  only (hash, count) pairs;
   minhash-LSH    word-shingle MinHash → banded equi-join (same machinery as
                  entity linking, generalized to any (id, shingles) input);
-  simhash        64-bit sign-of-weighted-sum sketch, computed with 64
-                 map-side-partial sum aggregates; near-dup candidates via
+  simhash        64-bit sign-of-weighted-sum sketch, computed as one
+                 map-side projection (per-bit array folds over the token
+                 hashes — zero shuffle); near-dup candidates via
                  (max_hamming + 1)-band equality — pigeonhole: ≤ max_hamming
                  differing bits across > max_hamming bands leaves ≥ 1 band
                  identical, so recall is GUARANTEED, then verified by exact
@@ -211,23 +212,29 @@ def near_dedup_survivors(
 
 def simhash_bits(docs: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
     """(doc_id, bits: array<int>[64]) — Charikar sign-sketch over token
-    hashes. One explode + 64 conditional-sum partial aggregates."""
-    toks = docs.select(
-        "doc_id", F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                -1
-            )
-        ).alias(f"_b{i}")
-        for i in range(bits)
-    ]
-    agg = toks.groupBy("doc_id").agg(*aggs)
-    bit_arr = F.array(
-        *[F.when(F.col(f"_b{i}") > 0, 1).otherwise(0) for i in range(bits)]
+    hashes, as ONE map-side projection: token hashes computed once per
+    row, then per bit an array fold summing ±1 and a sign threshold.
+    Zero shuffle (the former explode → 64-sum groupBy moved every
+    (doc, token) row through an exchange; same lesson as the MinHash
+    signatures). Token MULTIPLICITY is preserved — duplicates weight the
+    sketch exactly as the exploded sum did."""
+    hs = F.transform(
+        tokens(F.lower(F.col(text_col))), lambda t: F.xxhash64(t)
     )
-    return agg.select("doc_id", bit_arr.alias("bits"))
+    def bit(i: int):
+        total = F.aggregate(
+            F.col("_hs"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(
+                F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1),
+        )
+        return F.when(total > 0, 1).otherwise(0)
+    with_h = docs.select("doc_id", hs.alias("_hs")).where(F.size("_hs") > 0)
+    return with_h.select(
+        "doc_id", F.array(*[bit(i) for i in range(bits)]).alias("bits")
+    )
 
 
 def _band_slices(bits: int, n_bands: int) -> list[tuple[int, int]]:

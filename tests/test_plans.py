@@ -165,3 +165,17 @@ def test_minhash_signatures_is_pure_map_stage(spark):
     assert plan.find("SortAggregate") < 0, plan
     assert plan.find("HashAggregate") < 0, plan
     assert plan.find("Exchange") < 0, plan
+
+
+def test_simhash_bits_is_pure_map_stage(spark):
+    """Same property as minhash signatures: the sketch is a projection,
+    not an explode + 64-sum aggregate (which shuffled every (doc, token)
+    row)."""
+    from gliner_spark.operators.dedup import simhash_bits
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "delta epsilon")], ["doc_id", "text"]
+    )
+    plan = _plan(simhash_bits(docs))
+    assert plan.find("Exchange") < 0, plan
+    assert plan.find("Aggregate") < 0, plan

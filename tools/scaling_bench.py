@@ -113,7 +113,16 @@ def main():
         f"**Scaling efficiency N→4N: {result['scaling_efficiency']}** "
         "(target ≥ 0.8).\n"
     )
-    txt = re.sub(r"\n## Measured scaling \(this sandbox\)\n[\s\S]*", "", txt)
+    # replace ONLY this section — stop at the next heading (the greedy
+    # [\s\S]* version once ate the e2e-pipeline section that follows)
+    m = re.search(r"\n## Measured scaling \(this sandbox\)\n", txt)
+    if m:
+        rest = txt[m.end():]
+        nxt = re.search(r"\n## ", rest)
+        tail = rest[nxt.start():] if nxt else ""
+        txt = txt[: m.start()] + tail
+    if not txt.endswith("\n"):
+        txt += "\n"
     with open(baseline, "w") as f:
         f.write(txt + section)
     print(f"updated {baseline}")
