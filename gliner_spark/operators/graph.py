@@ -124,7 +124,9 @@ def pagerank(
                     * (F.coalesce("inflow", F.lit(0.0)) + F.lit(dangling / n))
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            # lazy: the delta aggregate below both materializes this
+            # round's ranks and measures convergence in a single job
+            .localCheckpoint(eager=False)
         )
         delta = (
             new_ranks.alias("n")

@@ -345,9 +345,12 @@ def connected_components(
 
     sig = _sig(e)
     for _ in range(max_iter):
-        # one materialization per round: the large-star intermediate stays
-        # lazy inside the small-star plan (two shuffles fused into one job)
-        e = _small_star(_large_star(e)).localCheckpoint()
+        # ONE job per round: the large-star intermediate stays lazy inside
+        # the small-star plan (two shuffles fused), and the checkpoint is
+        # LAZY — the signature aggregate both materializes it and checks
+        # convergence, instead of paying a separate materialization job
+        # (round cost here is scheduler-bound, not data-bound)
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         new_sig = _sig(e)
         if new_sig == sig:
             break
