@@ -504,7 +504,10 @@ def _q_multimodal_features(spark, sf_dir):
     """Binary-asset feature extraction (mapInPandas over Arrow batches).
     The feature vector is posexploded to scalar (dim, value) rows — the
     driver's canonicalizer hashes scalars only (r01: array<float> columns
-    raise `unhashable type: 'list'` in its pandas factorize)."""
+    raise `unhashable type: 'list'` in its pandas factorize). Payloads
+    come from an arithmetic generator both engines can compute, so this
+    is fully DuckDB-oracle-checked (the oracle rebuilds the byte
+    histograms analytically)."""
     from gliner_spark.operators.multimodal import extract_features, synth_assets
 
     _ensure_shipped(spark)
@@ -710,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": _q_pricing_summary,
         "mention_cooccur": _q_mention_cooccur,
         "edge_agg": _q_edge_agg,
+        "multimodal_features": _q_multimodal_features,
         # non-SQL-expressible (hashed scorer / sketches / iteration):
         "ner_entities": _q_ner_entities,
         "re_triples": _q_re_triples,
@@ -722,7 +726,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ner_token_mode": _q_ner_token_mode,
         "classify_docs": _q_classify_docs,
         "summarize_docs": _q_summarize_docs,
-        "multimodal_features": _q_multimodal_features,
         "confidence_splits": _q_confidence_splits,
         "turn_cooccur": _q_turn_cooccur,
         "graph_edges": _q_graph_edges,
@@ -1038,6 +1041,30 @@ def oracle_sql() -> dict[str, str]:
               on a.conv_id = b.conv_id
              and abs(b.turn_idx - a.turn_idx) <= 2
              and (a.turn_idx, a.pos, a.text) < (b.turn_idx, b.pos, b.text)
+        """,
+        "multimodal_features": """
+            -- regenerates the synthetic 64-byte payloads with the same
+            -- arithmetic generator (multimodal.synth_asset_byte) and
+            -- derives the byte-histogram features analytically; /64.0 is
+            -- exact in float32 and double, so values match bit-for-bit
+            with assets as (select range as asset_id from range(200)),
+            bytes as (
+              select asset_id, i,
+                     (2654435761 * asset_id + 40503 * i + 4087) % 256 as v
+              from assets, unnest(generate_series(0, 63)) as u(i)),
+            hist as (
+              select asset_id, (v % 16)::int as dim, count(*) as cnt
+              from bytes group by 1, 2),
+            dims as (select range::int as dim from range(16))
+            select a.asset_id,
+                   case (a.asset_id % 3) when 0 then 'image'
+                        when 1 then 'audio' else 'video' end as kind,
+                   64 as n_bytes,
+                   d.dim,
+                   round(coalesce(h.cnt, 0) / 64.0, 6) as value
+            from assets a
+            cross join dims d
+            left join hist h on h.asset_id = a.asset_id and h.dim = d.dim
         """,
         "edge_agg": """
             with t as (

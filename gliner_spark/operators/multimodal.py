@@ -49,24 +49,38 @@ FEATURE_SCHEMA = T.StructType(
 _FEATURE_DIM = 16
 
 
+_PAYLOAD_BYTES = 64  # power of two: histogram/64 is exact in float32 AND
+# double, so the fake-feature values are bit-identical across engines
+
+
+def synth_asset_byte(asset_id, i, seed: int = 42):
+    """Byte i of asset `asset_id`'s payload: a plain LCG-style mix,
+    (a·id + b·i + c) mod 256 — ARITHMETIC on purpose, so a DuckDB oracle
+    can regenerate the exact payload (xxhash64 payloads would make the
+    whole multimodal path un-oracle-able, which is how r01's query ended
+    up rows-only)."""
+    a, b, c = 2654435761, 40503, seed * 97 + 13
+    return F.pmod(
+        F.lit(a) * asset_id + F.lit(b) * F.lit(i) + F.lit(c), F.lit(256)
+    )
+
+
 def synth_assets(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
-    """Deterministic synthetic binary assets — payload = xxhash64-seeded
-    bytes via native expressions (unhex of concatenated hashes)."""
+    """Deterministic synthetic binary assets — 64-byte payloads from the
+    cross-engine arithmetic generator (unhex of concatenated byte hex)."""
     kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
     base = spark.range(n).select(
         F.col("id").alias("asset_id"),
         F.element_at(
-            kinds, (F.pmod(F.xxhash64(F.lit(seed), "id"), F.lit(3)) + 1).cast("int")
+            kinds, (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int")
         ).alias("kind"),
         F.unhex(
             F.concat(
                 *[
                     F.lpad(
-                        F.hex(F.abs(F.xxhash64(F.lit(seed), F.col("id"), F.lit(i)))),
-                        16,
-                        "0",
+                        F.hex(synth_asset_byte(F.col("id"), i, seed)), 2, "0"
                     )
-                    for i in range(4)
+                    for i in range(_PAYLOAD_BYTES)
                 ]
             )
         ).alias("data"),

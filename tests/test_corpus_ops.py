@@ -279,7 +279,7 @@ def test_multimodal_fake_features_deterministic(spark):
     assert f1 == f2
     assert len(f1) == 50
     assert all(len(r[-1]) == 16 for r in f1)
-    assert all(r[2] == 32 for r in f1)  # 4×8-byte hash payloads
+    assert all(r[2] == 64 for r in f1)  # 64-byte arithmetic payloads
 
 
 def test_multimodal_real_decoder_is_stubbed(spark):
