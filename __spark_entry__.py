@@ -169,6 +169,12 @@ def _q_redact_pii(spark, sf_dir):
     return redact_pii(_docs(spark, sf_dir))
 
 
+def _q_bpe_token_stats(spark, sf_dir):
+    from gliner_spark.operators.textstats import bpe_token_stats
+
+    return bpe_token_stats(_docs(spark, sf_dir))
+
+
 def _q_corpus_summary(spark, sf_dir):
     """Sketch-based corpus profile (HLL vocab + GK quantiles) — the
     mergeable-sketch shape exact distincts can't take at 10^12 docs.
@@ -694,6 +700,7 @@ def _q_entity_pagerank(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_stats": _q_token_stats,
+        "bpe_token_stats": _q_bpe_token_stats,
         "span_grid": _q_span_grid,
         "exact_dedup": _q_exact_dedup,
         "quality_scores": _q_quality,
@@ -786,6 +793,21 @@ def oracle_sql() -> dict[str, str]:
                    round(case when len(toks) > 0 then
                      list_sum(list_transform(toks, x -> length(x)))::double
                        / len(toks) else 0.0 end, 6) as avg_token_len
+            from t
+        """,
+        "bpe_token_stats": f"""
+            with t as (
+              select doc_id, text, {_TOKS_SQL} as ws,
+                     regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')
+                       as bpe
+              from documents)
+            select doc_id,
+                   len(ws) as n_tokens_ws,
+                   len(bpe) as n_tokens_bpe,
+                   round(case when len(bpe) > 0
+                         then length(text)::double / len(bpe)
+                         else 0.0 end, 6) as chars_per_bpe_token
             from t
         """,
         "span_grid": f"""

@@ -95,6 +95,32 @@ class GLiNERSpark:
             multi_label=multi_label, **kwargs,
         )
 
+    def encode_labels(self, labels: list[str]):
+        """model.py:604-630 — pre-encode the label set once (the
+        bi-encoder trick this engine broadcasts Spark-side). Returns an
+        opaque handle for predict_with_embeds."""
+        labels = list(dict.fromkeys(labels))
+        return labels, self._oracle.scorer.encode_labels(labels)
+
+    def predict_with_embeds(
+        self,
+        texts: list[str],
+        labels_embeds,
+        flat_ner: bool = True,
+        threshold: float = 0.5,
+        multi_label: bool = False,
+        **_kwargs,
+    ) -> list[list[dict]]:
+        """model.py:451-531 — inference against PRE-ENCODED label
+        embeddings (no per-call label re-encoding)."""
+        labels, mat = labels_embeds
+        return [
+            self._oracle._run_one(
+                t, labels, mat, threshold, flat_ner, multi_label
+            )
+            for t in texts
+        ]
+
     # ------------------------------------------- inference (DataFrame path)
     def predict_entities_df(
         self,

@@ -118,6 +118,35 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer regex (GPT-2 shape, made RE2/Java-safe: the
+# original's `\s+(?!\S)` lookahead is dropped and whitespace runs are
+# simply not counted): contractions | space?+letters | space?+digits |
+# space?+punct-run. Counts approximate BPE token budgets well enough for
+# corpus sizing without a merges table.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token-count pair per doc: whitespace-regex tokens vs BPE-ish
+    pre-tokenizer pieces, plus chars-per-piece — the corpus-budget
+    estimator a training pipeline runs before tokenizing for real. Pure
+    map stage, zero shuffle."""
+    ws = tokens(F.col(text_col))
+    bpe = F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)
+    n_bpe = F.size(bpe)
+    return docs.select(
+        "doc_id",
+        F.size(ws).alias("n_tokens_ws"),
+        n_bpe.alias("n_tokens_bpe"),
+        F.round(
+            F.when(
+                n_bpe > 0, F.length(text_col).cast("double") / n_bpe
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("chars_per_bpe_token"),
+    )
+
+
 # PII patterns: RE2/Java/Python-compatible (no lookarounds/backrefs), so
 # the same strings drive Spark, DuckDB oracle checks, and the py oracle
 PII_PATTERNS = [

@@ -94,3 +94,12 @@ def test_multitask_pipeline_classes():
     ox = GLiNEROpenExtractor()
     spans = ox(TEXTS[0], labels=["match"], threshold=0.2)
     assert len(spans) == 1
+
+
+def test_predict_with_embeds_matches_run():
+    model = GLiNERSpark()
+    handle = model.encode_labels(LABELS + LABELS)  # dedup like model.py:202
+    assert handle[0] == LABELS
+    a = model.predict_with_embeds(TEXTS, handle, threshold=0.3)
+    b = model.run(TEXTS, LABELS, threshold=0.3)
+    assert a == b

@@ -479,3 +479,21 @@ def test_knn_ivf_clustered_recall_beats_probe_fraction(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, recall  # probe fraction is only 2/8 = 0.25
+
+
+def test_bpe_token_stats_vs_python(spark, docs):
+    import re as _re
+
+    from gliner_spark.operators.textstats import BPE_ISH_PATTERN, bpe_token_stats
+
+    got = {r.doc_id: (r.n_tokens_ws, r.n_tokens_bpe, r.chars_per_bpe_token)
+           for r in bpe_token_stats(docs).collect()}
+    rx = _re.compile(BPE_ISH_PATTERN)
+    for row in docs.select("doc_id", "text").collect():
+        n_bpe = len(rx.findall(row.text))
+        assert got[row.doc_id][1] == n_bpe, row.doc_id
+        if n_bpe:
+            assert abs(got[row.doc_id][2] - round(len(row.text) / n_bpe, 6)) < 1e-9
+    # BPE-ish pieces at least as numerous as whitespace words on latin text
+    en = {r.doc_id for r in docs.where("lang = 'en'").collect()}
+    assert all(got[d][1] >= got[d][0] * 0.5 for d in en)
