@@ -60,6 +60,7 @@ class HashedBiEncoder:
         self.start_table = self.emb @ w_start  # (buckets, dim)
         self.end_table = self.emb @ w_end      # (buckets, dim)
         self._label_cache: dict[str, np.ndarray] = {}
+        self._labelset_cache: dict[tuple[str, ...], np.ndarray] = {}
         self._tok_cache: dict[str, int] = {}
         # token-level scorer parameters (reference Scorer,
         # modeling/scorers.py:4-35: two-way token/label projections, a
@@ -120,11 +121,27 @@ class HashedBiEncoder:
         self._label_cache[label] = vec
         return vec
 
+    _LABELSET_CACHE_MAX = 1 << 16
+
     def encode_labels(self, labels: list[str]) -> np.ndarray:
-        """(C, dim) float32, one normalized vector per label."""
+        """(C, dim) float32, one normalized vector per label.
+
+        Memoized at the label-SET level too: the RE pass encodes one
+        composite-label list per row and the same (entity, relation)
+        combinations recur constantly, so the per-row lookup+stack was a
+        measurable slice of batch wall time. Values are byte-identical to
+        the uncached path — each label vector still comes from the same
+        per-label computation (no batch-shape-dependent BLAS path)."""
         if not labels:
             return np.zeros((0, self.cfg.dim), dtype=np.float32)
-        return np.stack([self.encode_label(lb) for lb in labels])
+        key = tuple(labels)
+        cached = self._labelset_cache.get(key)
+        if cached is not None:
+            return cached
+        mat = np.stack([self.encode_label(lb) for lb in labels])
+        if len(self._labelset_cache) < self._LABELSET_CACHE_MAX:
+            self._labelset_cache[key] = mat
+        return mat
 
     # -------------------------------------------------------------- scoring
     def _span_vecs(self, ids: np.ndarray, max_width: int):
