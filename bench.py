@@ -81,15 +81,23 @@ def build_queries(spark, sf_dir: str, n_convs: int, parts: int):
     extract_triples(warm, RELATIONS, ENTITY_TYPES).count()
     warm.unpersist()
 
-    # cached: ner_entities pays the extraction once; cooccur/linking then
-    # time ONLY their own joins/aggregations
+    # the shared entities cache is MATERIALIZED here, outside any timed
+    # region: cooccur/linking then time only their own joins/aggregations,
+    # and q_ner_entities times a FRESH extraction pass (not a cache count)
     ents = extract_entities(transcripts, ENTITY_TYPES).cache()
+    ents.count()
 
     def q_kg_triples():
         return extract_triples(transcripts, RELATIONS, ENTITY_TYPES).count()
 
     def q_ner_entities():
-        return ents.count()
+        # extra passthrough column: makes the plan differ from the cached
+        # `ents` so Spark can't substitute InMemoryTableScan — this must
+        # time a real extraction pass, not a cache count
+        return extract_entities(
+            transcripts, ENTITY_TYPES,
+            passthrough=("conv_id", "turn_idx", "role"),
+        ).count()
 
     def q_cooccur():
         return induce_cooccurrence(ents, turn_window=2).count()
@@ -198,13 +206,22 @@ def main():
         keep = set(subset.split(","))
         queries = {k: v for k, v in queries.items() if k in keep}
 
+    # best-of-N per query: this shared VM shows ±40% wall-time noise on
+    # identical runs (hypervisor neighbors), so a single sample measures
+    # the neighbor, not the plan. N=2 by default; BENCH_REPEATS=1 restores
+    # single-shot.
+    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
     for name, fn in queries.items():
         print(f"[bench] running {name}", file=sys.stderr, flush=True)
-        t0 = time.time()
-        counts[name] = fn()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(max(repeats, 1)):
+            t0 = time.time()
+            counts[name] = fn()
+            wall = round(time.time() - t0, 3)
+            best = wall if best is None else min(best, wall)
+        timings[name] = best
         print(
             f"[bench] {name}: {timings[name]}s rows={counts[name]}",
             file=sys.stderr,
