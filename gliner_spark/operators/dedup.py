@@ -109,6 +109,8 @@ def minhash_near_duplicates(
     `max_bucket_size` caps LSH bucket fan-out (see
     linking.candidate_pairs) — boilerplate-heavy corpora otherwise explode
     the band self-join quadratically."""
+    from .linking import lsh_bucket_pairs
+
     rows_per_band = n_perms // n_bands
     sh = doc_shingles(docs, text_col, shingle_n)
     sigs = minhash_sigs(sh, "doc_id", n_perms)
@@ -129,30 +131,12 @@ def minhash_near_duplicates(
             )
         ).alias("band", "bh"),
     )
-    # materialize once: the bucket filter and both self-join branches
-    # would otherwise each recompute the full 64-aggregate signature chain
-    # (same pattern as linking.candidate_pairs)
-    banded = banded.localCheckpoint()
-    if max_bucket_size is not None:
-        ok = (
-            banded.groupBy("band", "bh")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .where(F.col("_n") <= max_bucket_size)
-            .select("band", "bh")
-        )
-        banded = banded.join(ok, on=["band", "bh"])
-    pairs = (
-        banded.alias("l")
-        .join(
-            banded.alias("r"),
-            on=["band", "bh"],
-        )
-        .where(F.col("l.doc_id") < F.col("r.doc_id"))
-        .select(
-            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    # bucketed intra-group pair expansion (see linking.lsh_bucket_pairs):
+    # two exchanges, bucket cap integrated, never materializes the
+    # multi-band collision multiset a self-join would
+    pairs = lsh_bucket_pairs(
+        banded, "doc_id", ("band", "bh"), max_bucket_size
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
     return (
         pairs.join(
             sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
@@ -272,9 +256,11 @@ def simhash_candidates(
         )
     if n_bands > bits:
         raise ValueError(f"n_bands={n_bands} exceeds bits={bits}")
+    from .linking import lsh_bucket_pairs
+
+    with_bits = with_bits.localCheckpoint()  # pair source + two bit joins
     banded = with_bits.select(
         "doc_id",
-        "bits",
         F.posexplode(
             F.array(
                 *[
@@ -295,20 +281,23 @@ def simhash_candidates(
             )
         ).alias("band", "bh"),
     )
-    # materialize once: both self-join branches would otherwise recompute
-    # the 64-sum simhash sketch chain
-    banded = banded.localCheckpoint()
-    cand = (
-        banded.alias("l")
-        .join(banded.alias("r"), on=["band", "bh"])
-        .where(F.col("l.doc_id") < F.col("r.doc_id"))
-        .select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("l.bits").alias("bits_a"),
-            F.col("r.doc_id").alias("doc_b"),
-            F.col("r.bits").alias("bits_b"),
-        )
-        .distinct()
+    # bucketed intra-group pair expansion (see linking.lsh_bucket_pairs);
+    # bit vectors are re-joined afterwards so the bucket lists stay
+    # 8-bytes-per-id instead of carrying 64-int arrays
+    cand = lsh_bucket_pairs(banded, "doc_id", ("band", "bh"), None).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    bits_tbl = with_bits.select("doc_id", "bits")
+    cand = cand.join(
+        bits_tbl.select(
+            F.col("doc_id").alias("doc_a"), F.col("bits").alias("bits_a")
+        ),
+        "doc_a",
+    ).join(
+        bits_tbl.select(
+            F.col("doc_id").alias("doc_b"), F.col("bits").alias("bits_b")
+        ),
+        "doc_b",
     )
     hamming = F.size(
         F.filter(
@@ -482,20 +471,21 @@ def embedding_near_duplicates_lsh(
             for p in range(n_planes)
         ]
         sketches.append(F.xxhash64(F.lit(t), F.concat(*bits)))
+    from .linking import lsh_bucket_pairs
+
+    e = e.localCheckpoint()  # pair source + two unit-vector joins
     banded = e.select(
-        "vec_id", "unit", F.posexplode(F.array(*sketches)).alias("table", "sk")
+        "vec_id", F.posexplode(F.array(*sketches)).alias("table", "sk")
     )
-    cand = (
-        banded.alias("l")
-        .join(banded.alias("r"), on=["table", "sk"])
-        .where(F.col("l.vec_id") < F.col("r.vec_id"))
-        .select(
-            F.col("l.vec_id").alias("vec_a"),
-            F.col("l.unit").alias("ua"),
-            F.col("r.vec_id").alias("vec_b"),
-            F.col("r.unit").alias("ub"),
-        )
-        .distinct()
+    cand = lsh_bucket_pairs(banded, "vec_id", ("table", "sk"), None).select(
+        F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b")
+    )
+    cand = cand.join(
+        e.select(F.col("vec_id").alias("vec_a"), F.col("unit").alias("ua")),
+        "vec_a",
+    ).join(
+        e.select(F.col("vec_id").alias("vec_b"), F.col("unit").alias("ub")),
+        "vec_b",
     )
     return (
         cand.withColumn("cos", _dot("ua", "ub"))

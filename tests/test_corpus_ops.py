@@ -121,20 +121,35 @@ def test_embedding_near_dup_bruteforce_vs_duckdb(spark, embeddings, ddb):
 
 
 def test_embedding_lsh_is_subset_with_high_recall(spark, embeddings):
+    """PLANTED near-duplicates: the driver testdata has zero pairs at
+    cosine ≥ 0.8 at every SF, which made the original form of this test
+    vacuous (empty exact set → recall check skipped). Each base vector
+    gets a noisy twin at cosine ≈ 0.997; LSH must be a subset of exact
+    and recover ≥ 90% of it."""
+    import numpy as np
+
     from gliner_spark.operators.dedup import (
         embedding_near_duplicates_bruteforce,
         embedding_near_duplicates_lsh,
     )
 
+    rng = np.random.RandomState(5)
+    base = rng.standard_normal((40, 64))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        w = v + rng.normal(0, 0.05, 64)
+        rows.append((1000 + i, [float(x) for x in w]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
     exact = {(r.vec_a, r.vec_b)
              for r in embedding_near_duplicates_bruteforce(
-                 embeddings, threshold=0.8).collect()}
+                 df, threshold=0.95).collect()}
     approx = {(r.vec_a, r.vec_b)
               for r in embedding_near_duplicates_lsh(
-                  embeddings, threshold=0.8).collect()}
+                  df, threshold=0.95, dim=64).collect()}
+    assert len(exact) >= 40  # every planted twin is a true pair
     assert approx <= exact
-    if exact:
-        assert len(approx) / len(exact) >= 0.9
+    assert len(approx) / len(exact) >= 0.9
 
 
 # -------------------------------------------------------------- similarity
