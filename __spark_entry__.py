@@ -612,6 +612,65 @@ def _q_edge_agg(spark, sf_dir):
     )
 
 
+def _q_dedup_survivors(spark, sf_dir):
+    """Survivor set after exact dedup (min doc_id per content hash) —
+    the actual drop-duplicates operator a pipeline applies, not just the
+    group report."""
+    from gliner_spark.operators.dedup import distinct_docs
+
+    return distinct_docs(_docs(spark, sf_dir)).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def _q_session_stats(spark, sf_dir):
+    """Per-session aggregates over gap-sessionized events (bounds,
+    duration, event count)."""
+    from gliner_spark.operators.sessions import session_stats, sessionize
+
+    s = sessionize(
+        _events(spark, sf_dir), gap_seconds=600, order_cols=("event_id",)
+    )
+    return session_stats(s).select(
+        "user_id", "session_idx", "n_events",
+        "session_start", "session_end", "duration_us",
+    )
+
+
+def _q_frame_plan(spark, sf_dir):
+    """Video frame-sampling plan (explode-then-decode shape); arithmetic
+    frame counts make it oracle-checkable."""
+    from gliner_spark.operators.multimodal import frame_sample_plan, synth_assets
+
+    return frame_sample_plan(synth_assets(spark, 200), every_n=10)
+
+
+def _q_multimodal_resize(spark, sf_dir):
+    """Image-resize plumbing (mapInPandas, production-shaped output
+    payloads); rows-only — emits a digest of the deterministic fake
+    payload rather than the binary itself."""
+    from gliner_spark.operators.multimodal import resize_images, synth_assets
+
+    _ensure_shipped(spark)
+    out = resize_images(synth_assets(spark, 200), width=32, height=32)
+    return out.select(
+        "asset_id", "width", "height", F.md5("data").alias("payload_md5")
+    )
+
+
+def _q_ner_nested(spark, sf_dir):
+    """Nested-NER + multi-label decode path (reference flat_ner=False,
+    multi_label=True): overlapping spans allowed when one nests the
+    other, multiple labels per identical span."""
+    from gliner_spark.config import PipelineConfig
+    from gliner_spark.operators.ner import extract_entities
+
+    cfg = PipelineConfig(flat_ner=False, multi_label=True)
+    return extract_entities(
+        _doc_transcripts(spark, sf_dir), ENTITY_TYPES, cfg=cfg
+    )
+
+
 def _q_confidence_splits(spark, sf_dir):
     """Curation workflow (reference create_confidence_splits.py): k-fold
     assignment + per-example gold-span confidence under the token scorer.
@@ -721,6 +780,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mention_cooccur": _q_mention_cooccur,
         "edge_agg": _q_edge_agg,
         "multimodal_features": _q_multimodal_features,
+        "dedup_survivors": _q_dedup_survivors,
+        "session_stats": _q_session_stats,
+        "frame_plan": _q_frame_plan,
         # non-SQL-expressible (hashed scorer / sketches / iteration):
         "ner_entities": _q_ner_entities,
         "re_triples": _q_re_triples,
@@ -734,6 +796,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classify_docs": _q_classify_docs,
         "summarize_docs": _q_summarize_docs,
         "confidence_splits": _q_confidence_splits,
+        "multimodal_resize": _q_multimodal_resize,
+        "ner_nested": _q_ner_nested,
         "turn_cooccur": _q_turn_cooccur,
         "graph_edges": _q_graph_edges,
         "entity_pagerank": _q_entity_pagerank,
@@ -1104,6 +1168,44 @@ def oracle_sql() -> dict[str, str]:
                    count(distinct conv_id) as n_convs
             from t
             group by subj_id, subj_canonical, pred, obj_id, obj_canonical
+        """,
+        "dedup_survivors": f"""
+            select d.doc_id, d.lang, d.source, d.n_chars
+            from documents d
+            join (select min(doc_id) as doc_id
+                  from documents group by md5({_NORM_SQL})) k
+              on d.doc_id = k.doc_id
+        """,
+        "session_stats": """
+            with g as (
+              select user_id, event_id, ts,
+                     case when lag(ts) over w is null
+                          or epoch_us(ts) - epoch_us(lag(ts) over w)
+                             > 600000000
+                          then 1 else 0 end as new_s
+              from events
+              window w as (partition by user_id order by ts, event_id)),
+            s as (
+              select user_id, ts,
+                     (sum(new_s) over (partition by user_id
+                                       order by ts, event_id
+                                       rows unbounded preceding))::bigint
+                       as session_idx
+              from g)
+            select user_id, session_idx,
+                   count(*) as n_events,
+                   min(ts) as session_start,
+                   max(ts) as session_end,
+                   epoch_us(max(ts)) - epoch_us(min(ts)) as duration_us
+            from s group by user_id, session_idx
+        """,
+        "frame_plan": """
+            with assets as (select range as asset_id from range(200)),
+            v as (select asset_id,
+                         (48271 * asset_id + 11) % 300 + 1 as n_frames
+                  from assets where asset_id % 3 = 2)
+            select asset_id, i::int as frame_idx
+            from v, unnest(generate_series(0, n_frames - 1, 10)) as u(i)
         """,
         "session_agg": """
             select event_type, date_trunc('hour', ts) as hour,

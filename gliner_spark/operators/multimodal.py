@@ -189,8 +189,12 @@ def frame_sample_plan(assets: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling PLAN: expands per-asset frame indices natively
     (metadata-driven; the decode of each sampled frame is the stubbed
     step). Demonstrates the explode-then-decode partition shape: sampling
-    plan rows are tiny, so the shuffle (if any) moves indices, not bytes."""
-    n_frames = (F.pmod(F.xxhash64("asset_id"), F.lit(300)) + 1).cast("int")
+    plan rows are tiny, so the shuffle (if any) moves indices, not bytes.
+    Synthetic frame counts use the arithmetic generator (not xxhash64) so
+    the plan is DuckDB-oracle-checkable."""
+    n_frames = (
+        F.pmod(F.lit(48271) * F.col("asset_id") + F.lit(11), F.lit(300)) + 1
+    ).cast("int")
     return (
         assets.where(F.col("kind") == "video")
         .select(
