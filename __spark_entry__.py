@@ -612,6 +612,47 @@ def _q_edge_agg(spark, sf_dir):
     )
 
 
+def _q_asof_enrich(spark, sf_dir):
+    """As-of join: each error event enriched with the user's most recent
+    click at-or-before it (union-sort-fill, one shuffle — Spark has no
+    native ASOF JOIN; DuckDB's is the oracle)."""
+    from gliner_spark.operators.temporal import as_of_join
+
+    ev = _events(spark, sf_dir)
+    left = ev.where("event_type = 'error'").select("event_id", "user_id", "ts")
+    right = ev.where("event_type = 'click'").select(
+        "user_id", "ts", F.round("value", 2).alias("click_value")
+    )
+    out = as_of_join(left, right, "user_id", "ts", ("click_value",))
+    return out.select(
+        "user_id",
+        "event_id",
+        "click_value",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("matched_ts").cast("timestamp"))
+        ).alias("age_us"),
+    )
+
+
+def _q_event_rollup(spark, sf_dir):
+    """Multi-level time rollup (GROUP BY ROLLUP): per (event_type, hour),
+    per event_type, and grand total in one aggregation pass."""
+    from gliner_spark.operators.temporal import time_rollup
+
+    ev = _events(spark, sf_dir)
+    return time_rollup(
+        ev,
+        ("event_type",),
+        "ts",
+        "hour",
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        ],
+    ).select("event_type", "bucket", "n", "sum_value")
+
+
 def _q_dedup_survivors(spark, sf_dir):
     """Survivor set after exact dedup (min doc_id per content hash) —
     the actual drop-duplicates operator a pipeline applies, not just the
@@ -783,6 +824,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": _q_dedup_survivors,
         "session_stats": _q_session_stats,
         "frame_plan": _q_frame_plan,
+        "asof_enrich": _q_asof_enrich,
+        "event_rollup": _q_event_rollup,
         # non-SQL-expressible (hashed scorer / sketches / iteration):
         "ner_entities": _q_ner_entities,
         "re_triples": _q_re_triples,
@@ -1168,6 +1211,24 @@ def oracle_sql() -> dict[str, str]:
                    count(distinct conv_id) as n_convs
             from t
             group by subj_id, subj_canonical, pred, obj_id, obj_canonical
+        """,
+        "asof_enrich": """
+            select l.user_id, l.event_id,
+                   r.click_value,
+                   epoch_us(l.ts) - epoch_us(r.ts) as age_us
+            from (select event_id, user_id, ts from events
+                  where event_type = 'error') l
+            asof left join (
+                  select user_id, ts, round(value, 2) as click_value
+                  from events where event_type = 'click') r
+              on l.user_id = r.user_id and l.ts >= r.ts
+        """,
+        "event_rollup": """
+            select event_type, date_trunc('hour', ts) as bucket,
+                   count(*) as n,
+                   round(sum(value), 2) as sum_value
+            from events
+            group by rollup(event_type, date_trunc('hour', ts))
         """,
         "dedup_survivors": f"""
             select d.doc_id, d.lang, d.source, d.n_chars

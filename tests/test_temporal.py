@@ -1,0 +1,105 @@
+"""Temporal operators: as-of join (vs brute-force oracle, incl. equal-ts
+and tolerance semantics) and multi-level time rollup."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from gliner_spark.operators.temporal import as_of_join, time_rollup
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_as_of_join_matches_bruteforce(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01 00:00:10")),
+            (2, 10, _ts("2024-01-01 00:01:00")),
+            (3, 10, _ts("2024-01-01 00:00:01")),  # before any right row
+            (4, 11, _ts("2024-01-01 00:05:00")),
+            (5, 12, _ts("2024-01-01 00:00:30")),  # key with no right rows
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 00:00:05"), 1.0),
+            (10, _ts("2024-01-01 00:00:10"), 2.0),  # EQUAL ts → matches id 1
+            (10, _ts("2024-01-01 00:00:59"), 3.0),
+            (11, _ts("2024-01-01 00:00:00"), 4.0),
+        ],
+        "user_id long, ts timestamp, v double",
+    )
+    got = {
+        r.event_id: (r.v, r.matched_ts)
+        for r in as_of_join(left, right, "user_id", "ts", ("v",)).collect()
+    }
+    assert got[1] == (2.0, _ts("2024-01-01 00:00:10"))  # ≤, not <
+    assert got[2] == (3.0, _ts("2024-01-01 00:00:59"))
+    assert got[3] == (None, None)  # left row before any right row
+    assert got[4] == (4.0, _ts("2024-01-01 00:00:00"))
+    assert got[5] == (None, None)  # unmatched key survives (left join)
+    assert len(got) == 5
+
+
+def test_as_of_join_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01 01:00:00"))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, _ts("2024-01-01 00:00:00"), 7.0)],
+        "user_id long, ts timestamp, v double",
+    )
+    loose = as_of_join(left, right, "user_id", "ts", ("v",)).collect()[0]
+    assert loose.v == 7.0
+    tight = as_of_join(
+        left, right, "user_id", "ts", ("v",), tolerance_us=60_000_000
+    ).collect()[0]
+    assert tight.v is None and tight.matched_ts is None  # match too old
+
+
+def test_as_of_join_one_shuffle(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01 00:00:10"))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, _ts("2024-01-01 00:00:05"), 1.0)],
+        "user_id long, ts timestamp, v double",
+    )
+    plan = (
+        as_of_join(left, right, "user_id", "ts", ("v",))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # union-sort-fill: exactly one exchange (the window partitioning),
+    # and no join operator at all
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_time_rollup_levels(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01 00:10:00"), 1.0),
+            ("a", _ts("2024-01-01 00:50:00"), 2.0),
+            ("a", _ts("2024-01-01 01:10:00"), 4.0),
+            ("b", _ts("2024-01-01 00:20:00"), 8.0),
+        ],
+        "k string, ts timestamp, v double",
+    )
+    out = time_rollup(
+        df, ("k",), "ts", "hour",
+        aggs=[F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")],
+    ).collect()
+    rows = {(r.k, r.bucket): (r.n, r.s) for r in out}
+    h0, h1 = _ts("2024-01-01 00:00:00"), _ts("2024-01-01 01:00:00")
+    assert rows[("a", h0)] == (2, 3.0)
+    assert rows[("a", h1)] == (1, 4.0)
+    assert rows[("b", h0)] == (1, 8.0)
+    assert rows[("a", None)] == (3, 7.0)   # per-key subtotal
+    assert rows[("b", None)] == (1, 8.0)
+    assert rows[(None, None)] == (4, 15.0)  # grand total
+    assert len(rows) == 6
