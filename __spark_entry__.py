@@ -400,6 +400,74 @@ def _q_pricing_summary(spark, sf_dir):
     )
 
 
+def _q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join (customer ⋈ orders ⋈ lineitem) with
+    selective dimension filters, revenue aggregation, deterministic
+    top-10. Catalyst broadcast-plans the filtered customer side; the
+    orders⋈lineitem join shuffles on the orderkey."""
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cut = "1999-06-30"
+    j = (
+        cu.where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .join(o.where(F.col("o_orderdate") < cut), cu.c_custkey == o.o_custkey)
+        .join(li.where(F.col("l_shipdate") > cut), o.o_orderkey == li.l_orderkey)
+    )
+    return (
+        j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def _q_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way star join down to region, revenue per
+    nation. The three dimension tables broadcast; the fact joins shuffle
+    on their natural keys."""
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    su = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    re_ = spark.read.parquet(f"{sf_dir}/region.parquet")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(
+            su,
+            (li.l_suppkey == su.s_suppkey)
+            & (cu.c_nationkey == su.s_nationkey),
+        )
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(
+            F.broadcast(re_.where(F.col("r_name") == "EUROPE")),
+            na.n_regionkey == re_.r_regionkey,
+        )
+        .where(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+    )
+    return j.groupBy("n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
 def _q_session_agg(spark, sf_dir):
     """A-family hash aggregation with time bucketing (ts handling §2.8):
     per event_type per hour: count, sum/avg value."""
@@ -818,6 +886,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "session_agg": _q_session_agg,
         "pricing_summary": _q_pricing_summary,
+        "shipping_priority": _q_shipping_priority,
+        "supplier_volume": _q_supplier_volume,
         "mention_cooccur": _q_mention_cooccur,
         "edge_agg": _q_edge_agg,
         "multimodal_features": _q_multimodal_features,
@@ -1211,6 +1281,38 @@ def oracle_sql() -> dict[str, str]:
                    count(distinct conv_id) as n_convs
             from t
             group by subj_id, subj_canonical, pred, obj_id, obj_canonical
+        """,
+        "shipping_priority": """
+            select l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     as revenue,
+                   strftime(o_orderdate, '%Y-%m-%d') as o_orderdate,
+                   o_orderpriority
+            from customer
+            join orders on c_custkey = o_custkey
+            join lineitem on o_orderkey = l_orderkey
+            where c_mktsegment = 'BUILDING'
+              and o_orderdate < '1999-06-30'
+              and l_shipdate > '1999-06-30'
+            group by l_orderkey, o_orderdate, o_orderpriority
+            order by revenue desc, l_orderkey asc
+            limit 10
+        """,
+        "supplier_volume": """
+            select n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     as revenue
+            from lineitem
+            join orders on l_orderkey = o_orderkey
+            join customer on o_custkey = c_custkey
+            join supplier on l_suppkey = s_suppkey
+                         and c_nationkey = s_nationkey
+            join nation on s_nationkey = n_nationkey
+            join region on n_regionkey = r_regionkey
+            where r_name = 'EUROPE'
+              and o_orderdate >= '1996-01-01'
+              and o_orderdate < '1998-01-01'
+            group by n_name
         """,
         "asof_enrich": """
             select l.user_id, l.event_id,
