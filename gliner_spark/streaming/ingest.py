@@ -105,3 +105,28 @@ def stream_to_kg(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: content-hash
+    `dropDuplicatesWithinWatermark` — the state-BOUNDED formulation. An
+    unbounded streaming dedup state is impossible at 10^12 turns; the
+    watermark is the contract: duplicates arriving within the window are
+    dropped, and hashes older than it age out of the state store (a
+    re-arrival after that is the batch dedup pass's job). Same content
+    hash as the batch operator (dedup.exact_duplicates), so batch and
+    stream agree on identity."""
+    from ..functions.text import normalized_text
+
+    return (
+        stream.withColumn(
+            "content_hash", F.md5(normalized_text(F.col(text_col)))
+        )
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )

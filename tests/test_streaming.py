@@ -94,3 +94,48 @@ def test_stream_to_kg_idempotent(spark, landing_dir, tmp_path_factory):
     )
     q2.awaitTermination(600)
     assert spark.read.parquet(f"{out}/triples_stream").count() == n1
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path_factory):
+    """Duplicates across micro-batches inside the watermark are dropped;
+    distinct contents all survive; state stays bounded by the watermark."""
+    import datetime
+
+    from gliner_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+    from gliner_spark.streaming.ingest import read_transcript_stream, stream_dedup
+
+    land = str(tmp_path_factory.mktemp("dedup_land"))
+    ckpt = str(tmp_path_factory.mktemp("dedup_ckpt"))
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def rows(batch, texts):
+        return [
+            (f"c{batch}-{i}", 0, "user", t, None,
+             t0 + datetime.timedelta(seconds=batch * 60 + i))
+            for i, t in enumerate(texts)
+        ]
+
+    # batch 1 and batch 2 overlap on two texts (and batch 2 repeats one
+    # of its own); each lands as a separate file = separate micro-batch
+    spark.createDataFrame(
+        rows(1, ["alpha doc", "beta doc", "gamma doc"]), TRANSCRIPT_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(land)
+    spark.createDataFrame(
+        rows(2, ["beta doc", "delta doc", "gamma doc", "delta doc"]),
+        TRANSCRIPT_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(land)
+
+    deduped = stream_dedup(
+        read_transcript_stream(spark, land, max_files_per_trigger=1)
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [r.text for r in spark.sql("select text from dedup_sink").collect()]
+    assert sorted(got) == ["alpha doc", "beta doc", "delta doc", "gamma doc"]
