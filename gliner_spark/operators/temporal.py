@@ -44,7 +44,13 @@ def as_of_join(
     ASOF implementation.
 
     `tolerance_us` drops matches older than the given age (the match
-    becomes NULL, not the row)."""
+    becomes NULL, not the row).
+
+    NULL keys: the window formulation groups NULL keys together, so a
+    NULL-keyed left row CAN match a NULL-keyed right row — SQL equi-join
+    (and DuckDB ASOF) semantics would not. Filter NULL keys first when
+    that distinction matters; the oracle query's key column is
+    non-nullable."""
     lcols = left.columns
     payload = F.struct(
         F.col(ts_col).alias("_rts"),
