@@ -688,8 +688,13 @@ def _q_asof_enrich(spark, sf_dir):
 
     ev = _events(spark, sf_dir)
     left = ev.where("event_type = 'error'").select("event_id", "user_id", "ts")
-    right = ev.where("event_type = 'click'").select(
-        "user_id", "ts", F.round("value", 2).alias("click_value")
+    # dedup the right side on its as-of key: two clicks sharing
+    # (user_id, ts) would otherwise make the matched value an arbitrary
+    # tie-pick that can differ between engines (ADVICE r02)
+    right = (
+        ev.where("event_type = 'click'")
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.round("value", 2)).alias("click_value"))
     )
     out = as_of_join(left, right, "user_id", "ts", ("click_value",))
     return out.select(
@@ -1321,8 +1326,9 @@ def oracle_sql() -> dict[str, str]:
             from (select event_id, user_id, ts from events
                   where event_type = 'error') l
             asof left join (
-                  select user_id, ts, round(value, 2) as click_value
-                  from events where event_type = 'click') r
+                  select user_id, ts, max(round(value, 2)) as click_value
+                  from events where event_type = 'click'
+                  group by user_id, ts) r
               on l.user_id = r.user_id and l.ts >= r.ts
         """,
         "event_rollup": """

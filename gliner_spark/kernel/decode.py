@@ -348,37 +348,55 @@ def score_fixed_spans(
     flat_ner: bool = True,
     multi_label: bool = False,
 ) -> list[tuple]:
-    """Confidence of FIXED (gold) spans under token-level probs (L, C, 3):
-    score = min(inside[st..ed, c] ∪ {start[st, c], end[ed, c]}); a span
-    with ANY inside prob < threshold is dropped, then greedy non-overlap —
-    the reference confidence-annotation path
-    (create_confidence_splits.py:43-59 `calculate_span_score` gold branch
-    + :16-36 `greedy_search`), used to annotate training data with model
-    confidence for curation splits.
+    """Confidence of spans DERIVED from fixed (gold) endpoints under
+    token-level probs (L, C, 3) — the reference confidence-annotation
+    path (create_confidence_splits.py:42-58 `calculate_span_score` gold
+    branch + :16-36 `greedy_search`), used to annotate training data with
+    model confidence for curation splits.
+
+    Reference semantics exactly: the candidate set is the CROSS PRODUCT
+    of all gold starts × all gold ends of the SAME class with ed >= st
+    (`for st, cls_st in zip(*start_idx): for ed, cls_ed in
+    zip(*end_idx)`, :44-45) — with ≥2 same-class gold spans this yields
+    combined candidates beyond the gold spans themselves, which then
+    compete in greedy. Score = min(inside[st..ed, c] ∪ {start[st, c],
+    end[ed, c]}); a candidate with ANY inside prob < threshold is
+    dropped. Enumeration order (outer: gold-list starts, inner:
+    gold-list ends) is preserved so stable-sort score ties break like
+    the reference.
 
     spans: [(tok_start, tok_end_incl, class_idx)], indices into the
-    decoded token stream. Out-of-range or inverted spans are dropped
-    (truncation can orphan gold spans). Returns
+    decoded token stream. Endpoints that fall outside the (possibly
+    truncated) token stream are dropped per-pair (the reference assumes
+    in-range gold; truncation can orphan spans here). Returns
     [(tok_start, tok_end_incl, class_idx, score)] sorted by start.
 
     This one function backs BOTH the Spark operator and the pure-Python
     oracle — span-set parity is by construction (CLAUDE.md invariant).
     """
+    n_classes = probs.shape[1]
+    starts = [(st, c) for st, _ed, c in spans]
+    ends = [(ed, c) for _st, ed, c in spans]
     ss: list[int] = []
     es: list[int] = []
     cs: list[int] = []
     scs: list[float] = []
-    for st, ed, c in spans:
-        if st < 0 or ed < st or ed >= n_tokens or c < 0 or c >= probs.shape[1]:
+    for st, cst in starts:
+        if st < 0 or st >= n_tokens or cst < 0 or cst >= n_classes:
             continue
-        ins = probs[st : ed + 1, c, 2]
-        if (ins < threshold).any():
-            continue
-        sc = min(
-            float(ins.min()), float(probs[st, c, 0]), float(probs[ed, c, 1])
-        )
-        ss.append(int(st))
-        es.append(int(ed))
-        cs.append(int(c))
-        scs.append(sc)
+        for ed, ced in ends:
+            if ced != cst or ed < st or ed >= n_tokens:
+                continue
+            ins = probs[st : ed + 1, cst, 2]
+            if (ins < threshold).any():
+                continue
+            sc = min(
+                float(ins.min()),
+                float(probs[st, cst, 0]),
+                float(probs[ed, cst, 1]),
+            )
+            ss.append(int(st))
+            es.append(int(ed))
+            cs.append(int(cst))
+            scs.append(sc)
     return _greedy_py(ss, es, cs, scs, flat_ner, multi_label)

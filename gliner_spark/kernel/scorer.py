@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import math
 import zlib
+from collections import OrderedDict
 
 import numpy as np
 
@@ -60,7 +61,10 @@ class HashedBiEncoder:
         self.start_table = self.emb @ w_start  # (buckets, dim)
         self.end_table = self.emb @ w_end      # (buckets, dim)
         self._label_cache: dict[str, np.ndarray] = {}
-        self._labelset_cache: dict[tuple[str, ...], np.ndarray] = {}
+        self._labelset_cache: OrderedDict[tuple[str, ...], np.ndarray] = (
+            OrderedDict()
+        )
+        self._labelset_bytes = 0
         self._tok_cache: dict[str, int] = {}
         # token-level scorer parameters (reference Scorer,
         # modeling/scorers.py:4-35: two-way token/label projections, a
@@ -118,10 +122,11 @@ class HashedBiEncoder:
             mean = self.emb[self.token_ids(toks)].mean(axis=0)
             vec = np.tanh(mean @ self.w_label)
             vec = vec / (np.linalg.norm(vec) + _EPS)
+        vec.setflags(write=False)  # cached object is shared — freeze it
         self._label_cache[label] = vec
         return vec
 
-    _LABELSET_CACHE_MAX = 1 << 16
+    _LABELSET_CACHE_MAX_BYTES = 64 << 20  # per python worker process
 
     def encode_labels(self, labels: list[str]) -> np.ndarray:
         """(C, dim) float32, one normalized vector per label.
@@ -131,16 +136,27 @@ class HashedBiEncoder:
         combinations recur constantly, so the per-row lookup+stack was a
         measurable slice of batch wall time. Values are byte-identical to
         the uncached path — each label vector still comes from the same
-        per-label computation (no batch-shape-dependent BLAS path)."""
+        per-label computation (no batch-shape-dependent BLAS path).
+
+        The returned matrix is the CACHED object, frozen read-only
+        (setflags) so a caller mutating it gets an immediate error
+        instead of silently corrupting every later lookup. The cache is
+        a byte-bounded LRU — varied RE composite-label sets must not pin
+        unbounded memory in long-lived workers (ADVICE r02)."""
         if not labels:
             return np.zeros((0, self.cfg.dim), dtype=np.float32)
         key = tuple(labels)
         cached = self._labelset_cache.get(key)
         if cached is not None:
+            self._labelset_cache.move_to_end(key)  # LRU touch
             return cached
         mat = np.stack([self.encode_label(lb) for lb in labels])
-        if len(self._labelset_cache) < self._LABELSET_CACHE_MAX:
-            self._labelset_cache[key] = mat
+        mat.setflags(write=False)
+        self._labelset_cache[key] = mat
+        self._labelset_bytes += mat.nbytes
+        while self._labelset_bytes > self._LABELSET_CACHE_MAX_BYTES:
+            _, old = self._labelset_cache.popitem(last=False)
+            self._labelset_bytes -= old.nbytes
         return mat
 
     # -------------------------------------------------------------- scoring

@@ -1,12 +1,13 @@
 """Data-curation workflow: k-fold splits + model-confidence annotation.
 
 Spark-first restatement of the reference's training-data curation utility
-(create_confidence_splits.py): split a dataset into k folds, score every
-GOLD span with the model's token-level confidence (min over its inside
-scores plus the start/end scores, spans with any inside prob below the
-threshold dropped, greedy non-overlap — `calculate_span_score` +
-`greedy_search`, create_confidence_splits.py:16-59), and emit per-example
-confidence tables that drive relabeling / curriculum decisions.
+(create_confidence_splits.py): split a dataset into k folds, score the
+CROSS PRODUCT of same-class gold starts × gold ends (ed >= st) with the
+model's token-level confidence (min over inside scores plus the
+start/end scores, candidates with any inside prob below the threshold
+dropped, greedy non-overlap — `calculate_span_score` + `greedy_search`,
+create_confidence_splits.py:16-59), and emit per-example confidence
+tables that drive relabeling / curriculum decisions.
 
 Differences from the reference, by design:
  * fold assignment is a DETERMINISTIC hash bucket (pmod(xxhash64(seed,
@@ -81,10 +82,11 @@ def score_gold_spans(
 
     gold: (conv_id, turn_idx, tok_start, tok_end, label) — token-index
     spans (end inclusive) as in the reference's tokenized gold format.
-    Returns the surviving spans with a `confidence` column; spans whose
-    label is outside `entity_types`, whose indices fall outside the
-    (possibly truncated) token stream, or whose inside scores dip below
-    `threshold` are dropped — reference semantics exactly.
+    Returns the surviving candidate spans (same-class start × end cross
+    product, reference gold branch) with a `confidence` column; spans
+    whose label is outside `entity_types`, whose endpoints fall outside
+    the (possibly truncated) token stream, or whose inside scores dip
+    below `threshold` are dropped — reference semantics exactly.
 
     Plan shape: gold groupBy (conv_id, turn_idx) → join transcripts on the
     same key → ONE mapInArrow scoring stage (no per-row Python, Arrow

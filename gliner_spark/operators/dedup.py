@@ -238,6 +238,7 @@ def simhash_candidates(
     max_hamming: int = 3,
     bits: int = 64,
     n_bands: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """(doc_id, bits) → verified pairs (doc_a, doc_b, hamming ≤ max_hamming).
 
@@ -246,7 +247,16 @@ def simhash_candidates(
     least one band with zero differences → exact band-hash match →
     candidate. (r01 used a fixed 4 bands with max_hamming=8 — pairs at
     hamming 4–8 were found only by luck.) Caller-supplied n_bands below
-    the bound is rejected rather than silently lossy."""
+    the bound is rejected rather than silently lossy.
+
+    max_bucket_size caps the per-band bucket self-join: band hashes are
+    only ~bits/(max_hamming+1) bits wide, so on large or low-entropy
+    corpora a band bucket can hold a huge doc set and the intra-bucket
+    pair expansion degenerates toward O(N²). None (default) keeps the
+    pigeonhole recall GUARANTEE exact — a cap trades it away: pairs
+    whose every zero-diff band landed in a dropped bucket are missed
+    (at 10^12-doc scale the cap is mandatory; dropped-bucket stats
+    should be monitored instead of assumed zero)."""
     if n_bands is None:
         n_bands = max_hamming + 1
     if n_bands <= max_hamming:
@@ -284,9 +294,9 @@ def simhash_candidates(
     # bucketed intra-group pair expansion (see linking.lsh_bucket_pairs);
     # bit vectors are re-joined afterwards so the bucket lists stay
     # 8-bytes-per-id instead of carrying 64-int arrays
-    cand = lsh_bucket_pairs(banded, "doc_id", ("band", "bh"), None).select(
-        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
-    )
+    cand = lsh_bucket_pairs(
+        banded, "doc_id", ("band", "bh"), max_bucket_size
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
     bits_tbl = with_bits.select("doc_id", "bits")
     cand = cand.join(
         bits_tbl.select(
@@ -316,12 +326,15 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     bits: int = 64,
     n_bands: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dups by simhash hamming distance ≤ max_hamming; banding via
     simhash_candidates (n_bands auto-sized to max_hamming + 1 so the
-    pigeonhole recall guarantee always holds)."""
+    pigeonhole recall guarantee always holds; max_bucket_size caps the
+    band self-join at the cost of that guarantee — see
+    simhash_candidates)."""
     sh = simhash_bits(docs, text_col, bits)
-    return simhash_candidates(sh, max_hamming, bits, n_bands)
+    return simhash_candidates(sh, max_hamming, bits, n_bands, max_bucket_size)
 
 
 # ------------------------------------------------------- exact ngram jaccard

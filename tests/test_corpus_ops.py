@@ -457,6 +457,22 @@ def test_simhash_exact_hamming_guarantee(spark):
     assert expected <= got, expected - got
 
 
+def test_simhash_bucket_cap_bounds_pair_expansion(spark):
+    """max_bucket_size threads through to the band self-join: a clone
+    cluster of m identical sketches yields C(m,2) pairs uncapped, but a
+    cap below m drops the (oversized) buckets — trading the pigeonhole
+    recall guarantee for a bounded join, by explicit opt-in."""
+    from gliner_spark.operators.dedup import simhash_candidates
+
+    m = 12
+    rows = [(i, [1] * 64) for i in range(m)]
+    df = spark.createDataFrame(rows, ["doc_id", "bits"])
+    uncapped = simhash_candidates(df, max_hamming=3).count()
+    assert uncapped == m * (m - 1) // 2
+    capped = simhash_candidates(df, max_hamming=3, max_bucket_size=4).count()
+    assert capped < uncapped
+
+
 def test_simhash_rejects_lossy_banding(spark):
     from gliner_spark.operators.dedup import simhash_candidates
 

@@ -1,10 +1,12 @@
 """Curation workflow (k-fold splits + gold-span confidence annotation) —
 reference create_confidence_splits.py semantics."""
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
 from gliner_spark.config import PipelineConfig
+from gliner_spark.kernel.decode import greedy_search_reference, score_fixed_spans
 from gliner_spark.operators.curation import (
     confidence_splits,
     kfold_assign,
@@ -40,6 +42,65 @@ def test_kfold_deterministic_partition(spark, transcripts):
                ((k_, v) for k_, v in b.items()))
     with pytest.raises(ValueError, match="folds"):
         kfold_assign(transcripts, k=1)
+
+
+def _calculate_span_score_reference(spans, probs, threshold):
+    """Literal restatement of create_confidence_splits.py:42-58
+    calculate_span_score over the gold start/end tuples (:120-126),
+    numpy for torch: candidate set = same-class starts × ends cross
+    product, score = min(inside[st..ed] ∪ {start[st], end[ed]})."""
+    start_idx = ([s for s, _e, _c in spans], [c for _s, _e, c in spans])
+    end_idx = ([e for _s, e, _c in spans], [c for _s, _e, c in spans])
+    span_i = []
+    for st, cls_st in zip(*start_idx):
+        for ed, cls_ed in zip(*end_idx):
+            if ed >= st and cls_st == cls_ed:
+                ins = probs[st : ed + 1, cls_st, 2]
+                if (ins < threshold).any():
+                    continue
+                combined = np.concatenate(
+                    [ins, probs[st, cls_st, 0:1], probs[ed, cls_st, 1:2]]
+                )
+                span_i.append((st, ed, cls_st, float(combined.min())))
+    return span_i
+
+
+def test_score_fixed_spans_cross_product_matches_reference():
+    """≥2 same-class gold spans must produce the reference's combined
+    start×end candidates, which can displace the gold spans in greedy."""
+    rng = np.random.default_rng(0)
+    L, C, thr = 6, 2, 0.4
+    probs = np.full((L, C, 3), 0.9)
+    # gold: (0,1,c0) and (3,4,c0). Weak end[1] and start[3] make the
+    # combined (0,4) candidate outscore both gold spans.
+    probs[1, 0, 1] = 0.5   # end score of (0,1) -> span score 0.5
+    probs[3, 0, 0] = 0.6   # start score of (3,4) -> span score 0.6
+    gold = [(0, 1, 0), (3, 4, 0)]
+    out = score_fixed_spans(probs, gold, L, thr, flat_ner=True)
+    ref = greedy_search_reference(
+        _calculate_span_score_reference(gold, probs, thr), flat_ner=True
+    )
+    assert out == ref
+    # the combined candidate won: flat greedy keeps ONLY (0, 4)
+    assert [(s, e, c) for s, e, c, _ in out] == [(0, 4, 0)]
+    assert out[0][3] == pytest.approx(0.9)
+
+    # randomized parity: kernel == reference restatement for arbitrary
+    # probs and gold sets (incl. duplicates / shared endpoints)
+    for trial in range(25):
+        probs = rng.uniform(0.0, 1.0, size=(L, C, 3))
+        n = int(rng.integers(1, 5))
+        gold = [
+            (int(s), int(s + rng.integers(0, L - s)), int(rng.integers(0, C)))
+            for s in rng.integers(0, L, size=n)
+        ]
+        for flat in (True, False):
+            got = score_fixed_spans(probs, gold, L, thr, flat_ner=flat)
+            want = greedy_search_reference(
+                _calculate_span_score_reference(gold, probs, thr),
+                flat_ner=flat,
+            )
+            assert got == want, (trial, flat, gold)
 
 
 def test_gold_confidence_reproduces_token_decode_scores(spark, transcripts):

@@ -199,3 +199,36 @@ class TestScorerBatching:
                     assert p_solo[s, k].tolist() == pytest.approx(
                         p_batch[s, k].tolist(), abs=1e-6
                     )
+
+
+class TestLabelSetCache:
+    def test_cached_matrix_is_frozen_and_lru_bounded(self):
+        """encode_labels returns the cached object — it must be read-only
+        (mutation = immediate error, not silent cache corruption), and
+        the label-SET cache must evict by bytes, LRU-first (ADVICE r02)."""
+        sc = HashedBiEncoder()
+        mat = sc.encode_labels(["person", "widget"])
+        with pytest.raises(ValueError):
+            mat[0, 0] = 99.0
+        # same key returns the same object, values intact
+        again = sc.encode_labels(["person", "widget"])
+        assert again is mat
+        # per-label vectors are frozen too
+        with pytest.raises(ValueError):
+            sc.encode_label("person")[0] = 1.0
+
+        # force eviction with a tiny byte budget
+        sc2 = HashedBiEncoder()
+        per_set = sc2.encode_labels(["a0"]).nbytes
+        sc2._LABELSET_CACHE_MAX_BYTES = per_set * 3
+        sc2._labelset_cache.clear()
+        sc2._labelset_bytes = 0
+        first = sc2.encode_labels(["a0"])
+        for i in range(1, 6):
+            sc2.encode_labels([f"a{i}"])
+        assert sc2._labelset_bytes <= per_set * 3
+        # oldest set was evicted; a fresh call recomputes (equal values,
+        # different object)
+        refreshed = sc2.encode_labels(["a0"])
+        assert refreshed is not first
+        assert (refreshed == first).all()
