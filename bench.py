@@ -64,9 +64,10 @@ def build_queries(spark, sf_dir: str, n_convs: int, parts: int):
     emb = widen_small_input(
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     ).cache()
-    ev = widen_small_input(
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-    ).cache()
+    # events is NOT widened: it feeds window/groupBy-only queries whose
+    # first move is a shuffle anyway, so 1 → 32 partitions buys nothing
+    # and the extra repartition+cache-read cost session_agg 2.8× in r02
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").cache()
     docs.count(), emb.count(), ev.count()  # materialize outside timing
     transcripts = synth_transcripts(spark, n_convs).repartition(parts).cache()
     n_turns = transcripts.count()  # materialize outside the timed region

@@ -84,15 +84,18 @@ def minhash_sigs(
     shuffle (see linking.minhash_array; identical values to the old
     explode → 64-min-aggregates shape, which shuffled every (id, shingle)
     row). Docs with no shingles get an empty-sentinel single shingle."""
-    from .linking import minhash_array
+    from .linking import _MERSENNE, minhash_sig_expr
 
     padded = F.when(F.size("shingles") > 0, F.col("shingles")).otherwise(
         F.array(F.lit("\x00empty"))
     )
-    hashes, coeffs, perm_min = minhash_array(padded, n_perms, seed)
+    hashes = F.transform(
+        padded, lambda s: F.pmod(F.xxhash64(F.lit(seed), s), F.lit(_MERSENNE))
+    )
     with_h = with_shingles.select(id_col, hashes.alias("_hs"))
-    sig_arr = F.array(*[perm_min(F.col("_hs"), a, b) for a, b in coeffs])
-    return with_h.select(id_col, sig_arr.alias("sig"))
+    return with_h.select(
+        id_col, minhash_sig_expr("_hs", n_perms, seed).alias("sig")
+    )
 
 
 def minhash_near_duplicates(

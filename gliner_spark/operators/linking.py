@@ -10,9 +10,11 @@ end-to-end — no Python UDFs anywhere in this module:
             → candidate pairs via equi-join on the band key;
  verify     exact Jaccard on the shingle sets (array_intersect/union) —
             LSH is only a blocker, the verified threshold decides;
- components iterative min-label propagation over the verified similarity
-            graph (driver-controlled loop, localCheckpoint per iteration
-            to cut lineage — Catalyst cannot iterate, SURVEY §4);
+ components large-star/small-star contraction over the verified
+            similarity graph (driver-controlled O(log n) loop,
+            localCheckpoint per round — Catalyst cannot iterate, SURVEY
+            §4), with a single-task union-find finisher once the
+            contracting edge set fits one task;
  canonical  per component: the surface with the highest mention count,
             ties broken by lexicographically greatest surface via struct
             max — deterministic, unlike bare max_by.
@@ -113,6 +115,22 @@ def minhash_array(shingles_col, n_perms: int, seed: int):
     return hashes, coeffs, perm_min
 
 
+def minhash_sig_expr(hs_col: str, n_perms: int, seed: int):
+    """The n_perms-wide signature array as ONE parsed SQL expression over
+    a pre-hashed shingle column `hs_col`: values identical to composing
+    minhash_array's perm_min Columns (parity-pinned in test_linking), but
+    built with a single JVM round-trip. Composing the per-perm Columns
+    through py4j cost ~2 s of DRIVER wall per query at n_perms=64 —
+    pure expression-construction overhead, paid before any task ran."""
+    coeffs = _perm_coeffs(n_perms, seed)
+    body = ",".join(
+        f"array_min(transform({hs_col}, h -> "
+        f"pmod(h * {a}L + {b}L, {_MERSENNE}L)))"
+        for a, b in coeffs
+    )
+    return F.expr(f"array({body})")
+
+
 def minhash_signatures(
     surfaces: DataFrame,
     n_perms: int = 64,
@@ -123,14 +141,16 @@ def minhash_signatures(
     sig:array<bigint>[n_perms]). Pure map stage (see minhash_array)."""
     if "surface_id" not in surfaces.columns:
         surfaces = surfaces.withColumn("surface_id", F.xxhash64("surface"))
-    hashes, coeffs, perm_min = minhash_array(
-        shingle_set(F.col("surface"), shingle_n), n_perms, seed
+    hashes = F.transform(
+        shingle_set(F.col("surface"), shingle_n),
+        lambda s: F.pmod(F.xxhash64(F.lit(seed), s), F.lit(_MERSENNE)),
     )
     with_h = surfaces.select("surface_id", "surface", hashes.alias("_hs"))
-    sig_arr = F.array(
-        *[perm_min(F.col("_hs"), a, b) for a, b in coeffs]
+    return with_h.select(
+        "surface_id",
+        "surface",
+        minhash_sig_expr("_hs", n_perms, seed).alias("sig"),
     )
-    return with_h.select("surface_id", "surface", sig_arr.alias("sig"))
 
 
 def lsh_bucket_pairs(
@@ -266,6 +286,53 @@ def verified_pairs(
     )
 
 
+def _local_membership(edges: DataFrame, id_col: str) -> DataFrame:
+    """(u, v) edge set small enough for ONE task → (id, component) via
+    union-find with min-id roots (union always attaches the larger root
+    under the smaller, so by induction every root IS the minimum of its
+    set — identical semantics to the star-contraction membership).
+
+    Bounded by construction: callers gate on edge count (small_solve), so
+    the single task holds ≤ small_solve edges plus the union-find dict —
+    the same bounded-small-side pattern as the k-means centroid collect.
+    One narrow exchange (coalesce, no shuffle write). Ids keep whatever
+    orderable type the edges carry (int64 on the linking path)."""
+    dt = edges.schema["u"].dataType.simpleString()
+    schema = f"{id_col} {dt}, component {dt}"
+
+    def run(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
+                if u not in parent:
+                    parent[u] = u
+                if v not in parent:
+                    parent[v] = v
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    if rv < ru:
+                        ru, rv = rv, ru
+                    parent[rv] = ru
+        if parent:
+            ids = list(parent)
+            yield pd.DataFrame(
+                {id_col: ids, "component": [find(x) for x in ids]}
+            )
+
+    return edges.coalesce(1).mapInPandas(run, schema)
+
+
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
@@ -273,6 +340,7 @@ def connected_components(
     id_col: str = "id",
     edge_cols: tuple[str, str] = ("id_a", "id_b"),
     n_partitions: int | None = None,
+    small_solve: int = 500_000,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -292,6 +360,15 @@ def connected_components(
     localCheckpoint after each round truncates lineage (Catalyst cannot
     iterate, SURVEY §4). Convergence = edge multiset stable, checked by a
     cheap count+hash aggregate rather than a full self-join.
+
+    small_solve: once the (contracting) edge multiset fits one task, the
+    remaining rounds collapse into a single union-find pass
+    (_local_membership) — star rounds here are pure scheduler overhead
+    (~0.85 s/round of driver+stage latency on a 16 k-edge graph,
+    measured), and convergence DETECTION alone costs two extra rounds.
+    At 10^12-turn scale the star rounds still do the O(log n) heavy
+    contraction; the finisher only replaces the tail where the graph is
+    already tiny. 0 disables (pure star rounds).
     """
     ca, cb = edge_cols
     # work on (u, v) pairs ordered u < v; the "parent" relation converges
@@ -312,8 +389,21 @@ def connected_components(
     # materializes exactly once, and the re-partition then shuffles only
     # the materialized (u, v) rows.
     e = e.localCheckpoint(eager=False)
+    n_edges = e.count()
+
+    def _attach(membership: DataFrame) -> DataFrame:
+        return (
+            vertices.select(id_col)
+            .join(membership, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("component", F.col(id_col)).alias("component"),
+            )
+        )
+
+    if small_solve and n_edges <= small_solve:
+        return _attach(_local_membership(e, id_col))
     if n_partitions is None:
-        n_edges = e.count()
         n_partitions = max(4, min(256, n_edges // 50_000 + 1))
     e = e.repartition(n_partitions, "u").localCheckpoint(eager=False)
 
@@ -384,19 +474,17 @@ def connected_components(
         if new_sig == sig:
             break
         sig = new_sig
+        if small_solve and new_sig[0] <= small_solve:
+            # contraction brought the graph under one task's budget —
+            # the remaining O(log n) tail rounds are pure scheduler
+            # latency; finish with a single union-find pass instead
+            return _attach(_local_membership(e, id_col))
 
     # converged: every edge now points v → its component minimum u
     membership = e.select(
         F.col("v").alias(id_col), F.col("u").alias("component")
     ).groupBy(id_col).agg(F.min("component").alias("component"))
-    return (
-        vertices.select(id_col)
-        .join(membership, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("component", F.col(id_col)).alias("component"),
-        )
-    )
+    return _attach(membership)
 
 
 def canonicalize(

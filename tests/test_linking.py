@@ -71,6 +71,36 @@ def test_minhash_identical_normalized_surfaces_have_equal_sigs(spark, mentions_d
     assert all(len(s) == 64 for s in sigs.values())
 
 
+def test_sig_expr_matches_column_composition(spark, mentions_df):
+    """minhash_sig_expr (one parsed SQL expression) must produce values
+    identical to composing minhash_array's perm_min Columns — the SQL
+    form exists only to kill ~2 s of py4j expression-construction driver
+    overhead per query, never to change a single signature value."""
+    from pyspark.sql import functions as F
+
+    from gliner_spark.operators.linking import minhash_array, shingle_set
+
+    surfaces = surface_table(mentions_df)
+    hashes, coeffs, perm_min = minhash_array(
+        shingle_set(F.col("surface"), 3), 64, 42
+    )
+    with_h = surfaces.select("surface_id", hashes.alias("_hs"))
+    old = {
+        r.surface_id: r.sig
+        for r in with_h.select(
+            "surface_id",
+            F.array(
+                *[perm_min(F.col("_hs"), a, b) for a, b in coeffs]
+            ).alias("sig"),
+        ).collect()
+    }
+    new = {
+        r.surface_id: r.sig
+        for r in minhash_signatures(surfaces, 64, 3, 42).collect()
+    }
+    assert new == old
+
+
 def test_lsh_finds_identical_normalized_pairs(spark, mentions_df):
     sigs = minhash_signatures(surface_table(mentions_df))
     ids = {r.surface: r.surface_id for r in sigs.collect()}
@@ -110,15 +140,56 @@ def test_connected_components_chain(spark):
 
 def test_connected_components_long_chain(spark):
     """O(log n) star convergence on a 40-node path graph (the diameter
-    case that killed plain label propagation)."""
+    case that killed plain label propagation). small_solve=0 forces the
+    distributed star rounds — the default would take the single-task
+    union-find shortcut on a graph this small."""
     n = 40
     verts = spark.createDataFrame([Row(id=i) for i in range(n)])
     edges = spark.createDataFrame(
         [Row(id_a=i, id_b=i + 1) for i in range(n - 1)]
     )
     comp = {r.id: r.component
-            for r in connected_components(verts, edges).collect()}
+            for r in connected_components(verts, edges, small_solve=0)
+            .collect()}
     assert set(comp.values()) == {0}
+
+
+def test_connected_components_local_solver_matches_star(spark):
+    """The small_solve union-find path and the distributed star path must
+    produce identical memberships — random multi-component graphs with
+    duplicate and self edges."""
+    import random
+
+    rng = random.Random(3)
+    n = 120
+    edges_py = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(150)
+    ]
+    verts = spark.createDataFrame([Row(id=i) for i in range(n)])
+    edges = spark.createDataFrame(
+        [Row(id_a=a, id_b=b) for a, b in edges_py]
+    )
+    local = {r.id: r.component
+             for r in connected_components(verts, edges).collect()}
+    star = {r.id: r.component
+            for r in connected_components(verts, edges, small_solve=0)
+            .collect()}
+    assert local == star
+    # oracle: python union-find over the same edges
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges_py:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {i: find(i) for i in range(n)}
+    assert local == expected
 
 
 def test_canonicalize_end_to_end(spark, mentions_df):
