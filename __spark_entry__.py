@@ -553,6 +553,80 @@ def _q_knn_ivf(spark, sf_dir):
     return knn_ivf(emb, queries, k=5, n_cells=8, n_probe=4)
 
 
+def _q_knn_ivf_exact(spark, sf_dir):
+    """IVF with EVERY cell probed is exhaustive search (each corpus vector
+    lives in exactly one probed Voronoi cell), so the result must equal
+    brute force — same oracle SQL as knn_bruteforce. Partial-probe ANN
+    behavior stays pytest-pinned (clustered-recall test)."""
+    from gliner_spark.operators.similarity import knn_ivf
+
+    emb = _embeddings(spark, sf_dir)
+    qs = emb.where("vec_id < 8").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_ivf(emb, qs, k=5, n_cells=8, n_probe=8)
+
+
+def _q_simhash_hamming(spark, sf_dir):
+    """Engine-portable simhash: token hashes from md5 (first 15 hex chars
+    → 60-bit int64 — bit-identical in Spark and DuckDB), Charikar sign
+    sketch, pigeonhole-banded hamming join. The banding recall GUARANTEE
+    (n_bands = max_hamming + 1) makes the blocked output EQUAL the full
+    O(n²) hamming join the oracle runs — hash-checkable, not rows-only."""
+    from gliner_spark.operators.dedup import (
+        portable_token_hash,
+        simhash_bits,
+        simhash_candidates,
+    )
+
+    wb = simhash_bits(
+        _docs(spark, sf_dir), bits=60, hash_fn=portable_token_hash
+    )
+    out = simhash_candidates(wb, max_hamming=8, bits=60)
+    return out.select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def _q_jaccard_verify(spark, sf_dir):
+    """The minhash verify math (array_intersect/array_union Jaccard over
+    word-3-gram shingle sets) made exact and oracle-checkable: candidates
+    come from a recall-COMPLETE shared-shingle blocking (J > 0 ⇒ ≥ 1
+    shared shingle), so the output is the full exact-Jaccard join DuckDB
+    computes with list algebra. minhash_near_dup keeps exercising the
+    LSH-banded scale path (rows-only)."""
+    from gliner_spark.operators.dedup import doc_shingles
+
+    sh = doc_shingles(_docs(spark, sf_dir), "text", 3).where(
+        F.size("shingles") > 0
+    )
+    inv = sh.select("doc_id", F.explode("shingles").alias("gram"))
+    cand = (
+        inv.select(F.col("doc_id").alias("doc_a"), "gram")
+        .join(inv.select(F.col("doc_id").alias("doc_b"), "gram"), "gram")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .where(F.col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def _q_ner_token_mode(spark, sf_dir):
     from gliner_spark.operators.ner import extract_entities_token
 
@@ -901,6 +975,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_plan": _q_frame_plan,
         "asof_enrich": _q_asof_enrich,
         "event_rollup": _q_event_rollup,
+        "knn_ivf_exact": _q_knn_ivf_exact,
+        "simhash_hamming": _q_simhash_hamming,
+        "jaccard_verify": _q_jaccard_verify,
         # non-SQL-expressible (hashed scorer / sketches / iteration):
         "ner_entities": _q_ner_entities,
         "re_triples": _q_re_triples,
@@ -1337,6 +1414,72 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) as sum_value
             from events
             group by rollup(event_type, date_trunc('hour', ts))
+        """,
+        "knn_ivf_exact": """
+            with u as (
+              select vec_id,
+                     list_transform(embedding, x -> x::double /
+                       sqrt(list_sum(list_transform(embedding,
+                         y -> y::double * y::double)))) as unit
+              from embeddings)
+            select query_id, vec_id, cos, rank from (
+              select q.vec_id as query_id, e.vec_id as vec_id,
+                     round(list_dot_product(e.unit, q.unit), 6) as cos,
+                     row_number() over (partition by q.vec_id
+                       order by round(list_dot_product(e.unit, q.unit), 6)
+                         desc, e.vec_id asc) as rank
+              from u e, u q where q.vec_id < 8)
+            where rank <= 5
+        """,
+        "simhash_hamming": f"""
+            with toks as (
+              select doc_id,
+                     unnest(regexp_extract_all(lower(text), '{_PAT_SQL}'))
+                       as t
+              from documents),
+            h as (
+              select doc_id,
+                     ('0x' || substr(md5(t), 1, 15))::bigint as hv
+              from toks),
+            sums as (
+              select doc_id, b.i as i,
+                     sum(case when (hv >> b.i) & 1 = 1
+                         then 1 else -1 end) as s
+              from h cross join range(60) b(i)
+              group by doc_id, b.i),
+            bits as (
+              select doc_id, i,
+                     case when s > 0 then 1 else 0 end as bit
+              from sums)
+            select a.doc_id as doc_a, b.doc_id as doc_b,
+                   sum(case when a.bit <> b.bit
+                       then 1 else 0 end)::bigint as hamming
+            from bits a join bits b
+              on a.i = b.i and a.doc_id < b.doc_id
+            group by 1, 2
+            having sum(case when a.bit <> b.bit then 1 else 0 end) <= 8
+        """,
+        "jaccard_verify": f"""
+            with toks as (
+              select doc_id,
+                     regexp_extract_all(lower(text), '{_PAT_SQL}') as ts
+              from documents),
+            sh as (
+              select doc_id,
+                     list_distinct(list_transform(
+                       range(1, len(ts) - 1),
+                       i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+                       as s
+              from toks where len(ts) >= 3)
+            select doc_a, doc_b, jaccard from (
+              select a.doc_id as doc_a, b.doc_id as doc_b,
+                     round(len(list_intersect(a.s, b.s))::double /
+                       len(list_distinct(list_concat(a.s, b.s))), 6)
+                       as jaccard,
+                     len(list_intersect(a.s, b.s))::double /
+                       len(list_distinct(list_concat(a.s, b.s))) as j_raw
+              from sh a join sh b on a.doc_id < b.doc_id)
+            where j_raw >= 0.2
         """,
         "dedup_survivors": f"""
             select d.doc_id, d.lang, d.source, d.n_chars

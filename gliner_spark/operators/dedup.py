@@ -197,17 +197,39 @@ def near_dedup_survivors(
 # ------------------------------------------------------------------ simhash
 
 
-def simhash_bits(docs: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
-    """(doc_id, bits: array<int>[64]) — Charikar sign-sketch over token
+def portable_token_hash(tok):
+    """60-bit token hash computable IDENTICALLY in Spark and DuckDB:
+    first 15 hex chars of md5 → base-16 → int64 (value-parity verified —
+    `('0x' || substr(md5(t),1,15))::bigint` on the DuckDB side). Slower
+    than xxhash64; exists so sketch queries can be oracle-checked
+    cross-engine, not for the scale path."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+
+
+def simhash_bits(
+    docs: DataFrame,
+    text_col: str = "text",
+    bits: int = 64,
+    hash_fn=None,
+) -> DataFrame:
+    """(doc_id, bits: array<int>[bits]) — Charikar sign-sketch over token
     hashes, as ONE map-side projection: token hashes computed once per
     row, then per bit an array fold summing ±1 and a sign threshold.
     Zero shuffle (the former explode → 64-sum groupBy moved every
     (doc, token) row through an exchange; same lesson as the MinHash
     signatures). Token MULTIPLICITY is preserved — duplicates weight the
-    sketch exactly as the exploded sum did."""
-    hs = F.transform(
-        tokens(F.lower(F.col(text_col))), lambda t: F.xxhash64(t)
-    )
+    sketch exactly as the exploded sum did.
+
+    hash_fn: token Column → int64 hash Column; default xxhash64. Pass
+    portable_token_hash (with bits ≤ 60) for a sketch DuckDB can
+    reproduce bit-for-bit."""
+    if hash_fn is None:
+        # explicit 1-arg lambda: F.transform would hand a bare *cols
+        # builtin TWO args (element, index) and silently hash the index
+        def hash_fn(t):
+            return F.xxhash64(t)
+
+    hs = F.transform(tokens(F.lower(F.col(text_col))), hash_fn)
     def bit(i: int):
         total = F.aggregate(
             F.col("_hs"),
