@@ -7,7 +7,17 @@ inference threshold=0.5 at gliner/model.py:352-356).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
+
+# the reference span-rep registry (gliner/modeling/span_rep.py:381-421);
+# this engine's fixed scorer realizes markerV0, marker and mlp — other
+# modes are VALID reference configs that are not implemented here, and
+# must be rejected loudly rather than silently scored as markerV0
+SPAN_MODES_REFERENCE = (
+    "markerV0", "marker", "markerV1", "query", "mlp", "cat", "conv_conv",
+    "conv_max", "conv_mean", "conv_sum", "conv_share",
+)
+SPAN_MODES_IMPLEMENTED = ("markerV0", "marker", "mlp")
 
 
 @dataclass(frozen=True)
@@ -31,17 +41,16 @@ class ScorerConfig:
     # above threshold, so per-role fire rates are kept moderate (~18%)
     token_alpha: float = 1.5
     token_beta: float = -1.4
+    # span representation head (reference span_rep.py registry); decides
+    # how (start, width) span reps are built before label scoring
+    span_mode: str = "markerV0"
 
-
-# the reference span-rep registry (gliner/modeling/span_rep.py:381-421);
-# this engine's fixed scorer realizes markerV0 — other modes are VALID
-# reference configs that are not implemented here, and must be rejected
-# loudly rather than silently scored as markerV0
-SPAN_MODES_REFERENCE = (
-    "markerV0", "marker", "query", "mlp", "cat", "conv_conv", "conv_max",
-    "conv_mean", "conv_sum", "conv_share",
-)
-SPAN_MODES_IMPLEMENTED = ("markerV0",)
+    def __post_init__(self) -> None:
+        if self.span_mode not in SPAN_MODES_IMPLEMENTED:
+            raise ValueError(
+                f"span_mode={self.span_mode!r} not implemented; "
+                f"choose one of {SPAN_MODES_IMPLEMENTED}"
+            )
 
 
 @dataclass(frozen=True)
@@ -55,7 +64,10 @@ class PipelineConfig:
     # reference WordsSplitter, tokenizer.py:269-296); whitespace default
     # keeps fixture parity, 'cjk'/'universal' fix han-run clumping
     tokenizer: str = "whitespace"
-    # span representation mode; only markerV0 exists in this engine
+    # span representation mode (markerV0 / marker / mlp implemented;
+    # other registry names are validated-rejected below). Mirrored into
+    # scorer.span_mode in __post_init__ so both the Spark operators and
+    # the pure-Python oracle score with the same head.
     span_mode: str = "markerV0"
     # relation pass (reference gliner/multitask/relation_extraction.py:30,85)
     re_prompt: str = "Extract relationships between entities from the text: "
@@ -93,6 +105,10 @@ class PipelineConfig:
             raise ValueError(
                 f"tokenizer={self.tokenizer!r} is not registered; "
                 f"choose one of {sorted(SPLITTERS)}"
+            )
+        if self.scorer.span_mode != self.span_mode:
+            object.__setattr__(
+                self, "scorer", replace(self.scorer, span_mode=self.span_mode)
             )
 
 

@@ -83,6 +83,11 @@ class HashedBiEncoder:
         self.tok1_table = np.tanh(self.emb @ wt1)
         self.tok0_out = self.tok0_table @ self.out_a  # (buckets, 3)
         self._token_stats: dict[bytes, tuple[np.ndarray, np.ndarray]] = {}
+        # lazily-built span-rep mode tables (marker / mlp); separate rng
+        # streams so the draw order above (and thus markerV0 values)
+        # never shifts when a mode is added
+        self._marker_tabs: tuple[np.ndarray, np.ndarray] | None = None
+        self._mlp_tabs: dict[int, np.ndarray] = {}
 
     # ------------------------------------------------------------------ ids
     _TOK_CACHE_MAX = 1 << 20  # memo cap; beyond it, compute without insert
@@ -160,14 +165,17 @@ class HashedBiEncoder:
         return mat
 
     # -------------------------------------------------------------- scoring
-    def _span_vecs(self, ids: np.ndarray, max_width: int):
+    def _span_vecs_from(
+        self, start_table: np.ndarray, end_table: np.ndarray,
+        ids: np.ndarray, max_width: int,
+    ):
         """(s_vec (B,L,d), e_pad (B,L+K-1,d)): e_pad lets every width-k
         shift be a zero-copy VIEW e_pad[:, k:k+L]. Positions past the
         padded edge reuse the last column (such spans always fail the
         end<=len rule at decode, mirroring decoder.py:110-112, so the
         filler never reaches output)."""
-        s_vec = self.start_table[ids]  # (B, L, d)
-        e_vec = self.end_table[ids]
+        s_vec = start_table[ids]  # (B, L, d)
+        e_vec = end_table[ids]
         if max_width > 1:
             pad = np.broadcast_to(
                 e_vec[:, -1:, :], (e_vec.shape[0], max_width - 1, e_vec.shape[2])
@@ -177,17 +185,101 @@ class HashedBiEncoder:
             e_pad = e_vec
         return s_vec, e_pad
 
-    def span_reps(self, ids: np.ndarray, max_width: int) -> np.ndarray:
-        """Normalized span reps (B, L, K, dim) for spans (s, s+k):
-        rep[b, s, k] = tanh(start_proj(tok s) + end_proj(tok s+k)), unit-
-        normalized. Kept for introspection/tests; the scoring fast path
-        below never materializes this 4-D tensor."""
+    def _span_vecs(self, ids: np.ndarray, max_width: int):
+        return self._span_vecs_from(
+            self.start_table, self.end_table, ids, max_width
+        )
+
+    # ----------------------------------------------- span-rep mode heads
+    def _marker_tables(self):
+        """Vocab-level fold of the reference SpanMarker head
+        (span_rep.py:216-259): two endpoint MLPs (d→2d→relu→d), concat,
+        relu, out-projection (2d→d). relu(cat(a, b)) @ W_out splits into
+        relu(a) @ W_top + relu(b) @ W_bot, so the whole head collapses to
+        two per-vocab tables — scoring stays gathers + adds, bit-stable
+        across batch shapes like the markerV0 tables (dropout = identity
+        at inference). Built lazily on first marker-mode use."""
+        if self._marker_tabs is None:
+            c = self.cfg
+            scale = 1.0 / math.sqrt(c.dim)
+            rng = np.random.RandomState(c.seed + 101)
+
+            def endpoint_mlp() -> np.ndarray:
+                w1 = (rng.standard_normal((c.dim, 2 * c.dim)) * scale).astype(
+                    np.float32
+                )
+                w2 = (rng.standard_normal((2 * c.dim, c.dim)) * scale).astype(
+                    np.float32
+                )
+                return np.maximum(self.emb @ w1, 0.0) @ w2
+
+            sa, se = endpoint_mlp(), endpoint_mlp()
+            w_top = (rng.standard_normal((c.dim, c.dim)) * scale).astype(
+                np.float32
+            )
+            w_bot = (rng.standard_normal((c.dim, c.dim)) * scale).astype(
+                np.float32
+            )
+            self._marker_tabs = (
+                np.maximum(sa, 0.0) @ w_top,
+                np.maximum(se, 0.0) @ w_bot,
+            )
+        return self._marker_tabs
+
+    def _mlp_table(self, k: int) -> np.ndarray:
+        """Vocab-level width-k slice of the reference SpanMLP head
+        (span_rep.py:33-50: one Linear d→K·d, reshape (B,L,K,d), relu):
+        the rep of span (s, s+k) is a function of token s ONLY. One
+        (buckets, d) table per width, built lazily — vocab-level
+        pre-projection keeps values independent of batch shape."""
+        t = self._mlp_tabs.get(k)
+        if t is None:
+            c = self.cfg
+            scale = 1.0 / math.sqrt(c.dim)
+            rng = np.random.RandomState(c.seed + 211 + k)
+            wk = (rng.standard_normal((c.dim, c.dim)) * scale).astype(
+                np.float32
+            )
+            t = np.maximum(self.emb @ wk, 0.0)
+            self._mlp_tabs[k] = t
+        return t
+
+    def _width_reps(self, ids: np.ndarray, max_width: int):
+        """Yield the UNNORMALIZED (B, L, d) span rep per width k — the one
+        place that realizes the implemented span_mode registry entries
+        (markerV0 / marker / mlp). Yielded buffers may be reused between
+        iterations; consumers must finish with a buffer before advancing."""
+        mode = self.cfg.span_mode
+        if mode == "mlp":
+            for k in range(max_width):
+                yield self._mlp_table(k)[ids]
+            return
+        if mode == "marker":
+            ta, tb = self._marker_tables()
+            s_vec, e_pad = self._span_vecs_from(ta, tb, ids, max_width)
+            B, L, d = s_vec.shape
+            tmp = np.empty((B, L, d), dtype=np.float32)
+            for k in range(max_width):
+                np.add(s_vec, e_pad[:, k : k + L], out=tmp)
+                yield tmp
+            return
+        # markerV0: rep = tanh(start_proj(tok s) + end_proj(tok s+k))
         s_vec, e_pad = self._span_vecs(ids, max_width)
         B, L, d = s_vec.shape
-        rep = np.empty((B, L, max_width, d), dtype=np.float32)
+        tmp = np.empty((B, L, d), dtype=np.float32)
         for k in range(max_width):
-            rep[:, :, k, :] = s_vec + e_pad[:, k : k + L]
-        np.tanh(rep, out=rep)
+            np.add(s_vec, e_pad[:, k : k + L], out=tmp)
+            np.tanh(tmp, out=tmp)
+            yield tmp
+
+    def span_reps(self, ids: np.ndarray, max_width: int) -> np.ndarray:
+        """Normalized span reps (B, L, K, dim) for spans (s, s+k) under
+        the configured span_mode. Kept for introspection/tests; the
+        scoring fast path below never materializes this 4-D tensor."""
+        B, L = ids.shape
+        rep = np.empty((B, L, max_width, self.cfg.dim), dtype=np.float32)
+        for k, tmp in enumerate(self._width_reps(ids, max_width)):
+            rep[:, :, k, :] = tmp
         rep /= np.linalg.norm(rep, axis=-1, keepdims=True) + _EPS
         return rep
 
@@ -202,18 +294,15 @@ class HashedBiEncoder:
         the live working set at O(B·L·d) instead of O(B·L·K·d).
         """
         c = self.cfg
-        s_vec, e_pad = self._span_vecs(ids, max_width)
-        B, L, d = s_vec.shape
+        B, L = ids.shape
+        d = c.dim
         labT = np.ascontiguousarray(label_mat.T, dtype=np.float32)
         C = labT.shape[1]
         scale = np.float32(c.alpha * math.sqrt(c.dim))
         out = np.empty((B, L, max_width, C), dtype=np.float32)
-        tmp = np.empty((B, L, d), dtype=np.float32)
-        for k in range(max_width):
-            np.add(s_vec, e_pad[:, k : k + L], out=tmp)
-            np.tanh(tmp, out=tmp)
+        for k, tmp in enumerate(self._width_reps(ids, max_width)):
             nrm = np.sqrt(np.einsum("bld,bld->bl", tmp, tmp)) + _EPS
-            lg = tmp.reshape(B * L, d) @ labT
+            lg = np.ascontiguousarray(tmp).reshape(B * L, d) @ labT
             lg = lg.reshape(B, L, C)
             lg *= (scale / nrm)[:, :, None]
             lg += np.float32(c.beta)
@@ -243,15 +332,11 @@ class HashedBiEncoder:
         for i, m in enumerate(label_mats):
             if m.shape[0]:
                 lab[i, : m.shape[0], :] = m
-        s_vec, e_pad = self._span_vecs(ids, max_width)
-        B, L, d = s_vec.shape
+        B, L = ids.shape
         scale = np.float32(c.alpha * math.sqrt(c.dim))
         labT = np.ascontiguousarray(lab.transpose(0, 2, 1))  # (B, d, C)
         out = np.empty((B, L, max_width, cmax), dtype=np.float32)
-        tmp = np.empty((B, L, d), dtype=np.float32)
-        for k in range(max_width):
-            np.add(s_vec, e_pad[:, k : k + L], out=tmp)
-            np.tanh(tmp, out=tmp)
+        for k, tmp in enumerate(self._width_reps(ids, max_width)):
             nrm = np.sqrt(np.einsum("bld,bld->bl", tmp, tmp)) + _EPS
             lg = np.matmul(tmp, labT)  # batched gemm (B,L,d)@(B,d,C)
             lg *= (scale / nrm)[:, :, None]
