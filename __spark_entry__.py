@@ -834,13 +834,24 @@ def _q_frame_plan(spark, sf_dir):
 
 
 def _q_multimodal_resize(spark, sf_dir):
-    """Image-resize plumbing (mapInPandas, production-shaped output
-    payloads); rows-only — emits a digest of the deterministic fake
-    payload rather than the binary itself."""
-    from gliner_spark.operators.multimodal import resize_images, synth_assets
+    """REAL image decode + resize: synthetic 24-bit BMP payloads parsed
+    by the numpy BMP codec, nearest-neighbor resampled, re-encoded
+    (operators/multimodal.py decode_bmp/nn_resize — true pixel math, not
+    the shape-only fake path). Rows-only — emits a digest of the output
+    payload rather than the binary itself; pixel correctness is pinned
+    in test_corpus_ops (round-trip + known-resample tests)."""
+    from gliner_spark.operators.multimodal import (
+        resize_images,
+        synth_bmp_assets,
+    )
 
     _ensure_shipped(spark)
-    out = resize_images(synth_assets(spark, 200), width=32, height=32)
+    out = resize_images(
+        synth_bmp_assets(spark, 200, width=8, height=6),
+        width=16,
+        height=12,
+        decoder="bmp",
+    )
     return out.select(
         "asset_id", "width", "height", F.md5("data").alias("payload_md5")
     )

@@ -1,13 +1,17 @@
 """Multimodal asset columns: opaque `binary` payloads + typed metadata.
 
-The image/audio/video decode libraries are not installed in this container
-(and the reference has no multimodal path), so the DECODE step is stubbed:
-`decoder="fake"` produces deterministic hash-derived features with the real
-batch shape, `decoder="real"` raises NotImplementedError at the exact
-point where PIL/librosa/av would be called. Everything AROUND the decode —
-schema, Arrow batch plumbing, mapInPandas iterator signature, partition
-behavior, feature schema — is real and tested, so swapping in a real
-decoder on a cluster with the libs installed is a one-function change.
+The image/audio/video codec LIBRARIES are not installed in this container
+(and the reference has no multimodal path), so three decoder tiers exist:
+`decoder="fake"` produces deterministic hash-derived features with the
+real batch shape; `decoder="bmp"` is a REAL decode — a numpy parser for
+24-bit uncompressed BMP (header fields, bottom-up rows, 4-byte stride
+padding) with true pixel math in resize/features; `decoder="real"`
+raises NotImplementedError at the exact point where PIL/librosa/av would
+be called for the formats that genuinely need codec libraries.
+Everything AROUND the decode — schema, Arrow batch plumbing, mapInPandas
+iterator signature, partition behavior, feature schema — is shared by
+all tiers, so swapping in a library decoder on a cluster with the libs
+installed is a one-function change.
 
 Design: assets are (asset_id, kind, data: binary, meta: map<string,string>).
 Feature extraction is mapInPandas (iterator of DataFrames — Arrow batches)
@@ -93,6 +97,115 @@ def synth_assets(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------- BMP codec
+# numpy-only 24-bit uncompressed BMP: the one mainstream image container
+# that needs no codec library, so the "real decode" integration path can
+# be exercised end-to-end (true header parsing + pixel math) in this
+# container. PIL/librosa/av formats keep the NotImplementedError marker.
+
+
+def encode_bmp(px: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit uncompressed BMP bytes
+    (BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up rows, BGR order,
+    rows padded to 4 bytes)."""
+    import struct
+
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    img_size = stride * h
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + img_size, 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    bgr = px[::-1, :, ::-1]  # bottom-up rows, BGR channel order
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(buf: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP bytes → (h, w, 3) uint8 RGB. Handles the
+    pixel-array offset field, negative (top-down) heights, and row
+    stride padding; rejects other bit depths / compressions loudly."""
+    import struct
+
+    buf = bytes(buf)
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    off = struct.unpack_from("<I", buf, 10)[0]
+    _hsz, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", buf, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError(
+            f"only 24-bit uncompressed BMP supported (bpp={bpp}, "
+            f"compression={comp})"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    arr = np.frombuffer(
+        buf, dtype=np.uint8, count=stride * h, offset=off
+    ).reshape(h, stride)
+    px = arr[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    if bottom_up:
+        px = px[::-1]
+    return np.ascontiguousarray(px)
+
+
+def nn_resize(px: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample (the PIL.Image.NEAREST rule:
+    src_index = floor(dst_index · src/dst))."""
+    h, w, _ = px.shape
+    yi = (np.arange(height) * h) // height
+    xi = (np.arange(width) * w) // width
+    return px[yi][:, xi]
+
+
+def _synth_pixels(asset_id: int, width: int, height: int, seed: int) -> np.ndarray:
+    """Deterministic per-asset RGB test pattern (plain arithmetic —
+    recomputable anywhere, same spirit as synth_asset_byte)."""
+    y, x = np.mgrid[0:height, 0:width]
+    base = (2654435761 * asset_id + seed * 97) % 256
+    px = np.stack(
+        [
+            (base + 17 * x + 29 * y) % 256,
+            (base + 31 * x + 7 * y + 101) % 256,
+            (base + 5 * x + 53 * y + 191) % 256,
+        ],
+        axis=-1,
+    )
+    return px.astype(np.uint8)
+
+
+def synth_bmp_assets(
+    spark: SparkSession, n: int, width: int = 8, height: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """n real BMP image assets (kind='image'), generated distributed via
+    mapInPandas over spark.range — payloads are genuine BMP files the
+    decode path must actually parse."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "kind": ["image"] * len(ids),
+                    "data": [
+                        encode_bmp(_synth_pixels(i, width, height, seed))
+                        for i in ids
+                    ],
+                    "meta": [
+                        {"codec": "bmp", "w": str(width), "h": str(height)}
+                    ]
+                    * len(ids),
+                }
+            )
+
+    return spark.range(n).mapInPandas(gen, ASSET_SCHEMA)
+
+
 def _fake_decode(data: pd.Series, kind: pd.Series) -> np.ndarray:
     """Deterministic stand-in features: bytes → normalized histogram-ish
     vector. Vectorized over the batch; same output on every run/engine."""
@@ -104,22 +217,44 @@ def _fake_decode(data: pd.Series, kind: pd.Series) -> np.ndarray:
     return out
 
 
+def _bmp_features(data: pd.Series) -> np.ndarray:
+    """True decoded-pixel features per BMP payload: [w, h, per-channel
+    means (3), per-channel stds (3), 8-bin gray histogram] = 16 dims."""
+    out = np.zeros((len(data), _FEATURE_DIM), dtype=np.float32)
+    for i, buf in enumerate(data):
+        px = decode_bmp(buf).astype(np.float32)
+        h, w, _ = px.shape
+        gray = px.mean(axis=-1)
+        hist = np.histogram(gray, bins=8, range=(0.0, 256.0))[0]
+        out[i, 0] = w
+        out[i, 1] = h
+        out[i, 2:5] = px.reshape(-1, 3).mean(axis=0)
+        out[i, 5:8] = px.reshape(-1, 3).std(axis=0)
+        out[i, 8:16] = hist / gray.size
+    return out
+
+
 def extract_features(
     assets: DataFrame, decoder: str = "fake"
 ) -> DataFrame:
     """assets → (asset_id, kind, n_bytes, feature[16]) via mapInPandas.
 
-    decoder="real" marks the integration point for PIL/librosa/av —
-    intentionally NotImplemented in this environment."""
+    decoder="bmp" actually parses the payload (numpy BMP codec above) and
+    computes pixel statistics; decoder="real" marks the integration point
+    for PIL/librosa/av — intentionally NotImplemented in this
+    environment."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decoder == "real":
                 raise NotImplementedError(
                     "real decoders (PIL/librosa/av) are not installed in "
-                    "this container; use decoder='fake'"
+                    "this container; use decoder='fake' or 'bmp'"
                 )
-            feats = _fake_decode(pdf["data"], pdf["kind"])
+            if decoder == "bmp":
+                feats = _bmp_features(pdf["data"])
+            else:
+                feats = _fake_decode(pdf["data"], pdf["kind"])
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -148,18 +283,22 @@ def resize_images(
     assets: DataFrame, width: int = 224, height: int = 224,
     decoder: str = "fake",
 ) -> DataFrame:
-    """Image resize as a mapInPandas stage. decoder="real" is the
-    PIL.Image.resize integration point (NotImplemented here);
-    decoder="fake" emits a deterministic payload of the TARGET size
-    (hash-expanded bytes) so downstream batch-shape/memory behavior — the
-    Spark-side contract — is exercised for real: each output row carries
-    width·height bytes, so partition sizing and Arrow batch limits see
-    production-shaped data."""
+    """Image resize as a mapInPandas stage.
+
+    decoder="bmp": REAL resize — parse the BMP payload, nearest-neighbor
+    resample the pixel grid, re-encode as BMP of the target size (true
+    pixel math, numpy codec above). decoder="fake" emits a deterministic
+    payload of the TARGET size (hash-expanded bytes) so downstream
+    batch-shape/memory behavior — the Spark-side contract — is exercised
+    with production-shaped data even for formats whose codecs are absent.
+    decoder="real" is the PIL.Image.resize integration point
+    (NotImplemented here)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if decoder == "real":
             raise NotImplementedError(
-                "PIL is not installed in this container; use decoder='fake'"
+                "PIL is not installed in this container; use "
+                "decoder='fake' or 'bmp'"
             )
         n_bytes = width * height
         for pdf in batches:
@@ -168,9 +307,16 @@ def resize_images(
                 continue
             out_payloads = []
             for buf in imgs["data"]:
-                seed = np.frombuffer(buf[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
-                rng = np.random.RandomState(int(seed % (2**32)))
-                out_payloads.append(rng.bytes(n_bytes))
+                if decoder == "bmp":
+                    out_payloads.append(
+                        encode_bmp(nn_resize(decode_bmp(buf), width, height))
+                    )
+                else:
+                    seed = np.frombuffer(
+                        buf[:8].ljust(8, b"\0"), dtype=np.uint64
+                    )[0]
+                    rng = np.random.RandomState(int(seed % (2**32)))
+                    out_payloads.append(rng.bytes(n_bytes))
             yield pd.DataFrame(
                 {
                     "asset_id": imgs["asset_id"].values,

@@ -341,6 +341,82 @@ def test_corpus_summary_sketch_accuracy(spark, docs):
     assert row.p50_tokens <= row.p90_tokens <= row.p99_tokens
 
 
+def test_bmp_codec_roundtrip():
+    """encode_bmp → decode_bmp is the identity on pixel arrays, including
+    widths that force nonzero row padding (stride % 4)."""
+    import numpy as np
+
+    from gliner_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.RandomState(7)
+    for w, h in [(8, 6), (5, 3), (1, 1), (7, 2)]:  # 5,7 → padded strides
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        buf = encode_bmp(px)
+        assert buf[:2] == b"BM"
+        assert np.array_equal(decode_bmp(buf), px)
+    # reject what the codec can't honestly parse
+    with pytest.raises(ValueError, match="BM"):
+        decode_bmp(b"\x89PNG----")
+
+
+def test_bmp_nn_resize_known_values():
+    """Nearest-neighbor semantics pinned: 2×2 → 4×4 duplicates each
+    source pixel into a 2×2 block; downscale picks floor(dst·src/dst)."""
+    import numpy as np
+
+    from gliner_spark.operators.multimodal import nn_resize
+
+    px = np.array(
+        [[[1, 1, 1], [2, 2, 2]], [[3, 3, 3], [4, 4, 4]]], dtype=np.uint8
+    )
+    up = nn_resize(px, 4, 4)
+    assert np.array_equal(up[:2, :2], np.full((2, 2, 3), 1))
+    assert np.array_equal(up[:2, 2:], np.full((2, 2, 3), 2))
+    assert np.array_equal(up[2:, :2], np.full((2, 2, 3), 3))
+    assert np.array_equal(up[2:, 2:], np.full((2, 2, 3), 4))
+    down = nn_resize(up, 2, 2)
+    assert np.array_equal(down, px)
+
+
+def test_multimodal_bmp_real_decode_e2e(spark):
+    """The 'real decode' tier end-to-end on Spark: genuine BMP payloads
+    parsed, resampled and re-encoded inside mapInPandas; output pixels
+    equal the pure-numpy computation per asset."""
+    import numpy as np
+
+    from gliner_spark.operators.multimodal import (
+        _synth_pixels,
+        decode_bmp,
+        encode_bmp,
+        extract_features,
+        nn_resize,
+        resize_images,
+        synth_bmp_assets,
+    )
+
+    assets = synth_bmp_assets(spark, 30, width=8, height=6)
+    out = {
+        r.asset_id: bytes(r.data)
+        for r in resize_images(assets, 16, 12, decoder="bmp").collect()
+    }
+    assert len(out) == 30
+    for aid in (0, 7, 29):
+        expected = encode_bmp(
+            nn_resize(_synth_pixels(aid, 8, 6, 42), 16, 12)
+        )
+        assert out[aid] == expected
+        assert decode_bmp(out[aid]).shape == (12, 16, 3)
+    feats = {
+        r.asset_id: r.feature
+        for r in extract_features(assets, decoder="bmp").collect()
+    }
+    f0 = feats[3]
+    assert f0[0] == 8.0 and f0[1] == 6.0  # decoded dims, not payload len
+    assert abs(sum(f0[8:16]) - 1.0) < 1e-6  # gray histogram normalized
+    px = _synth_pixels(3, 8, 6, 42).astype(np.float32)
+    assert abs(f0[2] - px.reshape(-1, 3).mean(axis=0)[0]) < 1e-3
+
+
 def test_multimodal_resize_stub(spark):
     from gliner_spark.operators.multimodal import resize_images, synth_assets
 
