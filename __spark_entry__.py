@@ -857,6 +857,22 @@ def _q_multimodal_resize(spark, sf_dir):
     )
 
 
+def _q_constrained_labels(spark, sf_dir):
+    """Trie-constrained greedy generation over a broadcast label
+    vocabulary (kernel/labels_trie.py vs reference
+    python_labels_trie.py:34-143 + decoder.py:212-219 EOS rule) as one
+    narrow map stage. Rows-only: the scorer head is the deterministic
+    hashed stand-in; trie semantics are parity-tested in
+    test_labels_trie.py."""
+    from gliner_spark.operators.generation import generate_labels
+
+    vocab = [
+        "person", "person name", "organization", "organization unit",
+        "location", "tool", "service endpoint",
+    ]
+    return generate_labels(_doc_transcripts(spark, sf_dir), vocab)
+
+
 def _q_ner_nested(spark, sf_dir):
     """Nested-NER + multi-label decode path (reference flat_ner=False,
     multi_label=True): overlapping spans allowed when one nests the
@@ -1003,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "summarize_docs": _q_summarize_docs,
         "confidence_splits": _q_confidence_splits,
         "multimodal_resize": _q_multimodal_resize,
+        "constrained_labels": _q_constrained_labels,
         "ner_nested": _q_ner_nested,
         "turn_cooccur": _q_turn_cooccur,
         "graph_edges": _q_graph_edges,

@@ -1,0 +1,111 @@
+"""Trie-constrained label generation as a Spark operator.
+
+Puts the constraint machinery of the reference's generative decoder
+(gliner/decoding/trie/python_labels_trie.py:34-143 trie semantics +
+gliner/modeling/decoder.py:212-219 prefix_allowed_tokens → EOS hook)
+under the distributed driver gate: per turn, a greedy generator walks
+the broadcast label trie, ranking the ALLOWED next tokens with a
+deterministic scorer head (cosine of the turn's mean token embedding
+against the candidate label-word embedding from the shared hashed
+scorer — the in-environment stand-in for a transformer logit head; the
+trie/EOS mechanics are exactly what a real `model.generate(
+prefix_allowed_tokens_fn=…)` would consume).
+
+Plan shape: ONE narrow mapInPandas stage over transcripts; the trie and
+word-id vocabulary ride the task closure (tiny — label vocab), so there
+is no join and no shuffle. Scales as a pure map at any input size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ..config import PipelineConfig, DEFAULT
+from ..kernel.labels_trie import LabelsTrie, constrained_greedy_generate
+from ..kernel.scorer import get_scorer
+from ..kernel.tokenizer import prep_tokens
+
+GEN_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("label", T.StringType(), False),
+        T.StructField("n_steps", T.IntegerType(), False),
+    ]
+)
+
+
+def _label_vocab(labels: list[str]) -> tuple[dict[str, int], list[str], list[list[int]]]:
+    """Word-id vocabulary over the label strings (insertion order, like
+    the reference tokenizer's id assignment) + per-label id sequences."""
+    word_id: dict[str, int] = {}
+    seqs: list[list[int]] = []
+    for lab in labels:
+        seq = []
+        for w in lab.split():
+            if w not in word_id:
+                word_id[w] = len(word_id)
+            seq.append(word_id[w])
+        seqs.append(seq)
+    id_word = [w for w, _ in sorted(word_id.items(), key=lambda kv: kv[1])]
+    return word_id, id_word, seqs
+
+
+def generate_labels(
+    transcripts: DataFrame,
+    labels: list[str],
+    cfg: PipelineConfig | None = None,
+    max_new_tokens: int = 8,
+) -> DataFrame:
+    """transcripts(conv_id, turn_idx, text) → one generated label per
+    turn: greedy walk of the labels trie, every step constrained to
+    trie-legal tokens, EOS when the trie allows nothing (reference
+    decoder.py:212-219 rule). Deterministic: same turn → same label."""
+    cfg = cfg or DEFAULT
+    labels = list(dict.fromkeys(labels))
+    _word_id, id_word, seqs = _label_vocab(labels)
+    eos = len(id_word)  # one past the last vocab id, like a tokenizer EOS
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        scorer = get_scorer(cfg.scorer)
+        trie = LabelsTrie(seqs)
+        # per-word embedding rows (vocab is tiny; gather once per worker)
+        word_vecs = scorer.emb[scorer.token_ids(id_word)]
+        word_vecs = word_vecs / (
+            np.linalg.norm(word_vecs, axis=1, keepdims=True) + 1e-8
+        )
+        for pdf in batches:
+            out = {"conv_id": [], "turn_idx": [], "label": [], "n_steps": []}
+            for conv, turn, text in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["text"]
+            ):
+                toks, _starts, _ends = prep_tokens(
+                    text, cfg.max_len, cfg.tokenizer
+                )
+                if not toks:
+                    continue
+                tvec = scorer.emb[scorer.token_ids(toks)].mean(axis=0)
+                tvec = tvec / (np.linalg.norm(tvec) + 1e-8)
+                sims = word_vecs @ tvec  # (V,) — per-token logits
+
+                def step_scores(_seq):
+                    return {i: float(sims[i]) for i in range(len(id_word))}
+
+                gen = constrained_greedy_generate(
+                    step_scores, trie, eos, max_new_tokens
+                )
+                out["conv_id"].append(conv)
+                out["turn_idx"].append(int(turn))
+                out["label"].append(" ".join(id_word[i] for i in gen))
+                out["n_steps"].append(len(gen))
+            yield pd.DataFrame(out)
+
+    return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
+        run, GEN_SCHEMA
+    )

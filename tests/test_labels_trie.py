@@ -76,3 +76,30 @@ def test_constrained_generation_stays_in_trie():
     t2 = LabelsTrie([[1] * 50])
     assert len(constrained_greedy_generate(
         lambda s: {1: 1.0}, t2, eos_token_id=0, max_new_tokens=5)) == 5
+
+
+def test_generate_labels_operator(spark):
+    """Distributed trie-constrained generation: deterministic, every
+    generated label is a root-to-leaf trie path (the reference get()
+    returns [] only at leaves, so prefixes with children are walked
+    through — 'organization' with child 'unit' always extends)."""
+    from gliner_spark.operators.generation import generate_labels
+    from gliner_spark.sources.transcripts import synth_transcripts
+
+    vocab = [
+        "person", "person name", "organization", "organization unit",
+        "location", "tool",
+    ]
+    leaf_labels = {"person name", "organization unit", "location", "tool"}
+    t = synth_transcripts(spark, 10).cache()
+    t.count()
+    rows = generate_labels(t, vocab).collect()
+    assert len(rows) == t.count()
+    assert all(r.label in leaf_labels for r in rows)
+    assert all(r.n_steps == len(r.label.split()) for r in rows)
+    # deterministic
+    again = sorted((r.conv_id, r.turn_idx, r.label)
+                   for r in generate_labels(t, vocab).collect())
+    assert sorted((r.conv_id, r.turn_idx, r.label) for r in rows) == again
+    assert len({r.label for r in rows}) > 1  # scorer actually routes
+    t.unpersist()
