@@ -103,3 +103,99 @@ def test_time_rollup_levels(spark):
     assert rows[("b", None)] == (1, 8.0)
     assert rows[(None, None)] == (4, 15.0)  # grand total
     assert len(rows) == 6
+
+
+def test_as_of_join_fuzz_vs_duckdb_asof(spark):
+    """Property fuzz (VERDICT r02 #9): randomized keys (incl. NULLs),
+    coarse timestamps that force duplicates, and tolerances — non-null
+    keys compared against DuckDB's native ASOF LEFT JOIN; NULL-keyed
+    rows against a python brute force with the DOCUMENTED null-groups-
+    match semantics (window partitioning groups NULLs; SQL ASOF would
+    not). Right side deduped on (key, ts) first — the caller contract
+    for deterministic ties."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    base = _ts("2024-01-01 00:00:00")
+    rng = random.Random(17)
+    for trial, tol_us in enumerate([None, 120_000_000, 1]):
+        keys = ["a", "b", "c", None]
+        left_rows = [
+            (
+                i,
+                rng.choice(keys),
+                base + datetime.timedelta(seconds=60 * rng.randrange(0, 40)),
+            )
+            for i in range(120)
+        ]
+        right_raw = [
+            (
+                rng.choice(keys),
+                base + datetime.timedelta(seconds=60 * rng.randrange(0, 40)),
+                float(rng.randrange(0, 1000)),
+            )
+            for _ in range(80)
+        ]
+        # caller-contract dedup: max value per (key, ts)
+        dedup: dict = {}
+        for k, ts, v in right_raw:
+            key = (k, ts)
+            dedup[key] = max(dedup.get(key, float("-inf")), v)
+        right_rows = [(k, ts, v) for (k, ts), v in dedup.items()]
+
+        left = spark.createDataFrame(left_rows, "id int, k string, ts timestamp")
+        right = spark.createDataFrame(right_rows, "k string, ts timestamp, v double")
+        got = {
+            r.id: (r.v, r.matched_ts)
+            for r in as_of_join(
+                left, right, "k", "ts", ("v",), tolerance_us=tol_us
+            ).collect()
+        }
+        assert len(got) == len(left_rows)
+
+        # DuckDB oracle over the non-null-key rows
+        con = duckdb.connect()
+        con.register(
+            "l", pd.DataFrame(
+                [r for r in left_rows if r[1] is not None],
+                columns=["id", "k", "ts"],
+            )
+        )
+        con.register(
+            "r", pd.DataFrame(
+                [r for r in right_rows if r[0] is not None],
+                columns=["k", "ts", "v"],
+            )
+        )
+        oracle = {
+            row[0]: (row[1], row[2])
+            for row in con.execute(
+                """
+                select l.id, r.v, r.ts as mts
+                from l asof left join r
+                  on l.k = r.k and l.ts >= r.ts
+                """
+            ).fetchall()
+        }
+        for lid, lk, lts in left_rows:
+            if lk is None:
+                # documented deviation: NULL keys group together
+                cands = [
+                    (ts, v) for k, ts, v in right_rows
+                    if k is None and ts <= lts
+                ]
+                exp = max(cands) if cands else None
+            else:
+                v, mts = oracle[lid]
+                exp = (mts, v) if v is not None else None
+            if exp is not None and tol_us is not None:
+                age = (lts - exp[0]) / datetime.timedelta(microseconds=1)
+                if age > tol_us:
+                    exp = None
+            got_v, got_mts = got[lid]
+            if exp is None:
+                assert got_v is None and got_mts is None, (trial, lid)
+            else:
+                assert (got_mts, got_v) == exp, (trial, lid, exp, got[lid])
