@@ -155,3 +155,55 @@ def test_resume_never_returns_stale_other_fingerprint_output(
     again = runner.run_stage("s", fp_a, produce_a)
     assert again.count() == 3
     assert {r.tag for r in again.collect()} == {"A"}
+
+
+def test_mixed_language_pipeline_universal_tokenizer(
+    spark, tiny_transcripts, tmp_path_factory
+):
+    """E2E auto-dispatch (VERDICT r02 #8): with tokenizer='universal'
+    (pipeline_job's default) zh turns get per-character spans end-to-end
+    while latin turns keep whitespace tokenization — matched exactly
+    against the pure-Python oracle under the same config."""
+    from pyspark.sql import functions as F
+
+    from gliner_spark.config import PipelineConfig
+    from gliner_spark.kernel.oracle import OraclePipeline
+
+    zh_texts = [
+        "张伟在清华大学工作。",
+        "李娜访问了北京和上海。",
+        "ACME 公司聘用了王芳。",
+    ]
+    zh = spark.createDataFrame(
+        [(f"zh{i}", 0, "user", t, None, None) for i, t in enumerate(zh_texts)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    mixed = tiny_transcripts.select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    ).unionByName(zh)
+    cfg = PipelineConfig(tokenizer="universal", threshold=0.3)
+    out = str(tmp_path_factory.mktemp("pipe_zh"))
+    res = run_pipeline(
+        spark, mixed, out, ENTITY_TYPES, RELATIONS, cfg=cfg,
+        input_token="mixed-zh",
+    )
+    got_zh = {
+        (r.conv_id, r.start, r.end, r.label, r.text)
+        for r in res.entities.where(
+            F.col("conv_id").startswith("zh")
+        ).collect()
+    }
+    oracle = OraclePipeline(cfg)
+    expected = oracle.run(zh_texts, ENTITY_TYPES, threshold=0.3)
+    want = {
+        (f"zh{i}", e["start"], e["end"], e["label"], e["text"])
+        for i, ents in enumerate(expected)
+        for e in ents
+    }
+    assert want, "oracle emitted no zh entities at threshold 0.3"
+    assert got_zh == want
+    # per-character dispatch really happened: no span swallows a clause
+    assert all(e - s <= 12 for _c, s, e, _l, _t in want)
+    # latin conversations still extract (whitespace path of the dispatch)
+    assert res.entities.where(~F.col("conv_id").startswith("zh")).count() > 0

@@ -40,10 +40,20 @@ def main():
     ap.add_argument("--n-convs", type=int, default=2000)
     ap.add_argument("--input", default=None,
                     help="existing transcripts parquet (else synthesized)")
+    ap.add_argument(
+        "--tokenizer", default="universal",
+        help="splitter registry name (kernel/tokenizer.py). Default "
+        "'universal' auto-dispatches PER TURN: the CJK-codepoint presence "
+        "check is the language-ID heuristic, so zh/ja/ko text gets "
+        "per-character spans and everything else the whitespace regex — "
+        "strictly finer than routing a whole conversation by language_id, "
+        "at the cost of one regex search per turn (measured +2.1%% on the "
+        "extraction stage, BASELINE.md).")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
+    from gliner_spark.config import PipelineConfig
     from gliner_spark.pipeline import run_pipeline
     from gliner_spark.sources.transcripts import synth_transcripts
 
@@ -67,6 +77,7 @@ def main():
     t0 = time.time()
     res = run_pipeline(
         spark, transcripts, args.out, ENTITY_TYPES, RELATIONS,
+        cfg=PipelineConfig(tokenizer=args.tokenizer),
         input_token=token,
     )
     print(
