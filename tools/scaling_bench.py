@@ -3,9 +3,14 @@ efficiency ≥ 0.8 from N to 4N executors; sandbox proxy = local[8] vs
 local[32] on identical input, via spark-submit --py-files).
 
 1. Writes a fixed ~900k-turn synthetic transcripts parquet (once).
-2. Launches tools/kg_job.py at local[8] then local[32].
-3. efficiency = throughput_4N / (4 × throughput_N); updates the
-   "Measured scaling" section of BASELINE.md.
+2. Runs SCALE_PROTOCOL_RUNS (default 5) PAIRED protocol runs, each
+   launching tools/kg_job.py at local[8] then local[32]; per-run
+   efficiency = throughput_4N / (4 × throughput_N).
+3. Headline = MEDIAN of the per-run efficiencies, band = min–max — the
+   shared VM has ±40% noisy-neighbor variance (r02 band 0.76–0.959), so
+   a best-of headline could mask a real regression behind one quiet
+   run; a median of ≥5 cannot. Exits nonzero if the median is < 0.8.
+4. Updates the "Measured scaling" section of BASELINE.md.
 """
 
 from __future__ import annotations
@@ -73,24 +78,44 @@ def main():
     _set_worker_env_defaults()
     ensure_input()
     zip_path = build_package_zip()
-    repeats = int(os.environ.get("SCALE_REPEATS", "2"))
+    runs = int(os.environ.get("SCALE_PROTOCOL_RUNS", "5"))
 
-    def best_of(cores: int) -> dict:
-        runs = [run_at(cores, zip_path) for _ in range(repeats)]
-        return max(runs, key=lambda r: r["turns_per_sec"])
+    pairs: list[tuple[float, dict, dict]] = []
+    for i in range(runs):
+        lo = run_at(8, zip_path)
+        hi = run_at(32, zip_path)
+        eff = hi["turns_per_sec"] / (4 * lo["turns_per_sec"])
+        pairs.append((eff, lo, hi))
+        print(
+            json.dumps(
+                {
+                    "protocol_run": i + 1,
+                    "of": runs,
+                    "efficiency": round(eff, 3),
+                    "throughput_n": lo["turns_per_sec"],
+                    "throughput_4n": hi["turns_per_sec"],
+                }
+            ),
+            flush=True,
+        )
 
-    lo = best_of(8)
-    hi = best_of(32)
-    eff = hi["turns_per_sec"] / (4 * lo["turns_per_sec"])
+    import statistics
+
+    effs = sorted(e for e, _, _ in pairs)
+    med = statistics.median(effs)
+    # representative pair for the wall/throughput table: closest to median
+    _, lo, hi = min(pairs, key=lambda p: abs(p[0] - med))
     result = {
         "n_cores": 8,
         "n4_cores": 32,
         "n_turns": lo["n_turns"],
+        "n_protocol_runs": runs,
         "throughput_n": lo["turns_per_sec"],
         "throughput_4n": hi["turns_per_sec"],
         "wall_n_s": lo["wall_s"],
         "wall_4n_s": hi["wall_s"],
-        "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency": round(med, 3),
+        "efficiency_band": [round(effs[0], 3), round(effs[-1], 3)],
     }
     print(json.dumps(result))
 
@@ -101,17 +126,22 @@ def main():
         "\n## Measured scaling (this sandbox)\n\n"
         "Flagship fused NER+RE triple extraction over identical parquet\n"
         f"input ({result['n_turns']} synthetic turns, 256 partitions),\n"
-        f"best of {repeats} runs per level, via\n"
-        "`spark-submit --py-files` (`tools/scaling_bench.py`). Both runs use\n"
+        f"MEDIAN of {runs} paired protocol runs (each = one local[8] +\n"
+        "one local[32] launch; per-run efficiency, then median — outlier-\n"
+        "proof against this VM's ±40% noisy-neighbor variance), via\n"
+        "`spark-submit --py-files` (`tools/scaling_bench.py`). All runs use\n"
         "`spark.task.cpus=2` (each task = 1 CPU-bound python worker + its\n"
         "JVM-side Arrow/scan thread — real-cluster executor sizing for\n"
         "Python-UDF-heavy stages; without it the 4N run oversubscribes the\n"
-        "box 2 threads/core and measures contention, not the dataflow):\n\n"
+        "box 2 threads/core and measures contention, not the dataflow).\n"
+        "Median protocol run:\n\n"
         "| cores | wall (s) | turns/sec |\n|---|---|---|\n"
         f"| local[8] (N) | {result['wall_n_s']} | {result['throughput_n']} |\n"
         f"| local[32] (4N) | {result['wall_4n_s']} | {result['throughput_4n']} |\n\n"
-        f"**Scaling efficiency N→4N: {result['scaling_efficiency']}** "
-        "(target ≥ 0.8).\n"
+        f"**Scaling efficiency N→4N: median {result['scaling_efficiency']}"
+        f"** (target ≥ 0.8), band "
+        f"{result['efficiency_band'][0]}–{result['efficiency_band'][1]} "
+        f"across the {runs} runs.\n"
     )
     # replace ONLY this section — stop at the next heading (the greedy
     # [\s\S]* version once ate the e2e-pipeline section that follows)
@@ -126,6 +156,14 @@ def main():
     with open(baseline, "w") as f:
         f.write(txt + section)
     print(f"updated {baseline}")
+    if med < 0.8:
+        print(
+            f"FAIL: median scaling efficiency {med:.3f} < 0.8 over {runs} "
+            f"protocol runs (band {effs[0]:.3f}-{effs[-1]:.3f}) — a real "
+            "regression, not a noisy outlier",
+            file=sys.stderr,
+        )
+        sys.exit(1)
 
 
 if __name__ == "__main__":
