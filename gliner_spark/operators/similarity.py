@@ -226,8 +226,20 @@ def knn_ivf(
     corpus = embeddings.select("vec_id", _unit()).withColumn(
         "cell", nearest_centroid(F.col("unit"), cents).getField("cluster")
     )
-    # rank cells per query by centroid distance — all native, no join:
-    # sort the k (dist2, cell) structs and keep the n_probe closest
+    return _probe_and_rank(corpus, queries, cents, k, n_probe)
+
+
+def _probe_and_rank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cents: list[list[float]],
+    k: int,
+    n_probe: int,
+) -> DataFrame:
+    """Shared IVF probe: rank cells per query by centroid distance (all
+    native, no join — the centroids ride the plan as literals), keep the
+    n_probe closest, broadcast-join on `cell`, exact cosine within,
+    row_number top-k. corpus: (vec_id, unit, cell)."""
     q = queries.select("query_id", _unit().alias("q_unit"))
     cell_structs = F.array(
         *[
@@ -267,3 +279,58 @@ def knn_ivf(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "cos", "rank")
     )
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    seed: int = 5,
+    kmeans_iter: int = 4,
+) -> list[list[float]]:
+    """Persist an IVF index: train cells once, assign once, WRITE the
+    unit-vector corpus as parquet PARTITIONED BY cell, centroids as a
+    JSON sidecar. This is the 100 TB shape the in-memory knn_ivf
+    docstring promises: assignment is paid once at build time; every
+    later query batch reads only its probed Voronoi partitions (Spark's
+    dynamic partition pruning fires on the broadcast cell join — see
+    knn_ivf_indexed), no re-assignment, no shuffle of corpus vectors.
+
+    `path` must be a filesystem path writable from the driver (the JSON
+    sidecar is written driver-side; on a real lakehouse the centroids
+    would live in the table's metadata)."""
+    import json
+    import os
+
+    _assigned, cents, _inertia = kmeans(
+        embeddings, k=n_cells, max_iter=kmeans_iter, seed=seed
+    )
+    corpus = embeddings.select("vec_id", _unit()).withColumn(
+        "cell", nearest_centroid(F.col("unit"), cents).getField("cluster")
+    )
+    corpus.write.mode("overwrite").partitionBy("cell").parquet(path)
+    with open(os.path.join(path, "_centroids.json"), "w") as f:
+        json.dump(cents, f)
+    return cents
+
+
+def knn_ivf_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """kNN over a persisted IVF index (build_ivf_index): identical
+    results to knn_ivf with the same training parameters (same seed ⇒
+    same deterministic k-means ⇒ same cells — parity-pinned in test),
+    but the corpus scan is limited to the probed partitions via dynamic
+    partition pruning on the `cell` partition column instead of scanning
+    and re-assigning the whole corpus per query batch."""
+    import json
+    import os
+
+    with open(os.path.join(index_path, "_centroids.json")) as f:
+        cents = json.load(f)
+    corpus = spark.read.parquet(index_path)
+    return _probe_and_rank(corpus, queries, cents, k, n_probe)

@@ -557,6 +557,46 @@ def test_simhash_rejects_lossy_banding(spark):
         simhash_candidates(df, max_hamming=8, n_bands=4)
 
 
+def test_ivf_index_persisted_parity_and_pruning(
+    spark, embeddings, tmp_path_factory
+):
+    """build_ivf_index + knn_ivf_indexed: (a) corpus lands partitioned
+    by cell on disk; (b) results are IDENTICAL to the in-memory knn_ivf
+    at the same training seed (deterministic k-means ⇒ same Voronoi
+    cells); (c) the query scan carries a dynamicpruningexpression
+    partition filter — only probed cells are read, the plan shape that
+    makes the persisted index the 100 TB path."""
+    import os
+
+    from gliner_spark.operators.similarity import (
+        build_ivf_index,
+        knn_ivf,
+        knn_ivf_indexed,
+    )
+
+    path = str(tmp_path_factory.mktemp("ivf")) + "/index"
+    cents = build_ivf_index(embeddings, path, n_cells=8, seed=5)
+    assert len(cents) == 8
+    cells = sorted(x for x in os.listdir(path) if x.startswith("cell="))
+    assert len(cells) > 1  # genuinely partitioned layout
+    q = embeddings.where("vec_id < 8").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    indexed = knn_ivf_indexed(spark, path, q, k=5, n_probe=3)
+    a = sorted(tuple(r) for r in indexed.collect())
+    b = sorted(
+        tuple(r)
+        for r in knn_ivf(
+            embeddings, q, k=5, n_cells=8, n_probe=3, seed=5
+        ).collect()
+    )
+    assert a == b and len(a) > 0
+    plan = (
+        indexed._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "dynamicpruningexpression" in plan
+
+
 def test_knn_ivf_clustered_recall_beats_probe_fraction(spark):
     """The property that makes IVF an ANN index: on clustered data,
     probing the nearest cells recovers far more than n_probe/n_cells of
