@@ -66,12 +66,16 @@ def distinct_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # ------------------------------------------------------------- minhash/LSH
 
 
+def shingle_col(text_col: str = "text", n: int = 3):
+    """Distinct word n-grams of the lowercased text, as a COLUMN — shared
+    by the batch table builder below and the streaming banding stage
+    (which needs to keep its watermark column alongside)."""
+    return F.array_distinct(word_ngrams(tokens(F.lower(F.col(text_col))), n))
+
+
 def doc_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """(doc_id, shingles: distinct word n-grams of the lowercased text)."""
-    toks = tokens(F.lower(F.col(text_col)))
-    return docs.select(
-        "doc_id", F.array_distinct(word_ngrams(toks, n)).alias("shingles")
-    )
+    return docs.select("doc_id", shingle_col(text_col, n).alias("shingles"))
 
 
 def minhash_sigs(
@@ -79,11 +83,15 @@ def minhash_sigs(
     id_col: str = "doc_id",
     n_perms: int = 64,
     seed: int = 7,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, sig array<bigint>) as a pure map-side array expression — zero
-    shuffle (see linking.minhash_array; identical values to the old
-    explode → 64-min-aggregates shape, which shuffled every (id, shingle)
-    row). Docs with no shingles get an empty-sentinel single shingle."""
+    """(id, sig array<bigint>[, passthrough…]) as a pure map-side array
+    expression — zero shuffle (see linking.minhash_array; identical
+    values to the old explode → 64-min-aggregates shape, which shuffled
+    every (id, shingle) row). Docs with no shingles get an
+    empty-sentinel single shingle. `passthrough` columns ride the
+    projection untouched (the streaming caller keeps its watermark ts
+    without a join)."""
     from .linking import _MERSENNE, minhash_sig_expr
 
     padded = F.when(F.size("shingles") > 0, F.col("shingles")).otherwise(
@@ -92,9 +100,10 @@ def minhash_sigs(
     hashes = F.transform(
         padded, lambda s: F.pmod(F.xxhash64(F.lit(seed), s), F.lit(_MERSENNE))
     )
-    with_h = with_shingles.select(id_col, hashes.alias("_hs"))
+    extra = list(passthrough)
+    with_h = with_shingles.select(id_col, *extra, hashes.alias("_hs"))
     return with_h.select(
-        id_col, minhash_sig_expr("_hs", n_perms, seed).alias("sig")
+        id_col, *extra, minhash_sig_expr("_hs", n_perms, seed).alias("sig")
     )
 
 

@@ -139,3 +139,79 @@ def test_stream_dedup_within_watermark(spark, tmp_path_factory):
     q.awaitTermination(120)
     got = [r.text for r in spark.sql("select text from dedup_sink").collect()]
     assert sorted(got) == ["alpha doc", "beta doc", "delta doc", "gamma doc"]
+
+
+def test_stream_near_dup_candidates_across_batches(spark, tmp_path_factory):
+    """LSH band buckets as grouped state: a doc arriving in micro-batch 2
+    must pair with its near-duplicate from micro-batch 1 (bucket history
+    lives in the state store), intra-batch pairs are found too, and the
+    candidate set equals the BATCH banding's bucket-cohabitation pairs
+    over the same corpus (same signature expressions ⇒ same buckets)."""
+    import datetime
+
+    from gliner_spark.operators.dedup import doc_shingles, minhash_sigs
+    from gliner_spark.streaming.neardedup import stream_near_dup_candidates
+
+    land = str(tmp_path_factory.mktemp("nd_land"))
+    ckpt = str(tmp_path_factory.mktemp("nd_ckpt"))
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    base = ("the payment service retried the cache query after the "
+            "cluster restart and logged a slow shuffle join")
+    texts = {
+        1: base,
+        2: "completely different words about kafka broker metrics",
+        # near-dup of doc 1, lands in a LATER micro-batch
+        3: base + " again",
+        4: base.replace("slow", "fast"),
+    }
+
+    def write_batch(ids):
+        rows = [
+            (i, t0 + datetime.timedelta(seconds=i), texts[i]) for i in ids
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, ts timestamp, text string"
+        ).coalesce(1).write.mode("append").parquet(land)
+
+    write_batch([1, 2])
+    write_batch([3, 4])
+
+    stream = spark.readStream.schema(
+        "doc_id long, ts timestamp, text string"
+    ).option("maxFilesPerTrigger", 1).parquet(land)
+    cands = stream_near_dup_candidates(stream, n_bands=16, n_perms=64)
+    q = (
+        cands.writeStream.format("memory")
+        .queryName("nd_sink")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in spark.sql("select * from nd_sink").collect()
+    }
+
+    # batch oracle: pairs sharing ≥1 band bucket
+    docs = spark.createDataFrame(
+        [(i, texts[i]) for i in texts], "doc_id long, text string"
+    )
+    sigs = minhash_sigs(doc_shingles(docs, "text", 3), "doc_id", 64)
+    sig_map = {r.doc_id: r.sig for r in sigs.collect()}
+    import itertools
+
+    def bucket_pairs():
+        out = set()
+        for a, b in itertools.combinations(sorted(sig_map), 2):
+            for band in range(16):
+                lo, hi = band * 4, band * 4 + 4
+                if sig_map[a][lo:hi] == sig_map[b][lo:hi]:
+                    out.add((a, b))
+                    break
+        return out
+
+    expected = bucket_pairs()
+    assert (1, 3) in expected, "test corpus must make 1~3 a candidate"
+    assert got == expected, (got, expected)
