@@ -10,14 +10,13 @@ from __future__ import annotations
 from dataclasses import dataclass, field, replace
 
 # the reference span-rep registry (gliner/modeling/span_rep.py:381-421);
-# this engine's fixed scorer realizes markerV0, marker and mlp — other
-# modes are VALID reference configs that are not implemented here, and
-# must be rejected loudly rather than silently scored as markerV0
+# this engine's deterministic scorer realizes ALL 11 registry modes
+# (kernel/scorer.py _width_reps); unknown names are rejected loudly
 SPAN_MODES_REFERENCE = (
     "markerV0", "marker", "markerV1", "query", "mlp", "cat", "conv_conv",
     "conv_max", "conv_mean", "conv_sum", "conv_share",
 )
-SPAN_MODES_IMPLEMENTED = ("markerV0", "marker", "mlp")
+SPAN_MODES_IMPLEMENTED = SPAN_MODES_REFERENCE
 
 
 @dataclass(frozen=True)

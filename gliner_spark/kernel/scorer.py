@@ -83,11 +83,20 @@ class HashedBiEncoder:
         self.tok1_table = np.tanh(self.emb @ wt1)
         self.tok0_out = self.tok0_table @ self.out_a  # (buckets, 3)
         self._token_stats: dict[bytes, tuple[np.ndarray, np.ndarray]] = {}
-        # lazily-built span-rep mode tables (marker / mlp); separate rng
-        # streams so the draw order above (and thus markerV0 values)
-        # never shifts when a mode is added
+        # lazily-built span-rep mode tables; each mode draws from its own
+        # seed-offset rng stream so the draw order above (and thus
+        # markerV0 values) never shifts when a mode is added
         self._marker_tabs: tuple[np.ndarray, np.ndarray] | None = None
         self._mlp_tabs: dict[int, np.ndarray] = {}
+        self._mv1_tabs: tuple[np.ndarray, ...] | None = None
+        self._query_tabs: dict[int, np.ndarray] = {}
+        self._query_w: np.ndarray | None = None
+        self._cat_tabs: dict[int, np.ndarray] = {}
+        self._cat_base: np.ndarray | None = None
+        self._cat_wq: np.ndarray | None = None
+        self._conv_proj: dict[str, np.ndarray] = {}
+        self._convconv_taps: dict[int, np.ndarray] = {}
+        self._convshare_taps: dict[int, np.ndarray] = {}
 
     # ------------------------------------------------------------------ ids
     _TOK_CACHE_MAX = 1 << 20  # memo cap; beyond it, compute without insert
@@ -244,15 +253,259 @@ class HashedBiEncoder:
             self._mlp_tabs[k] = t
         return t
 
+    def _query_table(self, k: int) -> np.ndarray:
+        """Vocab-level width-k table of the reference SpanQuery head
+        (span_rep.py:7-30): rep(s, k) = relu((h_s ⊙ q_k) @ W) where q_k is
+        the width-k query vector (nn.init.uniform_(a=-1, b=1)) and W the
+        shared project Linear. Depends on token s only → vocab-foldable."""
+        t = self._query_tabs.get(k)
+        if t is None:
+            c = self.cfg
+            if self._query_w is None:
+                scale = 1.0 / math.sqrt(c.dim)
+                rng = np.random.RandomState(c.seed + 331)
+                self._query_w = (
+                    rng.standard_normal((c.dim, c.dim)) * scale
+                ).astype(np.float32)
+            q_k = (
+                np.random.RandomState(c.seed + 307 + k)
+                .uniform(-1.0, 1.0, c.dim)
+                .astype(np.float32)
+            )
+            t = np.maximum((self.emb * q_k) @ self._query_w, 0.0)
+            # relu leaves a common positive component that a TRAINED
+            # projection would calibrate away; under random weights it
+            # compresses cosine spread below the decode threshold.
+            # Center by the vocab mean — deterministic, batch-stable.
+            t -= t.mean(axis=0)
+            self._query_tabs[k] = t
+        return t
+
+    def _cat_table(self, k: int) -> np.ndarray:
+        """Vocab-level width-k table of the reference SpanCAT head
+        (span_rep.py:53-81): rep = relu([h_s ‖ q_k] @ W). A linear over a
+        concat splits into h_s @ W_h + q_k @ W_q, so each width is the
+        shared token base table plus a per-width bias row, relu'd."""
+        t = self._cat_tabs.get(k)
+        if t is None:
+            c = self.cfg
+            scale = 1.0 / math.sqrt(c.dim)
+            if self._cat_base is None:
+                rng = np.random.RandomState(c.seed + 353)
+                w_h = (rng.standard_normal((c.dim, c.dim)) * scale).astype(
+                    np.float32
+                )
+                # reference width embedding is 128-dim (span_rep.py:60)
+                self._cat_wq = (
+                    rng.standard_normal((128, c.dim)) * (1.0 / math.sqrt(128))
+                ).astype(np.float32)
+                self._cat_base = self.emb @ w_h
+            q_k = (
+                np.random.RandomState(c.seed + 359 + k)
+                .standard_normal(128)
+                .astype(np.float32)
+            )
+            t = np.maximum(self._cat_base + q_k @ self._cat_wq, 0.0)
+            t -= t.mean(axis=0)  # same vocab-mean calibration as _query_table
+            self._cat_tabs[k] = t
+        return t
+
+    def _markerv1_tables(self):
+        """Three endpoint/first projections of the reference SpanMarkerV1
+        (span_rep.py:288-349), folded to vocab tables like markerV0.
+
+        The reference docstring says the span rep is augmented with the
+        FIRST-token embedding; the code body actually takes a mean over
+        the PADDED batch axis (`torch.mean(h, dim=1)`, :330 — pad rows
+        included, so values shift with batch composition, and the defined
+        `project_first` layer is never applied). This kernel follows the
+        documented intent — a first-token projection — which keeps the
+        bit-stability-across-batch-shapes invariant every other mode has.
+        rep = tanh(start_proj(tok_s) + end_proj(tok_{s+k}) + first_proj(tok_0)).
+        """
+        if self._mv1_tabs is None:
+            c = self.cfg
+            scale = 1.0 / math.sqrt(c.dim)
+            rng = np.random.RandomState(c.seed + 173)
+            tabs = []
+            for _ in range(3):
+                w = (rng.standard_normal((c.dim, c.dim)) * scale).astype(
+                    np.float32
+                )
+                tabs.append(self.emb @ w)
+            self._mv1_tabs = tuple(tabs)
+        return self._mv1_tabs
+
+    def _conv_proj_w(self, mode: str) -> np.ndarray:
+        """Shared post-pool projection of SpanConv/ConvShare
+        (span_rep.py:128-131, :178-181: project = Sequential(ReLU,
+        Linear)) — one Linear per mode instance, applied to every width."""
+        w = self._conv_proj.get(mode)
+        if w is None:
+            c = self.cfg
+            scale = 1.0 / math.sqrt(c.dim)
+            off = {
+                "conv_mean": 421, "conv_sum": 431, "conv_max": 433,
+                "conv_conv": 439, "conv_share": 443,
+            }[mode]
+            rng = np.random.RandomState(c.seed + off)
+            w = (rng.standard_normal((c.dim, c.dim)) * scale).astype(
+                np.float32
+            )
+            self._conv_proj[mode] = w
+        return w
+
+    def _conv_conv_taps(self, width_idx: int) -> np.ndarray:
+        """Per-kernel Conv1d weights of SpanConvBlock('conv_conv')
+        (span_rep.py:88-92): width_idx i ≥ 1 has its OWN kernel-(i+1)
+        conv; tap j maps token s+j. Returns (i+1, d, d) float32."""
+        t = self._convconv_taps.get(width_idx)
+        if t is None:
+            c = self.cfg
+            scale = 1.0 / math.sqrt(c.dim)
+            rng = np.random.RandomState(c.seed + 461 + width_idx)
+            t = (
+                rng.standard_normal((width_idx + 1, c.dim, c.dim)) * scale
+            ).astype(np.float32)
+            self._convconv_taps[width_idx] = t
+        return t
+
+    def _conv_share_tap(self, j: int) -> np.ndarray:
+        """Tap j of the SHARED conv weight of ConvShare (span_rep.py:
+        170-200): width i applies the prefix taps 0..i, so widths nest and
+        the rep accumulates one shifted-gemm per extra width."""
+        t = self._convshare_taps.get(j)
+        if t is None:
+            c = self.cfg
+            scale = 1.0 / math.sqrt(c.dim)
+            rng = np.random.RandomState(c.seed + 487 + j)
+            t = (rng.standard_normal((c.dim, c.dim)) * scale).astype(
+                np.float32
+            )
+            self._convshare_taps[j] = t
+        return t
+
+    def _pool_width_reps(self, ids: np.ndarray, max_width: int, mode: str):
+        """conv_mean / conv_sum / conv_max (SpanConv, span_rep.py:119-145):
+        width 0 is the raw token rep; width k ≥ 1 pools tokens s..s+k
+        (kernel k+1, right-padded with zeros like the reference F.pad —
+        positions past the padded edge only feed spans that fail the
+        end<=len decode rule, so the filler never reaches output). The
+        shared project (relu → Linear) is applied per width. One cumsum
+        serves every sum/mean width; max is a running elementwise max."""
+        B, L = ids.shape
+        c = self.cfg
+        x = self.emb[ids]  # (B, L, d)
+        w_proj = self._conv_proj_w(mode)
+        yield np.maximum(x, 0.0) @ w_proj  # width 0: span_reps[0] = x
+        if max_width == 1:
+            return
+        xp = np.concatenate(
+            [x, np.zeros((B, max_width - 1, c.dim), dtype=np.float32)], axis=1
+        )
+        if mode == "conv_max":
+            run = xp[:, :L].copy()
+            for k in range(1, max_width):
+                np.maximum(run, xp[:, k : k + L], out=run)
+                # a max over k zero-mean coordinates (then relu) is
+                # positively biased along the all-ones direction; with
+                # the reference's TRAINED projection that bias is
+                # calibrated away, but a random projection maps it to one
+                # fixed direction that compresses cosine spread below the
+                # decode threshold. Remove each vector's uniform
+                # component after the relu — deterministic per span,
+                # batch-shape-stable (stand-in kernel calibration).
+                r = np.maximum(run, 0.0)
+                r -= r.mean(axis=-1, keepdims=True)
+                yield r @ w_proj
+            return
+        cs = np.cumsum(xp, axis=1, dtype=np.float64)
+        cs = np.concatenate(
+            [np.zeros((B, 1, c.dim), dtype=np.float64), cs], axis=1
+        )
+        for k in range(1, max_width):
+            ws = (cs[:, k + 1 : k + 1 + L] - cs[:, :L]).astype(np.float32)
+            if mode == "conv_mean":
+                # AvgPool1d over the fixed kernel — pad zeros count in
+                # the denominator, exactly like the reference block
+                ws /= np.float32(k + 1)
+            r = np.maximum(ws, 0.0)
+            if mode == "conv_sum":
+                # same relu-bias calibration as conv_max (the mean-pooled
+                # variant's bias shrinks with k and fires without it)
+                r -= r.mean(axis=-1, keepdims=True)
+            yield r @ w_proj
+
     def _width_reps(self, ids: np.ndarray, max_width: int):
         """Yield the UNNORMALIZED (B, L, d) span rep per width k — the one
-        place that realizes the implemented span_mode registry entries
-        (markerV0 / marker / mlp). Yielded buffers may be reused between
-        iterations; consumers must finish with a buffer before advancing."""
+        place that realizes the span_mode registry entries (all 11
+        reference modes, span_rep.py:381-421). Yielded buffers may be
+        reused between iterations; consumers must finish with a buffer
+        before advancing."""
         mode = self.cfg.span_mode
         if mode == "mlp":
             for k in range(max_width):
                 yield self._mlp_table(k)[ids]
+            return
+        if mode == "query":
+            for k in range(max_width):
+                yield self._query_table(k)[ids]
+            return
+        if mode == "cat":
+            for k in range(max_width):
+                yield self._cat_table(k)[ids]
+            return
+        if mode in ("conv_mean", "conv_sum", "conv_max"):
+            yield from self._pool_width_reps(ids, max_width, mode)
+            return
+        if mode == "conv_conv":
+            B, L = ids.shape
+            c = self.cfg
+            x = self.emb[ids]
+            w_proj = self._conv_proj_w(mode)
+            yield np.maximum(x, 0.0) @ w_proj  # width 0: raw rep
+            if max_width == 1:
+                return
+            xp = np.concatenate(
+                [x, np.zeros((B, max_width - 1, c.dim), dtype=np.float32)],
+                axis=1,
+            )
+            for k in range(1, max_width):
+                taps = self._conv_conv_taps(k)
+                acc = xp[:, 0:L] @ taps[0]
+                for j in range(1, k + 1):
+                    acc += xp[:, j : j + L] @ taps[j]
+                yield np.maximum(acc, 0.0) @ w_proj
+            return
+        if mode == "conv_share":
+            B, L = ids.shape
+            c = self.cfg
+            x = self.emb[ids]
+            w_proj = self._conv_proj_w(mode)
+            xp = np.concatenate(
+                [x, np.zeros((B, max_width - 1, c.dim), dtype=np.float32)],
+                axis=1,
+            )
+            acc = xp[:, 0:L] @ self._conv_share_tap(0)
+            for k in range(max_width):
+                if k:
+                    acc += xp[:, k : k + L] @ self._conv_share_tap(k)
+                # relu-bias calibration, as in _pool_width_reps
+                r = np.maximum(acc, 0.0)
+                r -= r.mean(axis=-1, keepdims=True)
+                yield r @ w_proj
+            return
+        if mode == "markerV1":
+            ta, tb, tf = self._markerv1_tables()
+            s_vec, e_pad = self._span_vecs_from(ta, tb, ids, max_width)
+            f_vec = tf[ids[:, 0]][:, None, :]  # (B, 1, d) first-token term
+            B, L, d = s_vec.shape
+            tmp = np.empty((B, L, d), dtype=np.float32)
+            for k in range(max_width):
+                np.add(s_vec, e_pad[:, k : k + L], out=tmp)
+                tmp += f_vec
+                np.tanh(tmp, out=tmp)
+                yield tmp
             return
         if mode == "marker":
             ta, tb = self._marker_tables()

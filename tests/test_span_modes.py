@@ -1,6 +1,6 @@
-"""Span-rep mode registry (reference span_rep.py:381-421): markerV0 /
-marker / mlp implemented, kernel↔Spark parity per mode; other registry
-names validated-rejected."""
+"""Span-rep mode registry (reference span_rep.py:381-421): all 11
+registry modes implemented in the kernel; per-mode structural properties
+(which tokens a span's rep may depend on) + kernel↔Spark parity."""
 
 import numpy as np
 import pytest
@@ -20,17 +20,16 @@ LABELS = ["person", "organization", "tool"]
 
 
 def test_registry_validation():
-    assert set(SPAN_MODES_IMPLEMENTED) == {"markerV0", "marker", "mlp"}
+    # the full reference registry (span_rep.py:381-421) is implemented
+    assert set(SPAN_MODES_IMPLEMENTED) == set(SPAN_MODES_REFERENCE)
+    assert len(SPAN_MODES_REFERENCE) == 11
     for mode in SPAN_MODES_IMPLEMENTED:
         PipelineConfig(span_mode=mode)
         ScorerConfig(span_mode=mode)
-    for mode in SPAN_MODES_REFERENCE:
-        if mode in SPAN_MODES_IMPLEMENTED:
-            continue
-        with pytest.raises(ValueError, match="span mode|span_mode"):
-            PipelineConfig(span_mode=mode)
     with pytest.raises(ValueError):
         PipelineConfig(span_mode="no_such_mode")
+    with pytest.raises(ValueError):
+        ScorerConfig(span_mode="conv_normal")  # block-internal name, not registered
 
 
 def test_pipeline_config_threads_mode_to_scorer():
@@ -48,15 +47,75 @@ def test_modes_produce_distinct_scores():
         ids, _ = sc.ids_matrix([toks])
         labels = sc.encode_labels(LABELS)
         reps[mode] = sc.score_batch(ids, labels, 6)
-    assert not np.allclose(reps["markerV0"], reps["marker"])
-    assert not np.allclose(reps["markerV0"], reps["mlp"])
-    assert not np.allclose(reps["marker"], reps["mlp"])
-    # deterministic per mode
-    sc2 = HashedBiEncoder(ScorerConfig(span_mode="mlp"))
-    ids, _ = sc2.ids_matrix([toks])
-    assert np.array_equal(
-        reps["mlp"], sc2.score_batch(ids, sc2.encode_labels(LABELS), 6)
-    )
+    modes = list(reps)
+    for i, a in enumerate(modes):
+        for b in modes[i + 1 :]:
+            assert not np.allclose(reps[a], reps[b]), f"{a} == {b}"
+    # deterministic per mode (fresh scorer instance, same values)
+    for mode in ("mlp", "conv_share", "markerV1"):
+        sc2 = HashedBiEncoder(ScorerConfig(span_mode=mode))
+        ids, _ = sc2.ids_matrix([toks])
+        assert np.array_equal(
+            reps[mode], sc2.score_batch(ids, sc2.encode_labels(LABELS), 6)
+        )
+
+
+def _probs(mode, toks, max_width=4):
+    sc = HashedBiEncoder(ScorerConfig(span_mode=mode))
+    ids, _ = sc.ids_matrix([toks])
+    return sc.score_batch(ids, sc.encode_labels(LABELS), max_width)
+
+
+@pytest.mark.parametrize("mode", ["mlp", "query", "cat"])
+def test_start_token_only_modes(mode):
+    """SpanMLP/SpanQuery/SpanCAT (span_rep.py:7-81) build the width-k rep
+    from token s alone — changing LATER tokens must not move the span's
+    scores."""
+    a = "alice reviewed the merge request".split()
+    b = "alice deployed new staging cluster".split()
+    pa, pb = _probs(mode, a), _probs(mode, b)
+    assert np.array_equal(pa[0, 0, :, :], pb[0, 0, :, :])
+    # and the rep is width-dependent (distinct tables per width)
+    assert not np.allclose(pa[0, 0, 0, :], pa[0, 0, 1, :])
+
+
+@pytest.mark.parametrize(
+    "mode", ["conv_mean", "conv_sum", "conv_max", "conv_conv", "conv_share"]
+)
+def test_conv_modes_window_dependence(mode):
+    """SpanConv/ConvShare (span_rep.py:84-200) pool/convolve the width
+    window s..s+k: an INTERIOR token change moves the rep (unlike
+    marker), and a change PAST the span end does not."""
+    base = "alice acme corp bob review".split()
+    interior = "alice nova corp bob review".split()
+    after = "alice acme corp bob deploy".split()
+    p0, pi, pa = _probs(mode, base), _probs(mode, interior), _probs(mode, after)
+    # span (0, 3): covers tokens 0..3 — interior token 1 differs
+    assert not np.array_equal(p0[0, 0, 3, :], pi[0, 0, 3, :])
+    # span (0, 3) does not cover token 4
+    assert np.array_equal(p0[0, 0, 3, :], pa[0, 0, 3, :])
+    # width 0 is the raw token rep: token 0 unchanged everywhere
+    assert np.array_equal(p0[0, 0, 0, :], pi[0, 0, 0, :])
+
+
+def test_markerv1_first_token_augmentation():
+    """SpanMarkerV1 (span_rep.py:288-349): rep = endpoints + a
+    first-token term (the documented intent; the reference body's
+    padded-batch mean is a batch-shape-dependent quirk this kernel does
+    not reproduce — see _markerv1_tables). Changing token 0 must move a
+    span that does not even contain it; interior changes must not."""
+    base = "alice acme corp bob review".split()
+    first = "carol acme corp bob review".split()
+    interior = "alice acme labs bob review".split()
+    p0 = _probs("markerV1", base)
+    pf = _probs("markerV1", first)
+    pi = _probs("markerV1", interior)
+    # span (1, 2) = tokens 1..3: first token is outside it, yet its
+    # projection is part of every rep
+    assert not np.array_equal(p0[0, 1, 2, :], pf[0, 1, 2, :])
+    # interior token 2 is not an endpoint of span (1, 3)... span (1,3)
+    # covers tokens 1..4 with endpoints 1 and 4 — token 2 is interior
+    assert np.array_equal(p0[0, 1, 3, :], pi[0, 1, 3, :])
 
 
 def test_mlp_rep_depends_only_on_start_token():
@@ -96,7 +155,25 @@ def test_marker_rep_is_endpoint_only():
     assert np.array_equal(pa[0, 0, 3, :], pb[0, 0, 3, :])
 
 
-@pytest.mark.parametrize("mode", ["marker", "mlp"])
+def test_all_modes_fire_through_oracle_decode():
+    """Every mode must actually emit entities through the full
+    tokenize→score→greedy-decode path (a mode whose calibration never
+    clears threshold would make parity tests vacuous)."""
+    texts = [
+        "alice works for acme corp in berlin",
+        "bob reviewed the deploy tool for nova labs",
+        "carol met dave at the paris office of initech",
+    ] * 4
+    for mode in SPAN_MODES_IMPLEMENTED:
+        oracle = OraclePipeline(PipelineConfig(span_mode=mode))
+        ents = oracle.run(texts, LABELS)
+        n = sum(len(e) for e in ents)
+        assert n > 0, f"mode {mode} decoded zero entities"
+
+
+@pytest.mark.parametrize(
+    "mode", ["marker", "mlp", "markerV1", "query", "conv_mean", "conv_share"]
+)
 def test_kernel_spark_parity_per_mode(spark, mode):
     """Same gate as test_extraction_parity, per span mode: the Spark
     operator and the pure-Python oracle share the scorer, so span sets
