@@ -109,6 +109,41 @@ def _q_token_stats(spark, sf_dir):
     return token_stats(_docs(spark, sf_dir))
 
 
+def _q_tfidf_topterms(spark, sf_dir):
+    """Per-document top-5 TF-IDF terms (integer-ordered rank, float score
+    as a value column — see operators/textstats.tfidf_top_terms)."""
+    from gliner_spark.operators.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=5)
+
+
+def _q_span_mode_matrix(spark, sf_dir):
+    """Entity counts per span-rep mode (reference registry
+    span_rep.py:381-421) over a deterministic 200-doc slice — drives
+    every non-default head through the Spark mapInArrow path (rows-only;
+    the oracle is the shared kernel, parity-pinned in
+    test_span_modes.py)."""
+    from functools import reduce
+
+    from gliner_spark.config import PipelineConfig
+    from gliner_spark.operators.ner import extract_entities
+
+    t = _doc_transcripts(spark, sf_dir).where("conv_id < 'doc-000200'")
+    outs = []
+    for mode in ("markerV1", "query", "cat", "conv_mean", "conv_max",
+                 "conv_sum", "conv_conv", "conv_share"):
+        ents = extract_entities(
+            t, ENTITY_TYPES, cfg=PipelineConfig(span_mode=mode)
+        )
+        outs.append(
+            ents.agg(
+                F.count(F.lit(1)).alias("n_entities"),
+                F.countDistinct("conv_id").alias("n_docs"),
+            ).select(F.lit(mode).alias("span_mode"), "n_entities", "n_docs")
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs).orderBy("span_mode")
+
+
 def _q_span_grid(spark, sf_dir):
     """Candidate span-grid cardinality per document (processor.py:354
     semantics: all (start, width<12) pairs with end within bounds) —
@@ -1005,7 +1040,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_exact": _q_knn_ivf_exact,
         "simhash_hamming": _q_simhash_hamming,
         "jaccard_verify": _q_jaccard_verify,
+        "tfidf_topterms": _q_tfidf_topterms,
         # non-SQL-expressible (hashed scorer / sketches / iteration):
+        "span_mode_matrix": _q_span_mode_matrix,
         "ner_entities": _q_ner_entities,
         "re_triples": _q_re_triples,
         "entity_linking": _q_entity_linking,
@@ -1148,6 +1185,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint": f"""
             select doc_id, md5({_NORM_SQL}) as content_md5 from documents
+        """,
+        "tfidf_topterms": f"""
+            with tf as (
+              select doc_id, term, count(*)::bigint as tf
+              from (select doc_id,
+                           unnest(list_transform({_TOKS_SQL},
+                                                 x -> lower(x))) as term
+                    from documents)
+              group by doc_id, term),
+            df as (select term, count(*)::bigint as df from tf
+                   group by term),
+            ranked as (
+              select tf.doc_id, tf.term, tf.tf, df.df,
+                     row_number() over (
+                       partition by tf.doc_id
+                       order by tf.tf desc, df.df asc, tf.term asc) as rk
+              from tf join df using (term))
+            select doc_id, term, tf, df,
+                   round(tf * ln((select count(*) from documents)::double
+                                 / df), 6) as score
+            from ranked where rk <= 5
         """,
         "redact_pii": r"""
             with r as (

@@ -87,16 +87,37 @@ class HashedBiEncoder:
         # seed-offset rng stream so the draw order above (and thus
         # markerV0 values) never shifts when a mode is added
         self._marker_tabs: tuple[np.ndarray, np.ndarray] | None = None
-        self._mlp_tabs: dict[int, np.ndarray] = {}
         self._mv1_tabs: tuple[np.ndarray, ...] | None = None
-        self._query_tabs: dict[int, np.ndarray] = {}
+        # per-width VOCAB tables (mlp/query/cat) are buckets×dim ≈ 16 MB
+        # each × max_width widths; a worker cycling several table modes
+        # (e.g. the span_mode_matrix driver query) would otherwise pin
+        # ~200 MB per mode forever. Shared byte-bounded LRU: one full
+        # mode stays hot, switching modes evicts the previous one's.
+        self._width_tabs: OrderedDict[tuple[str, int], np.ndarray] = (
+            OrderedDict()
+        )
+        self._width_tab_bytes = 0
         self._query_w: np.ndarray | None = None
-        self._cat_tabs: dict[int, np.ndarray] = {}
         self._cat_base: np.ndarray | None = None
         self._cat_wq: np.ndarray | None = None
         self._conv_proj: dict[str, np.ndarray] = {}
         self._convconv_taps: dict[int, np.ndarray] = {}
         self._convshare_taps: dict[int, np.ndarray] = {}
+
+    _WIDTH_TAB_MAX_BYTES = 320 << 20  # ≳ one full table mode at max_width
+
+    def _width_tab_get(self, mode: str, k: int) -> np.ndarray | None:
+        t = self._width_tabs.get((mode, k))
+        if t is not None:
+            self._width_tabs.move_to_end((mode, k))
+        return t
+
+    def _width_tab_put(self, mode: str, k: int, t: np.ndarray) -> None:
+        self._width_tabs[(mode, k)] = t
+        self._width_tab_bytes += t.nbytes
+        while self._width_tab_bytes > self._WIDTH_TAB_MAX_BYTES:
+            _, old = self._width_tabs.popitem(last=False)
+            self._width_tab_bytes -= old.nbytes
 
     # ------------------------------------------------------------------ ids
     _TOK_CACHE_MAX = 1 << 20  # memo cap; beyond it, compute without insert
@@ -241,7 +262,7 @@ class HashedBiEncoder:
         the rep of span (s, s+k) is a function of token s ONLY. One
         (buckets, d) table per width, built lazily — vocab-level
         pre-projection keeps values independent of batch shape."""
-        t = self._mlp_tabs.get(k)
+        t = self._width_tab_get("mlp", k)
         if t is None:
             c = self.cfg
             scale = 1.0 / math.sqrt(c.dim)
@@ -250,7 +271,7 @@ class HashedBiEncoder:
                 np.float32
             )
             t = np.maximum(self.emb @ wk, 0.0)
-            self._mlp_tabs[k] = t
+            self._width_tab_put("mlp", k, t)
         return t
 
     def _query_table(self, k: int) -> np.ndarray:
@@ -258,7 +279,7 @@ class HashedBiEncoder:
         (span_rep.py:7-30): rep(s, k) = relu((h_s ⊙ q_k) @ W) where q_k is
         the width-k query vector (nn.init.uniform_(a=-1, b=1)) and W the
         shared project Linear. Depends on token s only → vocab-foldable."""
-        t = self._query_tabs.get(k)
+        t = self._width_tab_get("query", k)
         if t is None:
             c = self.cfg
             if self._query_w is None:
@@ -278,7 +299,7 @@ class HashedBiEncoder:
             # compresses cosine spread below the decode threshold.
             # Center by the vocab mean — deterministic, batch-stable.
             t -= t.mean(axis=0)
-            self._query_tabs[k] = t
+            self._width_tab_put("query", k, t)
         return t
 
     def _cat_table(self, k: int) -> np.ndarray:
@@ -286,7 +307,7 @@ class HashedBiEncoder:
         (span_rep.py:53-81): rep = relu([h_s ‖ q_k] @ W). A linear over a
         concat splits into h_s @ W_h + q_k @ W_q, so each width is the
         shared token base table plus a per-width bias row, relu'd."""
-        t = self._cat_tabs.get(k)
+        t = self._width_tab_get("cat", k)
         if t is None:
             c = self.cfg
             scale = 1.0 / math.sqrt(c.dim)
@@ -307,7 +328,7 @@ class HashedBiEncoder:
             )
             t = np.maximum(self._cat_base + q_k @ self._cat_wq, 0.0)
             t -= t.mean(axis=0)  # same vocab-mean calibration as _query_table
-            self._cat_tabs[k] = t
+            self._width_tab_put("cat", k, t)
         return t
 
     def _markerv1_tables(self):

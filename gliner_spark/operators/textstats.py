@@ -240,3 +240,55 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(normalized_text(F.col(text_col))).alias("content_md5"),
         rolling.alias("rolling_hash"),
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms — corpus keyword extraction
+    (LLM-data-pipeline op; the reference has no corpus analytics, SURVEY
+    §2.10 scope extension).
+
+    score = tf · ln(N / df), ranked per doc by the INTEGER ordering
+    (tf desc, df asc, term asc): rank never depends on float math, so the
+    output is bit-stable across engines (the float score is emitted as a
+    value column only).
+
+    Plan at scale: explode → one map-side-combining hash agg on
+    (doc_id, term) for tf; df is a second agg over the tf table (carries
+    (term, partial) only — never re-reads the corpus); tf⋈df on term is
+    AQE-handled (df side is vocabulary-sized, typically broadcast); the
+    final per-doc top-k is a WindowGroupLimit (rank pushed into the
+    shuffle, no full sort of the exploded table). N is a driver scalar
+    (O(1) collect), pass `n_docs` to skip the count job when known.
+    """
+    n = n_docs if n_docs is not None else docs.count()
+    terms = docs.select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("raw")
+    ).select("doc_id", F.lower(F.col("raw")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(df, "term")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n)) / F.col("df")), 6
+            ).alias("score"),
+        )
+    )

@@ -644,3 +644,39 @@ def test_bpe_token_stats_vs_python(spark, docs):
     # BPE-ish pieces at least as numerous as whitespace words on latin text
     en = {r.doc_id for r in docs.where("lang = 'en'").collect()}
     assert all(got[d][1] >= got[d][0] * 0.5 for d in en)
+
+
+def test_tfidf_top_terms(spark):
+    """Rank is integer-ordered (tf desc, df asc, term asc) so it cannot
+    flip on float math; score = tf·ln(N/df) emitted as a value column."""
+    import math
+
+    from gliner_spark.operators.textstats import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="apple apple banana common common common"),
+            Row(doc_id=2, text="banana cherry common common"),
+            Row(doc_id=3, text="cherry cherry cherry common"),
+        ]
+    )
+    out = tfidf_top_terms(docs, k=2).orderBy("doc_id", "term").collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # every doc got exactly k=2 terms
+    assert {d: len(rs) for d, rs in by_doc.items()} == {1: 2, 2: 2, 3: 2}
+    # doc 1: common tf=3 but df=3; apple tf=2 df=1 → top by (tf desc):
+    # common(3) then apple(2)
+    d1 = {r.term: r for r in by_doc[1]}
+    assert set(d1) == {"common", "apple"}
+    assert d1["apple"].tf == 2 and d1["apple"].df == 1
+    assert d1["apple"].score == pytest.approx(
+        round(2 * math.log(3 / 1), 6), abs=1e-6
+    )
+    # common appears in every doc → idf = ln(1) = 0
+    assert d1["common"].score == 0.0
+    # doc 2 tie at tf=1: banana (df=2) beats cherry (df=2) on term asc;
+    # common tf=2 wins first slot
+    d2 = [r.term for r in sorted(by_doc[2], key=lambda r: (-r.tf, r.df, r.term))]
+    assert d2 == ["common", "banana"]

@@ -52,7 +52,10 @@ def main():
     spark = (
         SparkSession.builder.appName("kg-scaling-job")
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("KG_ARROW_BATCH", "8192"),
+        )
         .config("spark.sql.shuffle.partitions", "256")
         .config("spark.task.cpus", "2")
         .config("spark.sql.session.timeZone", "UTC")
