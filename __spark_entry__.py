@@ -186,6 +186,34 @@ def _q_exact_dedup(spark, sf_dir):
     )
 
 
+def _q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition filters (operators/textstats.py) — pure
+    map stage, oracle = DuckDB list algebra over the same grams."""
+    from gliner_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def _q_substring_dedup(spark, sf_dir):
+    """Substring-containment dedup (operators/dedup.py
+    substring_duplicates) over the documents table plus DETERMINISTIC
+    planted truncations (every doc_id % 7 == 0 doc re-enters as its
+    first ⌊4/5·len⌋ characters under doc_id+1,000,000), so the query
+    exercises real contained-copy pairs instead of vacuously returning
+    whatever the corpus happens to contain. Truncation length uses
+    integer-div on both engines (Spark `div`, DuckDB `//`) — float-div
+    + cast ROUNDS in DuckDB but TRUNCATES in Spark."""
+    from gliner_spark.operators.dedup import substring_duplicates
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("substring(text, 1, (length(text)*4) div 5)").alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    return substring_duplicates(corpus, key_tokens=10, max_bucket_size=1000)
+
+
 def _q_quality(spark, sf_dir):
     from gliner_spark.operators.textstats import quality_scores
 
@@ -1012,6 +1040,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": _q_bpe_token_stats,
         "span_grid": _q_span_grid,
         "exact_dedup": _q_exact_dedup,
+        "repetition_stats": _q_repetition_stats,
+        "substring_dedup": _q_substring_dedup,
         "quality_scores": _q_quality,
         "language_id": _q_language_id,
         "fingerprint": _q_fingerprint,
@@ -1146,6 +1176,83 @@ def oracle_sql() -> dict[str, str]:
                    count(*) as n_docs,
                    min(doc_id) as keep_doc_id
             from documents group by 1
+        """,
+        "repetition_stats": f"""
+            with t as (
+              select doc_id,
+                     string_split(text, chr(10)) as lines,
+                     regexp_extract_all(lower(text), '{_PAT_SQL}') as toks
+              from documents),
+            g as (
+              select doc_id, lines,
+                list_transform(range(1, greatest(len(toks)-2, 0)+1),
+                  i -> array_to_string(list_slice(toks, i, i+2), ' ')) as tg,
+                list_transform(range(1, greatest(len(toks)-1, 0)+1),
+                  i -> array_to_string(list_slice(toks, i, i+1), ' ')) as bg
+              from t),
+            topb as (
+              select doc_id, max(c) as top from (
+                select doc_id, b, count(*) as c
+                from (select doc_id, unnest(bg) as b from g)
+                group by doc_id, b)
+              group by doc_id)
+            select g.doc_id,
+              len(lines) as n_lines,
+              round(case when len(lines) > 0 then
+                1.0 - len(list_distinct(lines))::double / len(lines)
+                else 0.0 end, 6) as dup_line_frac,
+              len(tg) as n_trigrams,
+              round(case when len(tg) > 0 then
+                1.0 - len(list_distinct(tg))::double / len(tg)
+                else 0.0 end, 6) as dup_trigram_frac,
+              round(case when len(bg) > 0 then
+                coalesce(topb.top, 0)::double / len(bg)
+                else 0.0 end, 6) as top_bigram_frac
+            from g left join topb on g.doc_id = topb.doc_id
+        """,
+        "substring_dedup": f"""
+            with docs0 as (select doc_id, text from documents),
+            planted as (
+              select doc_id + 1000000 as doc_id,
+                     substring(text, 1, (length(text)*4)//5) as text
+              from docs0 where doc_id % 7 = 0),
+            corpus as (select * from docs0 union all select * from planted),
+            base as (select doc_id, {_NORM_SQL} as norm from corpus),
+            elig as (
+              select doc_id, norm,
+                     regexp_extract_all(norm, '{_PAT_SQL}') as toks
+              from base
+              where len(regexp_extract_all(norm, '{_PAT_SQL}')) >= 10),
+            keyed as (
+              select doc_id, 0 as side,
+                     array_to_string(list_slice(toks, 1, 10), ' ') as key
+              from elig
+              union all
+              select doc_id, 1 as side,
+                     array_to_string(
+                       list_slice(toks, len(toks)-9, len(toks)), ' ') as key
+              from elig),
+            ok as (select side, key from keyed
+                   group by side, key having count(*) <= 1000),
+            kk as (select keyed.* from keyed join ok using (side, key)),
+            pairs as (
+              select distinct a.doc_id as id_a, b.doc_id as id_b
+              from kk a join kk b
+                on a.side = b.side and a.key = b.key
+                   and a.doc_id < b.doc_id),
+            v as (
+              select p.id_a, p.id_b, ta.norm as na, tb.norm as nb,
+                     length(ta.norm) as la, length(tb.norm) as lb
+              from pairs p
+              join elig ta on ta.doc_id = p.id_a
+              join elig tb on tb.doc_id = p.id_b)
+            select case when la <= lb then id_a else id_b end as contained_id,
+                   case when la <= lb then id_b else id_a end as container_id,
+                   least(la, lb) as len_contained,
+                   greatest(la, lb) as len_container
+            from v
+            where contains(case when la <= lb then nb else na end,
+                           case when la <= lb then na else nb end)
         """,
         "quality_scores": f"""
             with t as (

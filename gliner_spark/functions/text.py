@@ -33,10 +33,15 @@ def token_count(col: Column) -> Column:
 
 
 def word_ngrams(tok_col: Column, n: int) -> Column:
-    """Array of space-joined word n-grams from a token-array column."""
-    idx = F.sequence(
-        F.lit(1), F.greatest(F.size(tok_col) - n + 1, F.lit(0))
-    )
+    """Array of space-joined word n-grams from a token-array column.
+
+    Explicitly EMPTY when the doc has fewer than n tokens: the old
+    `sequence(1, greatest(size-n+1, 0))` form silently produced the
+    DESCENDING sequence [1, 0] there (Spark sequence auto-negates its
+    step), i.e. a bogus short gram plus a slice-at-0 hazard."""
+    idx = F.when(
+        F.size(tok_col) >= n, F.sequence(F.lit(1), F.size(tok_col) - n + 1)
+    ).otherwise(F.array().cast("array<int>"))
     return F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(tok_col, i, n))
     )

@@ -539,3 +539,97 @@ def embedding_near_duplicates_lsh(
         .where(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", "cos")
     )
+
+
+# ---------------------------------------------------- substring containment
+
+
+def substring_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_tokens: int = 10,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Substring-containment dedup: (contained_id, container_id) pairs
+    where one doc's NORMALIZED text is a contiguous substring of
+    another's — the truncated-copy / boilerplate-wrapped shape that exact
+    hashing misses entirely and shingle-Jaccard under-scores (a 50%
+    truncation has Jaccard ≈ 0.5 yet is pure duplicated content; cf. the
+    motivation for suffix-array dedup in Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better" — the full suffix-array
+    machinery is replaced here by a Spark-shaped bucketed candidate
+    scheme).
+
+    Candidates: two docs share a bucket when they agree on the first
+    `key_tokens` tokens (catches container = contained + appended tail)
+    OR the last `key_tokens` tokens (container = prepended head +
+    contained). A copy wrapped on BOTH sides is out of reach of this
+    scheme by design — that genuinely needs suffix-array machinery —
+    and documented as such. Docs shorter than `key_tokens` tokens are
+    skipped (too short to claim a meaningful containment).
+
+    Plan shape: key building is a pure map; the candidate self-join is
+    the bucket-capped int64-only equi-join shared with every other LSH
+    family here (linking.lsh_bucket_pairs); normalized text is joined
+    back onto the surviving candidate pairs only — full text never rides
+    the self-join shuffle. Verify = native `contains` on normalized
+    text; orientation (contained vs container) by (length, id).
+    """
+    from .linking import lsh_bucket_pairs
+
+    norm = normalized_text(F.col(text_col))
+    base = docs.select(
+        "doc_id", norm.alias("_norm"), tokens(norm).alias("_toks")
+    ).where(F.size("_toks") >= key_tokens)
+    base = base.localCheckpoint()  # keys + 2 verify joins reuse it
+    pre = F.xxhash64(F.concat_ws(" ", F.slice("_toks", 1, key_tokens)))
+    suf = F.xxhash64(
+        F.concat_ws(" ", F.slice("_toks", -key_tokens, key_tokens))
+    )
+    keyed = base.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("side"), pre.alias("key")),
+                F.struct(F.lit(1).alias("side"), suf.alias("key")),
+            )
+        ).alias("_sk"),
+    ).select("doc_id", F.col("_sk.side").alias("side"), F.col("_sk.key").alias("key"))
+    pairs = lsh_bucket_pairs(
+        keyed, id_col="doc_id", bucket_cols=("side", "key"),
+        max_bucket_size=max_bucket_size,
+    )
+    texts = base.select("doc_id", "_norm", F.length("_norm").alias("_len"))
+    j = (
+        pairs.join(
+            texts.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("_norm").alias("na"),
+                F.col("_len").alias("la"),
+            ),
+            "id_a",
+        )
+        .join(
+            texts.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("_norm").alias("nb"),
+                F.col("_len").alias("lb"),
+            ),
+            "id_b",
+        )
+    )
+    # orient: contained = shorter text (ties → smaller id; id_a < id_b)
+    a_small = (F.col("la") < F.col("lb")) | (F.col("la") == F.col("lb"))
+    contained_id = F.when(a_small, F.col("id_a")).otherwise(F.col("id_b"))
+    container_id = F.when(a_small, F.col("id_b")).otherwise(F.col("id_a"))
+    small = F.when(a_small, F.col("na")).otherwise(F.col("nb"))
+    big = F.when(a_small, F.col("nb")).otherwise(F.col("na"))
+    return (
+        j.where(F.contains(big, small))
+        .select(
+            contained_id.alias("contained_id"),
+            container_id.alias("container_id"),
+            F.least("la", "lb").alias("len_contained"),
+            F.greatest("la", "lb").alias("len_container"),
+        )
+    )

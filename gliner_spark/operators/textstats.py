@@ -242,6 +242,70 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1, simplified):
+    duplicate-line fraction, duplicate word-trigram fraction, and the
+    fraction of word-bigram occurrences claimed by the single most frequent
+    bigram — the standard signals for detecting boilerplate / templated /
+    degenerate documents in a pre-training corpus.
+
+    100% native array expressions — a pure map stage that pipelines with
+    the scan, zero shuffle at any scale. The top-bigram count is
+    array_sort + a single linear run-length fold (O(n log n) per doc) —
+    the obvious transform(distinct, d -> count(filter(all, ==d))) shape
+    is O(u·n) in INTERPRETED higher-order expressions and measured ~8×
+    slower on sf0.01 documents.
+    """
+    col = F.col(text_col)
+    lines = F.split(col, "\n")
+    n_lines = F.size(lines)
+    toks = tokens(F.lower(col))
+    from ..functions.text import word_ngrams
+
+    tg = word_ngrams(toks, 3)
+    bg = word_ngrams(toks, 2)
+
+    def dup_frac(arr, n):
+        return F.round(
+            F.when(
+                n > 0,
+                F.lit(1.0) - F.size(F.array_distinct(arr)) / n.cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        )
+
+    # longest equal-run in the sorted array == max occurrence count.
+    # init prev='' is safe: a bigram is never empty (tokens are non-empty)
+    top_bigram = F.aggregate(
+        F.array_sort(bg),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return docs.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        dup_frac(lines, n_lines).alias("dup_line_frac"),
+        F.size(tg).alias("n_trigrams"),
+        dup_frac(tg, F.size(tg)).alias("dup_trigram_frac"),
+        F.round(
+            F.when(
+                F.size(bg) > 0, top_bigram / F.size(bg).cast("double")
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("top_bigram_frac"),
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     k: int = 5,

@@ -680,3 +680,100 @@ def test_tfidf_top_terms(spark):
     # common tf=2 wins first slot
     d2 = [r.term for r in sorted(by_doc[2], key=lambda r: (-r.tf, r.df, r.term))]
     assert d2 == ["common", "banana"]
+
+
+def test_repetition_stats_vs_python(spark, docs):
+    from collections import Counter
+
+    from gliner_spark.operators.textstats import repetition_stats
+
+    pat = re.compile(r"\w+(?:[-_]\w+)*|\S")
+    rows = docs.limit(30).collect()
+    got = {
+        r.doc_id: r
+        for r in repetition_stats(spark.createDataFrame(rows)).collect()
+    }
+    for r in rows:
+        lines = r.text.split("\n")
+        toks = pat.findall(r.text.lower())
+        tg = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        bg = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        g = got[r.doc_id]
+        assert g.n_lines == len(lines)
+        assert abs(
+            g.dup_line_frac - round(1 - len(set(lines)) / len(lines), 6)
+        ) < 1e-9
+        assert g.n_trigrams == len(tg)
+        if tg:
+            assert abs(
+                g.dup_trigram_frac - round(1 - len(set(tg)) / len(tg), 6)
+            ) < 1e-9
+        if bg:
+            top = Counter(bg).most_common(1)[0][1]
+            assert abs(g.top_bigram_frac - round(top / len(bg), 6)) < 1e-9
+
+
+def test_repetition_stats_planted(spark):
+    from gliner_spark.operators.textstats import repetition_stats
+
+    rows = [
+        Row(doc_id=1, text="spam line\nspam line\nspam line\nspam line"),
+        Row(doc_id=2, text="alpha beta gamma delta epsilon zeta eta theta"),
+        Row(doc_id=3, text=""),
+    ]
+    got = {r.doc_id: r for r in
+           repetition_stats(spark.createDataFrame(rows)).collect()}
+    assert got[1].dup_line_frac == 0.75  # 4 lines, 1 distinct
+    assert got[1].dup_trigram_frac > 0.5  # "spam line spam" repeats
+    assert got[1].top_bigram_frac > 0.4  # "spam line" dominates
+    assert got[2].dup_line_frac == 0.0
+    assert got[2].dup_trigram_frac == 0.0
+    assert got[3].n_lines == 1 and got[3].n_trigrams == 0
+    assert got[3].top_bigram_frac == 0.0
+
+
+def test_word_ngrams_short_input_empty(spark):
+    from gliner_spark.functions.text import word_ngrams
+
+    df = spark.createDataFrame(
+        [Row(toks=["a"]), Row(toks=["a", "b"]), Row(toks=["a", "b", "c"])]
+    )
+    out = [r.g for r in df.select(
+        word_ngrams(F.col("toks"), 3).alias("g")).collect()]
+    assert out == [[], [], ["a b c"]]
+
+
+def test_substring_duplicates_planted(spark):
+    from gliner_spark.operators.dedup import substring_duplicates
+
+    core = ("the quick brown fox jumps over the lazy dog while seven "
+            "wizards brew strange potions at midnight")
+    rows = [
+        Row(doc_id=1, text=core),
+        Row(doc_id=2, text=core + " and an appended conclusion follows"),
+        Row(doc_id=3, text="a prepended preamble comes first then " + core),
+        # wrapped on BOTH sides: out of reach of prefix/suffix buckets by
+        # design (documented) — must NOT appear in the output
+        Row(doc_id=4, text="head words " + core + " tail words"),
+        Row(doc_id=5, text="completely unrelated content about gardening "
+                           "with tomatoes cucumbers and a fine trellis"),
+    ]
+    out = substring_duplicates(
+        spark.createDataFrame(rows), key_tokens=5
+    ).collect()
+    pairs = {(r.contained_id, r.container_id) for r in out}
+    assert (1, 2) in pairs  # shared prefix bucket
+    assert (1, 3) in pairs  # shared suffix bucket
+    assert all(p[0] != 4 and p[1] != 4 for p in pairs)
+    assert all(5 not in p for p in pairs)
+    for r in out:
+        assert r.len_contained <= r.len_container
+
+
+def test_substring_duplicates_skips_short_docs(spark):
+    from gliner_spark.operators.dedup import substring_duplicates
+
+    rows = [Row(doc_id=1, text="too short"), Row(doc_id=2, text="too short")]
+    assert substring_duplicates(
+        spark.createDataFrame(rows), key_tokens=5
+    ).count() == 0

@@ -96,9 +96,11 @@ def test_register_splitter_extension_hook():
 
 def test_span_mode_validation():
     assert DEFAULT.span_mode == "markerV0"
-    # a real reference mode that this engine does not implement
-    with pytest.raises(ValueError, match="not implemented"):
-        PipelineConfig(span_mode="conv_share")
+    # every reference-registry mode is now implemented (kernel/span_rep)
+    from gliner_spark.config import SPAN_MODES_IMPLEMENTED
+
+    for mode in SPAN_MODES_IMPLEMENTED:
+        assert PipelineConfig(span_mode=mode).span_mode == mode
     # not a reference mode at all
     with pytest.raises(ValueError, match="not a reference span mode"):
         PipelineConfig(span_mode="bogus")

@@ -46,7 +46,18 @@ def ensure_input() -> None:
 def run_at(cores: int, zip_path: str) -> dict:
     env = dict(os.environ)
     env["SCALE_INPUT"] = INPUT
-    cmd = [
+    cmd = []
+    if os.environ.get("SCALE_PIN", "1") == "1" and cores < os.cpu_count():
+        # local[N] caps TASK SLOTS at N, not threads: the JVM's GC/Arrow/
+        # netty/scan pools still size themselves to (and run on) all 32
+        # cores, so an unpinned "8-core" run is really 8 slots on a
+        # 32-core machine — more machine than an 8-core cluster node has,
+        # which inflates throughput_N and understates scaling efficiency.
+        # taskset restricts the whole process tree (JVM + forked python
+        # workers) to N physical cores; the JVM reads the affinity mask
+        # for availableProcessors so its pools size honestly too.
+        cmd = ["taskset", "-c", f"0-{cores - 1}"]
+    cmd += [
         "spark-submit",
         "--master",
         f"local[{cores}]",
