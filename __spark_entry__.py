@@ -266,6 +266,56 @@ def _q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def _q_quality_deciles(spark, sf_dir):
+    """Quality-decile bucketing (curation.quantile_buckets): ntile over
+    the TOTAL order (quality, doc_id) so bucket boundaries are
+    deterministic across engines even under heavy score ties."""
+    from gliner_spark.operators.curation import quantile_buckets
+    from gliner_spark.operators.textstats import quality_scores
+
+    q = quality_scores(_docs(spark, sf_dir)).select("doc_id", "quality")
+    return quantile_buckets(q, "quality", 10)
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language sampling (curation.stratified_sample):
+    survivor iff md5(doc_id)-derived uniform < per-stratum rate. The
+    uniform is an EXACT power-of-two division, so the survivor set is
+    bit-identical on both engines."""
+    from gliner_spark.operators.curation import stratified_sample
+    from gliner_spark.operators.textstats import language_id
+
+    langs = language_id(_docs(spark, sf_dir)).select("doc_id", "pred_lang")
+    out = stratified_sample(
+        langs, "pred_lang", {"en": 0.5, "und": 0.3}, default_rate=0.1
+    )
+    return out.select("doc_id", "pred_lang", "_u")
+
+
+def _q_dedup_components(spark, sf_dir):
+    """Connected components over EXACT ngram-Jaccard near-dup edges —
+    puts the large-star/small-star CC operator (operators/linking.py)
+    itself under the DuckDB oracle (recursive-CTE transitive closure),
+    where it was previously pytest-parity-only. component_id = min
+    doc_id of the component on both engines."""
+    from gliner_spark.operators.dedup import ngram_jaccard_pairs
+    from gliner_spark.operators.linking import connected_components
+
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.05)
+    edges = pairs.select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    verts = (
+        edges.select(F.col("id_a").alias("id"))
+        .union(edges.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    comp = connected_components(verts, edges)
+    return comp.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("component_id")
+    )
+
+
 def _q_knn(spark, sf_dir):
     from gliner_spark.operators.similarity import knn_bruteforce
 
@@ -1047,6 +1097,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "redact_pii": _q_redact_pii,
         "ngram_jaccard": _q_ngram_jaccard,
+        "dedup_components": _q_dedup_components,
+        "quality_deciles": _q_quality_deciles,
+        "stratified_sample": _q_stratified_sample,
         "knn_bruteforce": _q_knn,
         "embedding_near_dup": _q_embedding_near_dup,
         "event_cooccur": _q_event_cooccur,
@@ -1135,6 +1188,34 @@ def oracle_sql() -> dict[str, str]:
         "when hits_es > hits_de and hits_es > hits_en then 'es' "
         "when hits_en > hits_de then 'en' else 'de' end"
     )
+    quality_sql = f"""
+            with t as (
+              select doc_id, text, {_TOKS_SQL} as toks from documents),
+            m as (
+              select doc_id,
+                len(toks) as n_tokens,
+                case when length(text) > 0 then
+                  length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::double
+                    / length(text) else 0.0 end as punct,
+                case when len(toks) > 0 then
+                  len(list_filter(toks, x -> list_contains([{sw_list}],
+                    lower(x))))::double / len(toks) else 0.0 end as sw,
+                case when len(toks) > 0 then
+                  len(list_distinct(list_transform(toks, x ->
+                    lower(x))))::double / len(toks) else 0.0 end as uniq
+              from t)
+            select doc_id, n_tokens,
+                   round(punct, 6) as punct_ratio,
+                   round(sw, 6) as stopword_ratio,
+                   round(uniq, 6) as unique_ratio,
+                   round(0.3 * (case when n_tokens between 10 and 5000
+                                then 1.0 else 0.3 end)
+                       + 0.2 * (case when punct <= 0.2 then 1.0 else 0.5 end)
+                       + 0.2 * (case when sw between 0.05 and 0.6
+                                then 1.0 else 0.6 end)
+                       + 0.3 * uniq, 6) as quality
+            from m
+    """
     return {
         "token_stats": f"""
             with t as (select doc_id, {_TOKS_SQL} as toks from documents)
@@ -1254,33 +1335,27 @@ def oracle_sql() -> dict[str, str]:
             where contains(case when la <= lb then nb else na end,
                            case when la <= lb then na else nb end)
         """,
-        "quality_scores": f"""
-            with t as (
-              select doc_id, text, {_TOKS_SQL} as toks from documents),
-            m as (
-              select doc_id,
-                len(toks) as n_tokens,
-                case when length(text) > 0 then
-                  length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::double
-                    / length(text) else 0.0 end as punct,
-                case when len(toks) > 0 then
-                  len(list_filter(toks, x -> list_contains([{sw_list}],
-                    lower(x))))::double / len(toks) else 0.0 end as sw,
-                case when len(toks) > 0 then
-                  len(list_distinct(list_transform(toks, x ->
-                    lower(x))))::double / len(toks) else 0.0 end as uniq
-              from t)
-            select doc_id, n_tokens,
-                   round(punct, 6) as punct_ratio,
-                   round(sw, 6) as stopword_ratio,
-                   round(uniq, 6) as unique_ratio,
-                   round(0.3 * (case when n_tokens between 10 and 5000
-                                then 1.0 else 0.3 end)
-                       + 0.2 * (case when punct <= 0.2 then 1.0 else 0.5 end)
-                       + 0.2 * (case when sw between 0.05 and 0.6
-                                then 1.0 else 0.6 end)
-                       + 0.3 * uniq, 6) as quality
-            from m
+        "quality_scores": quality_sql,
+        "quality_deciles": f"""
+            with q as ({quality_sql})
+            select doc_id, quality,
+                   ntile(10) over (order by quality asc, doc_id asc)
+                     as bucket
+            from q
+        """,
+        "stratified_sample": f"""
+            with t as (select doc_id, text, {_TOKS_SQL} as toks
+                       from documents),
+            h as (select doc_id, text, {hit_cols} from t),
+            p as (select doc_id, {pred_lang} as pred_lang from h),
+            s as (select doc_id, pred_lang,
+                    (('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint)
+                      ::double / 4294967296.0 as _u
+                  from p)
+            select doc_id, pred_lang, _u from s
+            where _u < case pred_lang when 'en' then 0.5
+                                      when 'und' then 0.3
+                                      else 0.1 end
         """,
         "language_id": f"""
             with t as (select doc_id, text, {_TOKS_SQL} as toks
@@ -1355,6 +1430,38 @@ def oracle_sql() -> dict[str, str]:
             join sizes sa on sa.doc_id = doc_a
             join sizes sb on sb.doc_id = doc_b
             where ni::double / (sa.n + sb.n - ni) >= 0.05
+        """,
+        "dedup_components": f"""
+            with recursive toks as (
+              select doc_id,
+                     regexp_extract_all(lower(text), '{_PAT_SQL}') as ts
+              from documents),
+            grams as (
+              select distinct doc_id,
+                     ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] as gram
+              from toks, unnest(generate_series(1, len(ts) - 2)) as u(i)
+              where len(ts) >= 3),
+            sizes as (select doc_id, count(*) as n from grams group by 1),
+            inter as (
+              select a.doc_id as doc_a, b.doc_id as doc_b,
+                     count(*) as ni
+              from grams a join grams b using (gram)
+              where a.doc_id < b.doc_id group by 1, 2),
+            pairs as (
+              select doc_a, doc_b from inter
+              join sizes sa on sa.doc_id = doc_a
+              join sizes sb on sb.doc_id = doc_b
+              where ni::double / (sa.n + sb.n - ni) >= 0.05),
+            edges as (
+              select doc_a as a, doc_b as b from pairs
+              union all
+              select doc_b as a, doc_a as b from pairs),
+            reach(node, label) as (
+              select a, a from edges
+              union
+              select e.a, r.label from edges e join reach r on r.node = e.b)
+            select node as doc_id, min(label) as component_id
+            from reach group by node
         """,
         "knn_bruteforce": """
             with u as (

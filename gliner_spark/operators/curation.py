@@ -201,3 +201,54 @@ def confidence_splits(
         "min_confidence",
         "mean_confidence",
     )
+
+
+def quantile_buckets(
+    df,
+    score_col: str,
+    n_buckets: int = 10,
+    id_col: str = "doc_id",
+):
+    """Assign each row to a quantile bucket of `score_col` (1..n_buckets)
+    — the curriculum / quality-tier op a training pipeline runs to mix
+    data by quality decile. ntile over a TOTAL order (score, id): the id
+    tiebreak makes bucket boundaries deterministic across engines and
+    runs even when scores tie heavily (a bare ntile over ties is
+    engine-dependent).
+
+    Plan: a single global-sort window — one range-partitioned shuffle.
+    At 10^12 rows the same semantics come from percentile_approx cut
+    points + a broadcast range lookup; ntile is exact and is what the
+    DuckDB oracle can replicate bit-for-bit."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(score_col).asc(), F.col(id_col).asc())
+    return df.withColumn("bucket", F.ntile(n_buckets).over(w))
+
+
+def stratified_sample(
+    df,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    id_col: str = "doc_id",
+):
+    """Deterministic per-stratum sampling — the data-mixing op (sample
+    language/source/quality strata at different rates). A row survives
+    iff u(id) < rate(stratum), where u is a uniform-ish value derived
+    from md5(id): u = int(md5(str(id))[:8], 16) / 2^32.
+
+    md5 (not xxhash64) on purpose: it is bit-identical across Spark,
+    DuckDB, and Python, so the EXACT survivor set is oracle-checkable —
+    and deterministic sampling means re-runs, resumes, and downstream
+    joins all see the same rows (reservoir/random sampling cannot
+    promise that). u is NOT rounded: int/2^32 is a power-of-two
+    division, exact in binary, so the double is bit-identical on every
+    engine and rounding could only blur the survivor boundary. Pure map
+    expression, zero shuffle, trivially scale-independent."""
+    u = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+    u = u.cast("double") / F.lit(float(1 << 32))
+    rate = F.lit(default_rate)
+    for k in sorted(rates):
+        rate = F.when(F.col(strata_col) == k, F.lit(rates[k])).otherwise(rate)
+    return df.withColumn("_u", u).where(F.col("_u") < rate)

@@ -178,3 +178,61 @@ def test_confidence_splits_table(spark, transcripts):
     ).collect()
     assert len(empty) == n_examples
     assert all(r.n_spans == 0 and r.min_confidence is None for r in empty)
+
+
+def test_quantile_buckets_deterministic_and_balanced(spark):
+    from pyspark.sql import Row
+
+    from gliner_spark.operators.curation import quantile_buckets
+
+    # heavy ties: 40 rows, only 4 distinct scores — the id tiebreak must
+    # still produce a deterministic, balanced 1..10 bucketing
+    rows = [Row(doc_id=i, score=float(i % 4)) for i in range(40)]
+    df = spark.createDataFrame(rows)
+    a = {r.doc_id: r.bucket for r in
+         quantile_buckets(df, "score", 10).collect()}
+    b = {r.doc_id: r.bucket for r in
+         quantile_buckets(df, "score", 10).collect()}
+    assert a == b
+    from collections import Counter
+
+    sizes = Counter(a.values())
+    assert set(sizes) == set(range(1, 11))
+    assert all(v == 4 for v in sizes.values())
+    # order respected: every doc in bucket 1 scores <= every doc in 10
+    lo = max(r for r, bk in a.items() if bk == 1)
+    assert rows[lo].score <= min(
+        rows[r].score for r, bk in a.items() if bk == 10
+    )
+
+
+def test_stratified_sample_matches_python_md5(spark):
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from gliner_spark.operators.curation import stratified_sample
+
+    rows = [Row(doc_id=i, lang="en" if i % 3 else "de") for i in range(300)]
+    rates = {"en": 0.4, "de": 0.8}
+    got = {r.doc_id for r in stratified_sample(
+        spark.createDataFrame(rows), "lang", rates).collect()}
+
+    def u(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) / 2**32
+
+    want = {r.doc_id for r in rows if u(r.doc_id) < rates[r.lang]}
+    assert got == want
+    # rate sanity: roughly rate fraction of each stratum survives
+    n_en = sum(1 for r in rows if r.lang == "en")
+    assert abs(sum(1 for i in got if i % 3) / n_en - 0.4) < 0.1
+
+
+def test_stratified_sample_default_rate_zero_drops_unlisted(spark):
+    from pyspark.sql import Row
+
+    from gliner_spark.operators.curation import stratified_sample
+
+    rows = [Row(doc_id=i, lang="xx") for i in range(50)]
+    assert stratified_sample(
+        spark.createDataFrame(rows), "lang", {"en": 1.0}).count() == 0
