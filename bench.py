@@ -170,6 +170,16 @@ def build_queries(spark, sf_dir: str, n_convs: int, parts: int):
 
         return extract_entities_token(transcripts, ENTITY_TYPES).count()
 
+    def q_repetition_stats():
+        from gliner_spark.operators.textstats import repetition_stats
+
+        return repetition_stats(docs).count()
+
+    def q_substring_dedup():
+        from gliner_spark.operators.dedup import substring_duplicates
+
+        return substring_duplicates(docs).count()
+
     return n_turns, {
         "kg_triples": q_kg_triples,
         "ner_entities": q_ner_entities,
@@ -181,6 +191,8 @@ def build_queries(spark, sf_dir: str, n_convs: int, parts: int):
         "knn": q_knn,
         "event_cooccur": q_event_cooccur,
         "session_agg": q_session_agg,
+        "repetition_stats": q_repetition_stats,
+        "substring_dedup": q_substring_dedup,
     }
 
 
@@ -207,11 +219,11 @@ def main():
         keep = set(subset.split(","))
         queries = {k: v for k, v in queries.items() if k in keep}
 
-    # best-of-N per query: this shared VM shows ±40% wall-time noise on
-    # identical runs (hypervisor neighbors), so a single sample measures
-    # the neighbor, not the plan. N=2 by default; BENCH_REPEATS=1 restores
-    # single-shot.
-    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
+    # best-of-N per query: this shared VM shows ±40% (r3: up to 2×)
+    # wall-time noise on identical runs (hypervisor neighbors), so a
+    # single sample measures the neighbor, not the plan. N=3 by default;
+    # BENCH_REPEATS=1 restores single-shot.
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
     for name, fn in queries.items():
