@@ -292,6 +292,96 @@ def _q_stratified_sample(spark, sf_dir):
     return out.select("doc_id", "pred_lang", "_u")
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (curation.decontaminate): docs with
+    doc_id % 50 == 0 act as the held-out benchmark set; every other doc
+    is flagged iff it shares any lowercase word 3-gram with the
+    benchmark (production uses 13-grams per GPT-3 appendix C; 3 here so
+    the synthetic corpus actually overlaps). Benchmark grams broadcast —
+    the training side is never shuffled for the membership test."""
+    from gliner_spark.operators.curation import decontaminate
+
+    d = _docs(spark, sf_dir)
+    bench = d.where(F.col("doc_id") % 50 == 0)
+    train = d.where(F.col("doc_id") % 50 != 0)
+    return decontaminate(train, bench, n=3)
+
+
+def _q_bm25_search(spark, sf_dir):
+    """BM25 top-10 (retrieval.bm25_rank) for a 3-term query including a
+    zero-df term (Robertson idf stays finite; tf=0 contributes 0).
+    Rank/order over the 6dp-rounded score with doc_id tie-break, so the
+    top-k set is deterministic across engines."""
+    from gliner_spark.operators.retrieval import bm25_rank
+
+    return bm25_rank(
+        _docs(spark, sf_dir), ["spark", "window", "quantumfoo"], top_k=10
+    )
+
+
+def _q_pagerank_events(spark, sf_dir):
+    """PageRank under the DuckDB oracle: the REAL power-iteration
+    operator (operators/graph.pagerank — driver-controlled loop,
+    dangling-mass redistribution) over a deterministic user→object
+    bipartite graph derived from events (objects get +1000 so the id
+    spaces stay disjoint; every object is DANGLING, which exercises the
+    dangling-mass path hard). tol=0 pins the iteration count to exactly
+    5 on both engines; the oracle unrolls the same five iterations as
+    chained CTEs. 6dp rounding absorbs summation-order ulps."""
+    from gliner_spark.operators.graph import pagerank
+
+    ev = _events(spark, sf_dir)
+    edges = ev.select(
+        F.col("user_id").cast("long").alias("subj_id"),
+        (F.pmod(F.col("event_id"), F.lit(50)) + F.lit(1000))
+        .cast("long")
+        .alias("obj_id"),
+    )
+    pr = pagerank(edges, damping=0.85, max_iter=5, tol=0.0)
+    return pr.select("entity_id", F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_events_sql(n_iter: int = 5) -> str:
+    """Unrolled power iteration matching graph.pagerank's arithmetic:
+    rank' = (1-d)/n + d*(inflow + dangling_mass/n), inflow pushed as
+    rank/out_degree along edges, same operand shapes so the doubles
+    agree to within summation-order ulps (absorbed by 6dp rounding)."""
+    parts = [
+        """
+        with e as (
+          select distinct user_id::bigint as src,
+                 (1000 + event_id % 50)::bigint as dst
+          from events),
+        verts as (select src as id from e union select dst from e),
+        deg as (select src as id, count(*)::bigint as deg
+                from e group by 1),
+        nstat as (select count(*)::bigint as n from verts),
+        r0 as (select id, 1.0 / n as pr from verts, nstat)"""
+    ]
+    for k in range(n_iter):
+        parts.append(f""",
+        dang{k} as (
+          select coalesce(sum(r.pr), 0) as m
+          from r{k} r left join deg on deg.id = r.id
+          where deg.id is null),
+        inf{k} as (
+          select e.dst as id, sum(r.pr / deg.deg) as inflow
+          from e join r{k} r on r.id = e.src
+          join deg on deg.id = e.src
+          group by 1),
+        r{k + 1} as (
+          select v.id,
+                 (1 - 0.85) / n
+                   + 0.85 * (coalesce(i.inflow, 0) + d.m / n) as pr
+          from verts v
+          cross join nstat
+          cross join dang{k} d
+          left join inf{k} i on i.id = v.id)""")
+    parts.append(f"""
+        select id as entity_id, round(pr, 6) as "rank" from r{n_iter}""")
+    return "".join(parts)
+
+
 def _q_dedup_components(spark, sf_dir):
     """Connected components over EXACT ngram-Jaccard near-dup edges —
     puts the large-star/small-star CC operator (operators/linking.py)
@@ -1098,6 +1188,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": _q_redact_pii,
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_components": _q_dedup_components,
+        "decontaminate": _q_decontaminate,
+        "bm25_search": _q_bm25_search,
+        "pagerank_events": _q_pagerank_events,
         "quality_deciles": _q_quality_deciles,
         "stratified_sample": _q_stratified_sample,
         "knn_bruteforce": _q_knn,
@@ -1367,6 +1460,61 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint": f"""
             select doc_id, md5({_NORM_SQL}) as content_md5 from documents
+        """,
+        "pagerank_events": _pagerank_events_sql(5),
+        "decontaminate": f"""
+            with toks as (
+              select doc_id,
+                     regexp_extract_all(lower(text), '{_PAT_SQL}') as ts
+              from documents),
+            grams as (
+              select distinct doc_id,
+                     list_aggregate(ts[i:i+2], 'string_agg', ' ') as gram
+              from toks, unnest(generate_series(1, len(ts) - 2)) as u(i)
+              where len(ts) >= 3),
+            bench as (select distinct gram from grams
+                      where doc_id % 50 = 0),
+            hits as (
+              select g.doc_id, count(*)::bigint as n_hit_grams
+              from grams g join bench using (gram)
+              where g.doc_id % 50 != 0 group by 1)
+            select d.doc_id,
+                   coalesce(h.n_hit_grams, 0)::bigint as n_hit_grams,
+                   (coalesce(h.n_hit_grams, 0) > 0)::int as contaminated
+            from documents d left join hits h using (doc_id)
+            where d.doc_id % 50 != 0
+        """,
+        "bm25_search": f"""
+            with t as (
+              select doc_id,
+                     regexp_extract_all(lower(text), '{_PAT_SQL}') as ts
+              from documents),
+            pt as (
+              select doc_id, len(ts) as dl,
+                     len(list_filter(ts, x -> x = 'spark'))::double as tf0,
+                     len(list_filter(ts, x -> x = 'window'))::double as tf1,
+                     len(list_filter(ts, x -> x = 'quantumfoo'))::double
+                       as tf2
+              from t),
+            s as (
+              select count(*)::double as n_docs, avg(dl) as avgdl,
+                     sum((tf0 > 0)::int)::double as df0,
+                     sum((tf1 > 0)::int)::double as df1,
+                     sum((tf2 > 0)::int)::double as df2
+              from pt),
+            sc as (
+              select doc_id,
+                     ln(1 + (n_docs - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2
+                       / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                   + ln(1 + (n_docs - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2
+                       / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                   + ln(1 + (n_docs - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2
+                       / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)) as raw
+              from pt, s)
+            select doc_id, round(raw, 6) as score,
+                   (row_number() over (
+                      order by round(raw, 6) desc, doc_id))::int as rk
+            from sc order by score desc, doc_id limit 10
         """,
         "tfidf_topterms": f"""
             with tf as (

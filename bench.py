@@ -180,6 +180,20 @@ def build_queries(spark, sf_dir: str, n_convs: int, parts: int):
 
         return substring_duplicates(docs).count()
 
+    def q_decontaminate():
+        from gliner_spark.operators.curation import decontaminate
+
+        bench_set = docs.where(F.col("doc_id") % 50 == 0)
+        train = docs.where(F.col("doc_id") % 50 != 0)
+        return decontaminate(train, bench_set, n=3).count()
+
+    def q_bm25():
+        from gliner_spark.operators.retrieval import bm25_rank
+
+        return bm25_rank(
+            docs, ["spark", "window", "merge"], top_k=100
+        ).count()
+
     return n_turns, {
         "kg_triples": q_kg_triples,
         "ner_entities": q_ner_entities,
@@ -193,6 +207,8 @@ def build_queries(spark, sf_dir: str, n_convs: int, parts: int):
         "session_agg": q_session_agg,
         "repetition_stats": q_repetition_stats,
         "substring_dedup": q_substring_dedup,
+        "decontaminate": q_decontaminate,
+        "bm25": q_bm25,
     }
 
 

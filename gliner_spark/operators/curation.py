@@ -252,3 +252,50 @@ def stratified_sample(
     for k in sorted(rates):
         rate = F.when(F.col(strata_col) == k, F.lit(rates[k])).otherwise(rate)
     return df.withColumn("_u", u).where(F.col("_u") < rate)
+
+
+def decontaminate(
+    train_docs: DataFrame,
+    benchmark_docs: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag every training document that
+    shares at least one word n-gram with a held-out benchmark/eval set
+    (the standard pre-training hygiene pass; production pipelines use
+    13-grams after GPT-3 appendix C — `n` is the knob).
+
+    Scale shape: the benchmark side collapses to DISTINCT grams (a
+    shuffle of the SMALL side only) and enters the join as a broadcast
+    hash table, so the 100 TB training side is never shuffled for the
+    membership test — explode → broadcast inner join is map-side. The
+    only shuffle that touches training data carries (id, hit) pairs for
+    contaminated docs only; the per-doc hit counts then left-join back
+    onto the training ids for the zero-fill (no forced broadcast there:
+    the contaminated set is usually tiny and AQE will broadcast it, but
+    it is not BOUNDED like the benchmark grams are, so forcing the hint
+    would be an OOM bet at 100 TB). Gram sets are per-doc DISTINCT on
+    both sides, so `n_hit_grams` counts distinct shared grams, matching
+    set-overlap semantics.
+    """
+    from ..functions.text import tokens, word_ngrams
+
+    grams = F.array_distinct(word_ngrams(tokens(F.lower(F.col(text_col))), n))
+    bench = (
+        benchmark_docs.select(F.explode(grams).alias("gram")).distinct()
+    )
+    train_grams = train_docs.select(
+        id_col, F.explode(grams).alias("gram")
+    )
+    hits = (
+        train_grams.join(F.broadcast(bench), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    )
+    zero = F.coalesce(F.col("n_hit_grams"), F.lit(0))
+    return train_docs.select(id_col).join(hits, id_col, "left").select(
+        id_col,
+        zero.alias("n_hit_grams"),
+        (zero > 0).cast("int").alias("contaminated"),
+    )

@@ -70,12 +70,36 @@ def _set_worker_env_defaults() -> None:
     - Arrow system allocator: routes pyarrow buffers through the same
       (now well-behaved) glibc malloc.
     """
-    os.environ.setdefault("OMP_NUM_THREADS", "1")
-    os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
-    os.environ.setdefault("MKL_NUM_THREADS", "1")
-    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
-    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
-    os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+    for k, v in _WORKER_ENV.items():
+        os.environ.setdefault(k, v)
+
+
+_WORKER_ENV = {
+    "OMP_NUM_THREADS": "1",
+    "OPENBLAS_NUM_THREADS": "1",
+    "MKL_NUM_THREADS": "1",
+    "MALLOC_MMAP_THRESHOLD_": "1073741824",
+    "MALLOC_TRIM_THRESHOLD_": "1073741824",
+    "ARROW_DEFAULT_MEMORY_POOL": "system",
+}
+
+
+def worker_env_confs() -> dict[str, str]:
+    """The same worker env as `spark.executorEnv.*` conf entries.
+
+    Under `spark-submit` the JVM is already running before any of our
+    python executes, so `os.environ` mutation cannot reach the python
+    workers — but PythonWorkerFactory passes `spark.executorEnv.*` into
+    the worker daemon env even in local mode, so routing the env through
+    session conf works from ANY launcher. Without this, a spark-submit
+    run from a shell that didn't export the vars silently loses the
+    malloc/Arrow tuning: measured 29.5s → 325s on the pipeline's
+    canon_map stage (munmap TLB storms are back) before this fix.
+    """
+    return {
+        f"spark.executorEnv.{k}": os.environ.get(k, v)
+        for k, v in _WORKER_ENV.items()
+    }
 
 
 def build_session(
@@ -107,6 +131,8 @@ def build_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
+    for k, v in worker_env_confs().items():
+        builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

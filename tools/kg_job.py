@@ -49,7 +49,9 @@ def main():
 
     from gliner_spark.operators.relations import extract_triples
 
-    spark = (
+    from gliner_spark.plans.session import worker_env_confs
+
+    builder = (
         SparkSession.builder.appName("kg-scaling-job")
         .config("spark.sql.adaptive.enabled", "true")
         .config(
@@ -59,8 +61,12 @@ def main():
         .config("spark.sql.shuffle.partitions", "256")
         .config("spark.task.cpus", "2")
         .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
     )
+    # executorEnv so the worker malloc/BLAS/Arrow tuning survives
+    # spark-submit from a shell that didn't export it (session.py)
+    for k, v in worker_env_confs().items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     cpus = spark.sparkContext.defaultParallelism
 

@@ -57,14 +57,20 @@ def main():
     from gliner_spark.pipeline import run_pipeline
     from gliner_spark.sources.transcripts import synth_transcripts
 
-    spark = (
+    from gliner_spark.plans.session import worker_env_confs
+
+    builder = (
         SparkSession.builder.appName("kg-pipeline")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
     )
+    # executorEnv so the worker malloc/BLAS/Arrow tuning survives
+    # spark-submit from a shell that didn't export it (session.py)
+    for k, v in worker_env_confs().items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     if args.input:
