@@ -119,3 +119,18 @@ def test_decontaminate_counts_distinct_grams_once(spark):
     )
     [row] = decontaminate(train, bench, n=3).collect()
     assert (row.n_hit_grams, row.contaminated) == (1, 1)
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """The 100 TB contract: the membership test joins the training gram
+    stream against a BROADCAST of the benchmark grams — the big side
+    must not be shuffled for it."""
+    docs = spark.createDataFrame(
+        [(i, f"w{i} alpha beta gamma w{i+1}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    bench = docs.where("doc_id % 10 = 0")
+    train = docs.where("doc_id % 10 != 0")
+    out = decontaminate(train, bench, n=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
