@@ -323,11 +323,15 @@ def _q_pagerank_events(spark, sf_dir):
     """PageRank under the DuckDB oracle: the REAL power-iteration
     operator (operators/graph.pagerank — driver-controlled loop,
     dangling-mass redistribution) over a deterministic user→object
-    bipartite graph derived from events (objects get +1000 so the id
-    spaces stay disjoint; every object is DANGLING, which exercises the
-    dangling-mass path hard). tol=0 pins the iteration count to exactly
-    5 on both engines; the oracle unrolls the same five iterations as
-    chained CTEs. 6dp rounding absorbs summation-order ulps."""
+    bipartite graph derived from events. Objects get +1000, which does
+    NOT keep the id spaces disjoint beyond sf0.01 (sf0.1 user_ids reach
+    1500), so self-loop edges CAN occur; the operator drops them
+    (graph.py src != dst) and the oracle SQL mirrors that filter in its
+    edge CTE. Objects with no outgoing edges are DANGLING, which
+    exercises the dangling-mass path hard. tol=0 pins the iteration
+    count to exactly 5 on both engines; the oracle unrolls the same five
+    iterations as chained CTEs. 6dp rounding absorbs summation-order
+    ulps."""
     from gliner_spark.operators.graph import pagerank
 
     ev = _events(spark, sf_dir)
@@ -351,7 +355,8 @@ def _pagerank_events_sql(n_iter: int = 5) -> str:
         with e as (
           select distinct user_id::bigint as src,
                  (1000 + event_id % 50)::bigint as dst
-          from events),
+          from events
+          where user_id::bigint != (1000 + event_id % 50)::bigint),
         verts as (select src as id from e union select dst from e),
         deg as (select src as id, count(*)::bigint as deg
                 from e group by 1),

@@ -79,29 +79,43 @@ def pagerank(
     mass/N), localCheckpoint per iteration to cut lineage. Converges when
     the L1 delta drops below `tol`. Each iteration is one equi-join + one
     hash agg on int64 keys — the canonical iterative-graph shuffle shape.
+
+    Exactly ONE driver job per iteration: the iteration-k aggregate
+    computes BOTH the L1 delta (convergence) and the dangling mass the
+    NEXT iteration needs (Σ rank over out-degree-null vertices), so
+    dangling mass is carried forward instead of re-collected. On a real
+    cluster at 15 iterations that halves the job round-trips.
     """
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).where(F.col("src") != F.col("dst")).distinct().localCheckpoint()
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # vertices carry their out-degree for the whole loop (deg null =
+    # dangling) — one join here instead of one per iteration
     verts = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
+        .join(out_deg.withColumnRenamed("src", "id"), "id", "left")
         .localCheckpoint()
     )
-    n = verts.count()
+    # one pre-loop job: n and the dangling-vertex count together
+    stats = verts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("deg").isNull(), 1).otherwise(0)).alias("nd"),
+    ).collect()[0]
+    n = stats["n"]
     if n == 0:
-        return verts.withColumn("rank", F.lit(0.0))
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        return verts.select("id").withColumn("rank", F.lit(0.0)).select(
+            F.col("id").alias("entity_id"), "rank"
+        )
+    dangling = stats["nd"] / n  # uniform initial ranks: Σ 1/n over dangling
     ranks = verts.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
     base = (1.0 - damping) / n
 
     for _ in range(max_iter):
-        with_deg = ranks.join(
-            out_deg.withColumnRenamed("src", "id"), "id", "left"
-        )
         contribs = (
-            with_deg.join(e, with_deg.id == e.src)
+            ranks.join(e, ranks.id == e.src)
             .select(
                 F.col("dst").alias("id"),
                 (F.col("rank") / F.col("deg")).alias("c"),
@@ -109,33 +123,33 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("inflow"))
         )
-        dangling = (
-            with_deg.where(F.col("deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
-            .collect()[0]["m"]
-        )
         new_ranks = (
-            verts.join(contribs, "id", "left")
+            ranks.select("id", "deg", F.col("rank").alias("old_rank"))
+            .join(contribs, "id", "left")
             .select(
                 "id",
+                "deg",
+                "old_rank",
                 (
                     F.lit(base)
                     + F.lit(damping)
                     * (F.coalesce("inflow", F.lit(0.0)) + F.lit(dangling / n))
                 ).alias("rank"),
             )
-            # lazy: the delta aggregate below both materializes this
+            # lazy: the fused aggregate below both materializes this
             # round's ranks and measures convergence in a single job
             .localCheckpoint(eager=False)
         )
-        delta = (
-            new_ranks.alias("n")
-            .join(ranks.alias("o"), "id")
-            .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("d"))
-            .collect()[0]["d"]
-        )
-        ranks = new_ranks
-        if delta < tol:
+        row = new_ranks.agg(
+            F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("d"),
+            F.coalesce(
+                F.sum(F.when(F.col("deg").isNull(), F.col("rank"))),
+                F.lit(0.0),
+            ).alias("m"),
+        ).collect()[0]
+        dangling = row["m"]
+        ranks = new_ranks.select("id", "deg", "rank")
+        if row["d"] < tol:
             break
     return ranks.select(F.col("id").alias("entity_id"), "rank")
 

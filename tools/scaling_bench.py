@@ -93,23 +93,36 @@ def run_lone(cores: int, zip_path: str, pin: str | None = None) -> dict:
 
 
 def run_tenants(zip_path: str, n_tenants: int = 4, cores: int = 8) -> list[dict]:
-    """Launch n_tenants pinned local[cores] jobs simultaneously, wait all."""
+    """Launch n_tenants pinned local[cores] jobs simultaneously, wait all.
+
+    Output goes to TEMP FILES, not PIPEs: with PIPE + sequential
+    communicate(), a later tenant that fills its ~64 KiB pipe buffer
+    blocks mid-run while we wait on an earlier tenant — silently
+    serializing the "simultaneous" N-leg and inflating efficiency."""
+    import tempfile
+
     env = dict(os.environ)
     env["SCALE_INPUT"] = INPUT
     procs = []
     for t in range(n_tenants):
         pin = f"{t * cores}-{(t + 1) * cores - 1}"
-        procs.append(
-            subprocess.Popen(
-                _cmd(cores, zip_path, pin),
-                stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-                text=True, env=env,
-            )
+        out_f = tempfile.TemporaryFile(mode="w+", encoding="utf-8")
+        err_f = tempfile.TemporaryFile(mode="w+", encoding="utf-8")
+        p = subprocess.Popen(
+            _cmd(cores, zip_path, pin),
+            stdout=out_f, stderr=err_f, text=True, env=env,
         )
+        procs.append((p, out_f, err_f))
     results = []
-    for t, p in enumerate(procs):
-        stdout, stderr = p.communicate(timeout=2400)
-        done = subprocess.CompletedProcess(p.args, p.returncode, stdout, stderr)
+    for t, (p, out_f, err_f) in enumerate(procs):
+        p.wait(timeout=2400)
+        out_f.seek(0)
+        err_f.seek(0)
+        done = subprocess.CompletedProcess(
+            p.args, p.returncode, out_f.read(), err_f.read()
+        )
+        out_f.close()
+        err_f.close()
         results.append(_parse(done, f"tenant {t} local[{cores}]"))
     return results
 
