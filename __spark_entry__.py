@@ -1179,6 +1179,162 @@ def _q_entity_pagerank(spark, sf_dir):
     return pr.select("entity_id", F.round("rank", 8).alias("rank"))
 
 
+def _q_ner_modes(spark, sf_dir):
+    """All three decode families in one driver query — span greedy-flat,
+    token start×end, nested multi-label — unioned with a `mode` column.
+    Consolidation (r3 verdict #4): the driver gate runs the first 50
+    registered queries, so tail rows-only entries never executed; merging
+    keeps every decode path driver-executed each round."""
+    span = _q_ner_entities(spark, sf_dir).withColumn("mode", F.lit("span"))
+    token = _q_ner_token_mode(spark, sf_dir).withColumn(
+        "mode", F.lit("token")
+    )
+    nested = _q_ner_nested(spark, sf_dir).withColumn("mode", F.lit("nested"))
+    return span.unionByName(token).unionByName(nested)
+
+
+def _q_multitask_docs(spark, sf_dir):
+    """Classification + extractive summarization unioned to a common
+    (conv_id, turn_idx, task, output, score) shape — both multitask
+    pipelines driver-executed in one registry slot."""
+    c = _q_classify_docs(spark, sf_dir).select(
+        "conv_id",
+        "turn_idx",
+        F.lit("classify").alias("task"),
+        F.col("label").alias("output"),
+        F.round("score", 6).alias("score"),
+    )
+    s = _q_summarize_docs(spark, sf_dir).select(
+        "conv_id",
+        "turn_idx",
+        F.lit("summarize").alias("task"),
+        F.col("summary").alias("output"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    return c.unionByName(s)
+
+
+def _q_near_dup_candidates(spark, sf_dir):
+    """MinHash-LSH and SimHash banded near-dup scale paths in one query
+    (method, doc_a, doc_b, value) — the exact-math twins stay separately
+    oracle-checked (jaccard_verify, simhash_hamming)."""
+    mh = _q_minhash_near_dup(spark, sf_dir).select(
+        F.lit("minhash").alias("method"),
+        "doc_a",
+        "doc_b",
+        F.col("jaccard").alias("value"),
+    )
+    sh = _q_simhash_near_dup(spark, sf_dir).select(
+        F.lit("simhash").alias("method"),
+        "doc_a",
+        "doc_b",
+        F.col("hamming").cast("double").alias("value"),
+    )
+    return mh.unionByName(sh)
+
+
+def _q_ivf_kmeans(spark, sf_dir):
+    """Lloyd's k-means assignment + partial-probe IVF ANN in one query
+    (part, id_a, id_b, value); full-probe IVF stays oracle-checked
+    (knn_ivf_exact), partial-probe recall stays pytest-pinned."""
+    km = _q_kmeans(spark, sf_dir).select(
+        F.lit("kmeans").alias("part"),
+        F.col("vec_id").alias("id_a"),
+        F.col("cluster").cast("bigint").alias("id_b"),
+        F.col("dist2").alias("value"),
+    )
+    knn = _q_knn_ivf(spark, sf_dir).select(
+        F.lit("knn_ivf").alias("part"),
+        F.col("query_id").alias("id_a"),
+        F.col("vec_id").alias("id_b"),
+        F.round("cos", 6).alias("value"),
+    )
+    return km.unionByName(knn)
+
+
+def _q_kernel_surface_matrix(spark, sf_dir):
+    """Kernel extension surfaces in one aggregate matrix: per-span-mode
+    entity counts (all 8 non-default registry heads) plus trie-constrained
+    generated-label counts (surface, item, n, n_docs). Any behavior drift
+    in either surface shifts the counts; detail-level semantics stay
+    parity-pinned in test_span_modes.py / test_labels_trie.py."""
+    modes = _q_span_mode_matrix(spark, sf_dir).select(
+        F.lit("span_mode").alias("surface"),
+        F.col("span_mode").alias("item"),
+        F.col("n_entities").alias("n"),
+        "n_docs",
+    )
+    gen = (
+        _q_constrained_labels(spark, sf_dir)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("conv_id").alias("n_docs"),
+        )
+        .select(
+            F.lit("gen_label").alias("surface"),
+            F.col("label").alias("item"),
+            "n",
+            "n_docs",
+        )
+    )
+    return modes.unionByName(gen).orderBy("surface", "item")
+
+
+def _q_kg_pipeline(spark, sf_dir):
+    """The north-star chain end-to-end in one driver query: NER →
+    RE triples ∪ turn-window co-occurrence-induced triples → MinHash-LSH
+    canonicalization (connected components) → canonical rewrite →
+    edge materialization → PageRank. Output = canonical (subj, pred, obj)
+    triple detail rows — the surface the north rule grades — with each
+    subject's rank joined on. Subsumes the former re_triples /
+    entity_linking / turn_cooccur / graph_edges / entity_pagerank
+    registry entries so the whole chain runs under the driver gate."""
+    from gliner_spark.operators.cooccur import induce_cooccurrence
+    from gliner_spark.operators.graph import build_edges, pagerank
+    from gliner_spark.operators.linking import canonicalize, rewrite_triples
+    from gliner_spark.operators.ner import extract_entities
+    from gliner_spark.operators.relations import extract_triples
+
+    t = _doc_transcripts(spark, sf_dir)
+    ents = extract_entities(t, ENTITY_TYPES)
+    re_t = extract_triples(t, RELATIONS, ENTITY_TYPES).select(
+        "conv_id",
+        "turn_idx",
+        "subj",
+        "pred",
+        "obj",
+        "score",
+        F.lit("relation").alias("source"),
+    )
+    co_t = induce_cooccurrence(ents, turn_window=2).select(
+        "conv_id",
+        F.col("turn_a").alias("turn_idx"),
+        "subj",
+        "pred",
+        "obj",
+        "score",
+        F.lit("cooccur").alias("source"),
+    )
+    cm = canonicalize(ents, jaccard_threshold=0.5)
+    canon = rewrite_triples(re_t.unionByName(co_t), cm)
+    pr = pagerank(build_edges(canon))
+    return canon.join(
+        pr.withColumnRenamed("entity_id", "subj_id"), "subj_id", "left"
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "source",
+        "subj_id",
+        "subj_canonical",
+        "pred",
+        "obj_id",
+        "obj_canonical",
+        F.round("score", 6).alias("score"),
+        F.round("rank", 8).alias("subj_rank"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_stats": _q_token_stats,
@@ -1222,26 +1378,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_hamming": _q_simhash_hamming,
         "jaccard_verify": _q_jaccard_verify,
         "tfidf_topterms": _q_tfidf_topterms,
-        # non-SQL-expressible (hashed scorer / sketches / iteration):
-        "span_mode_matrix": _q_span_mode_matrix,
-        "ner_entities": _q_ner_entities,
-        "re_triples": _q_re_triples,
-        "entity_linking": _q_entity_linking,
-        "minhash_near_dup": _q_minhash_near_dup,
-        "simhash_near_dup": _q_simhash_near_dup,
-        "knn_ivf": _q_knn_ivf,
-        "kmeans_clusters": _q_kmeans,
+        # non-SQL-expressible (hashed scorer / sketches / iteration).
+        # Exactly 9 rows-only entries: 41 oracle + 9 = 50 = the driver
+        # gate's query window, so EVERY registered query is driver-
+        # executed every round (r3 verdict #4).
+        "ner_modes": _q_ner_modes,
+        "kg_pipeline": _q_kg_pipeline,
+        "near_dup_candidates": _q_near_dup_candidates,
+        "ivf_kmeans": _q_ivf_kmeans,
+        "multitask_docs": _q_multitask_docs,
+        "kernel_surface_matrix": _q_kernel_surface_matrix,
         "corpus_summary": _q_corpus_summary,
-        "ner_token_mode": _q_ner_token_mode,
-        "classify_docs": _q_classify_docs,
-        "summarize_docs": _q_summarize_docs,
         "confidence_splits": _q_confidence_splits,
         "multimodal_resize": _q_multimodal_resize,
-        "constrained_labels": _q_constrained_labels,
-        "ner_nested": _q_ner_nested,
-        "turn_cooccur": _q_turn_cooccur,
-        "graph_edges": _q_graph_edges,
-        "entity_pagerank": _q_entity_pagerank,
     }
 
 
