@@ -95,31 +95,221 @@ class GLiNERSpark:
             multi_label=multi_label, **kwargs,
         )
 
-    def encode_labels(self, labels: list[str]):
-        """model.py:604-630 — pre-encode the label set once (the
-        bi-encoder trick this engine broadcasts Spark-side). Returns an
-        opaque handle for predict_with_embeds."""
-        labels = list(dict.fromkeys(labels))
-        return labels, self._oracle.scorer.encode_labels(labels)
+    def encode_labels(self, labels: list[str], batch_size: int = 8):
+        """model.py:604-630 — pre-encode a label list once (the
+        bi-encoder trick this engine broadcasts Spark-side). Returns the
+        (C, dim) embedding matrix, reference-shaped: embeddings only,
+        row i ↔ labels[i]; pass the SAME label list back to
+        batch_predict_with_embeds. `batch_size` accepted for call-site
+        compatibility (no batching needed here)."""
+        return self._oracle.scorer.encode_labels(list(labels))
 
     def predict_with_embeds(
         self,
+        text: str,
+        labels_embeddings,
+        labels: list[str],
+        flat_ner: bool = True,
+        threshold: float = 0.5,
+        multi_label: bool = False,
+        **kwargs,
+    ) -> list[dict]:
+        """model.py:450-474 — single-text inference against PRE-ENCODED
+        label embeddings; forwards to batch_predict_with_embeds exactly
+        like the reference."""
+        return self.batch_predict_with_embeds(
+            [text],
+            labels_embeddings,
+            labels,
+            flat_ner=flat_ner,
+            threshold=threshold,
+            multi_label=multi_label,
+            **kwargs,
+        )[0]
+
+    def batch_predict_with_embeds(
+        self,
         texts: list[str],
-        labels_embeds,
+        labels_embeddings,
+        labels: list[str],
         flat_ner: bool = True,
         threshold: float = 0.5,
         multi_label: bool = False,
         **_kwargs,
     ) -> list[list[dict]]:
-        """model.py:451-531 — inference against PRE-ENCODED label
-        embeddings (no per-call label re-encoding)."""
-        labels, mat = labels_embeds
+        """model.py:476-531 — batch inference against PRE-ENCODED label
+        embeddings (no per-call label re-encoding); reference signature:
+        embeddings and label strings travel separately, row i of the
+        matrix names labels[i]."""
+        import numpy as np
+
+        mat = np.asarray(labels_embeddings, dtype=np.float32)
+        labels = list(labels)
         return [
             self._oracle._run_one(
                 t, labels, mat, threshold, flat_ner, multi_label
             )
             for t in texts
         ]
+
+    # ------------------------------------------------------------ evaluation
+    def evaluate(
+        self,
+        test_data: list[dict],
+        flat_ner: bool = False,
+        multi_label: bool = False,
+        threshold: float = 0.5,
+        batch_size: int = 12,
+        entity_types: list[str] | None = None,
+    ) -> tuple[str, float]:
+        """model.py:533-602 — evaluate on GLiNER-format examples
+        ({"tokenized_text": [...], "ner": [[start_tok, end_tok_incl,
+        label], ...]}), returning the reference's exact
+        ("P: x%\\tR: y%\\tF1: z%\\n", f1) shape (evaluator.py:152-156:
+        micro P/R/F1 over typed exact token-span matches).
+
+        Label-set semantics mirror the DataCollator: with entity_types
+        given, every example scores against that list; otherwise each
+        batch of `batch_size` examples scores against the order-preserved
+        union of its OWN gold types (collator.py builds classes per
+        batch). Scoring runs the shared kernel directly on the gold
+        tokenization (the eval data is pre-tokenized — re-tokenizing
+        would shift indices)."""
+        from .kernel.decode import decode_row
+        from .kernel.metrics import compute_prf_micro
+
+        scorer = self._oracle.scorer
+        max_w = self.cfg.max_width
+        y_true: list[list[tuple]] = []
+        y_pred: list[list[tuple]] = []
+        for lo in range(0, len(test_data), batch_size):
+            chunk = test_data[lo : lo + batch_size]
+            if entity_types is None:
+                batch_labels = list(
+                    dict.fromkeys(
+                        str(lab)
+                        for d in chunk
+                        for _s, _e, lab in d.get("ner", [])
+                    )
+                )
+            else:
+                batch_labels = list(dict.fromkeys(entity_types))
+            label_mat = scorer.encode_labels(batch_labels)
+            for d in chunk:
+                tokens = list(d["tokenized_text"])[: self.cfg.max_len]
+                gold = [
+                    (int(s), int(e), str(lab))
+                    for s, e, lab in d.get("ner", [])
+                    if int(e) < len(tokens)
+                ]
+                y_true.append(gold)
+                if not tokens or not batch_labels:
+                    y_pred.append([])
+                    continue
+                ids, _ = scorer.ids_matrix([tokens])
+                probs = scorer.score_batch(ids, label_mat, max_w)[0]
+                s, e, c, _sc = decode_row(
+                    probs,
+                    len(tokens),
+                    threshold,
+                    flat_ner=flat_ner,
+                    multi_label=multi_label,
+                )
+                y_pred.append(
+                    [
+                        (int(si), int(ei), batch_labels[int(ci)])
+                        for si, ei, ci in zip(s, e, c)
+                    ]
+                )
+        m = compute_prf_micro(y_true, y_pred)
+        out = (
+            f"P: {m['precision']:.2%}\tR: {m['recall']:.2%}\t"
+            f"F1: {m['f_score']:.2%}\n"
+        )
+        return out, m["f_score"]
+
+    # ------------------------------------------------- constrained generation
+    def set_labels_trie(self, labels: list[str]):
+        """model.py:293-310 — tokenize each label, append EOS, build the
+        LabelsTrie (reference python_labels_trie.py contract). The
+        reference raises NotImplementedError without a decoder tokenizer;
+        this engine's deterministic word-id vocabulary stands in for it
+        (same role: label string → int sequence), so a real trie is
+        returned. The trie is also retained on the model for
+        generate_labels."""
+        from .kernel.labels_trie import LabelsTrie
+        from .operators.generation import _label_vocab
+
+        labels = list(dict.fromkeys(labels))
+        word_id, id_word, seqs = _label_vocab(labels)
+        eos = len(id_word)
+        trie = LabelsTrie([seq + [eos] for seq in seqs])
+        self._labels_trie = (trie, id_word, eos, labels)
+        return trie
+
+    def generate_labels(
+        self,
+        texts: str | list[str] | DataFrame,
+        labels: list[str] | None = None,
+        max_new_tokens: int = 15,
+        **_gen_kwargs,
+    ):
+        """model.py:312-345 — generate textual class labels under the
+        trie constraint (greedy, EOS when the trie allows nothing —
+        decoder.py:212-219 rule). The reference decodes from transformer
+        decoder embeddings; this engine scores trie-legal vocabulary
+        words against the deterministic text embedding (same constraint
+        machinery, stand-in scorer — SURVEY §7.0).
+
+        list[str] → per-text generated label strings on the driver;
+        DataFrame → the distributed operator
+        (operators/generation.generate_labels). `labels` seeds the trie
+        vocabulary; omitted, the trie from set_labels_trie is reused."""
+        if labels is not None:
+            self.set_labels_trie(labels)
+        if not hasattr(self, "_labels_trie"):
+            raise ValueError(
+                "no labels trie — call set_labels_trie(labels) first or "
+                "pass labels="
+            )
+        trie, id_word, eos, vocab_labels = self._labels_trie
+        if isinstance(texts, DataFrame):
+            from .operators.generation import generate_labels as gen_df
+
+            return gen_df(
+                texts, vocab_labels, cfg=self.cfg,
+                max_new_tokens=max_new_tokens,
+            )
+        import numpy as np
+
+        from .kernel.labels_trie import constrained_greedy_generate
+        from .kernel.tokenizer import prep_tokens
+
+        if isinstance(texts, str):
+            texts = [texts]
+        scorer = self._oracle.scorer
+        word_vecs = scorer.emb[scorer.token_ids(id_word)]
+        word_vecs = word_vecs / (
+            np.linalg.norm(word_vecs, axis=1, keepdims=True) + 1e-8
+        )
+        out = []
+        for text in texts:
+            toks, _s, _e = prep_tokens(text, self.cfg.max_len, self.cfg.tokenizer)
+            if not toks:
+                out.append("")
+                continue
+            tvec = scorer.emb[scorer.token_ids(toks)].mean(axis=0)
+            tvec = tvec / (np.linalg.norm(tvec) + 1e-8)
+            sims = word_vecs @ tvec
+
+            def step_scores(_seq):
+                return {i: float(sims[i]) for i in range(len(id_word))}
+
+            gen = constrained_greedy_generate(
+                step_scores, trie, eos, max_new_tokens
+            )
+            out.append(" ".join(id_word[i] for i in gen))
+        return out
 
     # ------------------------------------------- inference (DataFrame path)
     def predict_entities_df(

@@ -96,10 +96,86 @@ def test_multitask_pipeline_classes():
     assert len(spans) == 1
 
 
-def test_predict_with_embeds_matches_run():
+def test_batch_predict_with_embeds_matches_run():
+    """Reference signature (model.py:476): embeddings and label strings
+    travel separately; pre-encoded inference must equal run()."""
     model = GLiNERSpark()
-    handle = model.encode_labels(LABELS + LABELS)  # dedup like model.py:202
-    assert handle[0] == LABELS
-    a = model.predict_with_embeds(TEXTS, handle, threshold=0.3)
+    mat = model.encode_labels(LABELS)
+    assert mat.shape == (len(LABELS), model.cfg.scorer.dim)
+    a = model.batch_predict_with_embeds(TEXTS, mat, LABELS, threshold=0.3)
     b = model.run(TEXTS, LABELS, threshold=0.3)
     assert a == b
+    one = model.predict_with_embeds(TEXTS[0], mat, LABELS, threshold=0.3)
+    assert one == b[0]
+
+
+def test_evaluate_reference_shape_and_self_consistency():
+    """model.py:533-602 evaluate(): GLiNER-format examples in,
+    ('P: x%\\tR: y%\\tF1: z%\\n', f1) out. Gold = the model's own
+    predictions → perfect score; disjoint gold → zero."""
+    from gliner_spark.kernel.decode import decode_row
+    from gliner_spark.kernel.tokenizer import prep_tokens
+
+    model = GLiNERSpark()
+    scorer = model._oracle.scorer
+    mat = scorer.encode_labels(LABELS)
+    test_data = []
+    for t in TEXTS:
+        # gold = the kernel's own token-level decode on the same
+        # tokenization evaluate() will score — exact self-consistency
+        toks, _s, _e = prep_tokens(t, model.cfg.max_len, model.cfg.tokenizer)
+        ids, _ = scorer.ids_matrix([toks])
+        probs = scorer.score_batch(ids, mat, model.cfg.max_width)[0]
+        s, e, c, _sc = decode_row(
+            probs, len(toks), 0.3, flat_ner=True, multi_label=False
+        )
+        ner = [
+            [int(si), int(ei), LABELS[int(ci)]] for si, ei, ci in zip(s, e, c)
+        ]
+        test_data.append({"tokenized_text": toks, "ner": ner})
+    out, f1 = model.evaluate(
+        test_data, flat_ner=True, threshold=0.3, entity_types=LABELS
+    )
+    assert out.startswith("P: ") and "\tR: " in out and out.endswith("%\n")
+    assert f1 == 1.0
+    # disjoint gold types → no matches
+    bad = [
+        {"tokenized_text": d["tokenized_text"],
+         "ner": [[0, 0, "nonexistent-type"]]}
+        for d in test_data
+    ]
+    _, f1_bad = model.evaluate(
+        bad, flat_ner=True, threshold=0.3, entity_types=LABELS
+    )
+    assert f1_bad == 0.0
+
+
+def test_evaluate_batch_label_union_default():
+    """With entity_types=None the label set is the per-batch union of
+    gold types (DataCollator semantics)."""
+    model = GLiNERSpark()
+    data = [
+        {"tokenized_text": TEXTS[0].split(), "ner": [[0, 0, "person"]]},
+        {"tokenized_text": TEXTS[1].split(), "ner": [[0, 0, "person"]]},
+    ]
+    out, f1 = model.evaluate(data, flat_ner=True, threshold=0.3)
+    assert isinstance(out, str) and 0.0 <= f1 <= 1.0
+
+
+def test_set_labels_trie_and_generate_labels():
+    """model.py:293-345 — trie from tokenized labels (EOS appended);
+    generation walks only trie-legal prefixes. List path must equal the
+    DataFrame operator's vocabulary semantics (same kernel)."""
+    model = GLiNERSpark()
+    vocab = ["person", "person name", "organization unit", "tool"]
+    trie = model.set_labels_trie(vocab)
+    # trie allows exactly the first words of the vocabulary at the root
+    root_allowed = trie.get([])
+    assert len(root_allowed) == 3  # person / organization / tool word-ids
+    gen = model.generate_labels(TEXTS, labels=vocab)
+    assert len(gen) == len(TEXTS)
+    for g in gen:
+        assert g in vocab or g == ""  # complete trie walks only
+    # single-string input → one-element list
+    one = model.generate_labels(TEXTS[0])
+    assert one == [gen[0]]
