@@ -863,12 +863,24 @@ def _q_multimodal_features(spark, sf_dir):
     raise `unhashable type: 'list'` in its pandas factorize). Payloads
     come from an arithmetic generator both engines can compute, so this
     is fully DuckDB-oracle-checked (the oracle rebuilds the byte
-    histograms analytically)."""
-    from gliner_spark.operators.multimodal import extract_features, synth_assets
+    histograms analytically).
+
+    r4: additionally unions kind='audio_wav' rows — per-asset waveform
+    statistics computed through the REAL RIFF/WAVE PCM-16 parse
+    (multimodal.decode_wav) over genuine WAV payloads whose samples come
+    from the same style of arithmetic generator (synth_wav_sample), so
+    the actual byte-level container parse is value-checked: any header/
+    stride/endianness mistake shifts every statistic."""
+    from gliner_spark.operators.multimodal import (
+        audio_stats,
+        extract_features,
+        synth_assets,
+        synth_wav_assets,
+    )
 
     _ensure_shipped(spark)
     feats = extract_features(synth_assets(spark, 200))
-    return feats.select(
+    img = feats.select(
         "asset_id",
         "kind",
         "n_bytes",
@@ -880,6 +892,25 @@ def _q_multimodal_features(spark, sf_dir):
         "dim",
         F.round(F.col("value").cast("double"), 6).alias("value"),
     )
+    wav = audio_stats(synth_wav_assets(spark, 50, n_samples=256,
+                                       sample_rate=8000))
+    wav_long = wav.select(
+        "asset_id",
+        F.lit("audio_wav").alias("kind"),
+        F.lit(44 + 2 * 256).cast("int").alias("n_bytes"),
+        F.posexplode(
+            F.array(
+                F.col("sample_rate").cast("double"),
+                F.col("n_samples").cast("double"),
+                F.round("mean_amp", 6),
+                F.round("rms", 6),
+                F.col("min_amp").cast("double"),
+                F.col("max_amp").cast("double"),
+                F.col("n_zero_cross").cast("double"),
+            )
+        ).alias("dim", "value"),
+    )
+    return img.unionByName(wav_long)
 
 
 def _synth_mentions(spark, sf_dir):
@@ -1042,15 +1073,19 @@ def _q_frame_plan(spark, sf_dir):
 
 
 def _q_multimodal_resize(spark, sf_dir):
-    """REAL image decode + resize: synthetic 24-bit BMP payloads parsed
-    by the numpy BMP codec, nearest-neighbor resampled, re-encoded
-    (operators/multimodal.py decode_bmp/nn_resize — true pixel math, not
-    the shape-only fake path). Rows-only — emits a digest of the output
-    payload rather than the binary itself; pixel correctness is pinned
-    in test_corpus_ops (round-trip + known-resample tests)."""
+    """REAL media decode + resize/resample in one rows-only query:
+    synthetic 24-bit BMP payloads parsed by the numpy BMP codec,
+    nearest-neighbor resampled, re-encoded (decode_bmp/nn_resize — true
+    pixel math), unioned with PCM-16 WAV payloads parsed by the numpy
+    RIFF codec, nearest-sample resampled 8 kHz → 4 kHz, re-encoded
+    (decode_wav/resample_pcm). Emits digests of the output payloads;
+    pixel/sample correctness is pinned in test_corpus_ops (round-trip +
+    known-resample tests)."""
     from gliner_spark.operators.multimodal import (
+        resample_audio,
         resize_images,
         synth_bmp_assets,
+        synth_wav_assets,
     )
 
     _ensure_shipped(spark)
@@ -1060,9 +1095,28 @@ def _q_multimodal_resize(spark, sf_dir):
         height=12,
         decoder="bmp",
     )
-    return out.select(
-        "asset_id", "width", "height", F.md5("data").alias("payload_md5")
+    img = out.select(
+        F.lit("image").alias("tier"),
+        "asset_id",
+        F.col("width").alias("out_a"),
+        F.col("height").alias("out_b"),
+        F.md5("data").alias("payload_md5"),
     )
+    # audio tier (r4): REAL RIFF parse → index-arithmetic resample →
+    # re-encode; sample math pinned in test_corpus_ops, digest here
+    rs = resample_audio(
+        synth_wav_assets(spark, 100, n_samples=256, sample_rate=8000),
+        target_rate=4000,
+        decoder="wav",
+    )
+    wav = rs.select(
+        F.lit("audio").alias("tier"),
+        "asset_id",
+        F.col("sample_rate").alias("out_a"),
+        F.col("n_samples").alias("out_b"),
+        F.md5("data").alias("payload_md5"),
+    )
+    return img.unionByName(wav)
 
 
 def _q_constrained_labels(spark, sf_dir):
@@ -1948,6 +2002,46 @@ def oracle_sql() -> dict[str, str]:
             from assets a
             cross join dims d
             left join hist h on h.asset_id = a.asset_id and h.dim = d.dim
+            union all
+            -- audio_wav tier: regenerate the int16 waveform analytically
+            -- (multimodal.synth_wav_sample: ((a*id + b*i + c) % 65536)
+            -- - 32768) and recompute the stats the Spark side derives
+            -- from the REAL RIFF parse; sums cast ::bigint before
+            -- division (DuckDB sum() is HUGEINT under pandas)
+            select asset_id,
+                   'audio_wav' as kind, 556 as n_bytes, dim, value
+            from (
+              with wassets as (select range as asset_id from range(50)),
+              samples as (
+                select asset_id, i,
+                       ((2654435761 * asset_id + 40503 * i + 4087) % 65536)
+                         - 32768 as s
+                from wassets, unnest(generate_series(0, 255)) as u(i)),
+              zc as (
+                select asset_id,
+                       count(*) filter (
+                         where prev is not null and sign(s) != prev
+                       ) as n_zc
+                from (
+                  select asset_id, s,
+                         lag(sign(s)) over (
+                           partition by asset_id order by i
+                         ) as prev
+                  from samples where s != 0)
+                group by 1),
+              stats as (
+                select asset_id,
+                       round(sum(s)::bigint / 256.0, 6) as mean_amp,
+                       round(sqrt(sum(s * s)::bigint / 256.0), 6) as rms,
+                       min(s)::double as min_amp,
+                       max(s)::double as max_amp
+                from samples group by 1)
+              select st.asset_id, u.dim, u.value
+              from stats st join zc on zc.asset_id = st.asset_id
+              cross join lateral (values
+                (0, 8000.0), (1, 256.0), (2, st.mean_amp), (3, st.rms),
+                (4, st.min_amp), (5, st.max_amp), (6, zc.n_zc::double)
+              ) as u(dim, value))
         """,
         "edge_agg": """
             with t as (

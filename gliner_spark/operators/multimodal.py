@@ -3,11 +3,13 @@
 The image/audio/video codec LIBRARIES are not installed in this container
 (and the reference has no multimodal path), so three decoder tiers exist:
 `decoder="fake"` produces deterministic hash-derived features with the
-real batch shape; `decoder="bmp"` is a REAL decode — a numpy parser for
-24-bit uncompressed BMP (header fields, bottom-up rows, 4-byte stride
-padding) with true pixel math in resize/features; `decoder="real"`
-raises NotImplementedError at the exact point where PIL/librosa/av would
-be called for the formats that genuinely need codec libraries.
+real batch shape; `decoder="bmp"` and `decoder="wav"` are REAL decodes —
+numpy parsers for 24-bit uncompressed BMP (header fields, bottom-up
+rows, 4-byte stride padding) and RIFF/WAVE PCM-16 (chunk walk, int16
+samples) with true pixel/sample math in resize/resample/features;
+`decoder="real"` raises NotImplementedError at the exact point where
+PIL/librosa/av would be called for the formats that genuinely need codec
+libraries.
 Everything AROUND the decode — schema, Arrow batch plumbing, mapInPandas
 iterator signature, partition behavior, feature schema — is shared by
 all tiers, so swapping in a library decoder on a cluster with the libs
@@ -204,6 +206,222 @@ def synth_bmp_assets(
             )
 
     return spark.range(n).mapInPandas(gen, ASSET_SCHEMA)
+
+
+# --------------------------------------------------------------- WAV codec
+# numpy-only RIFF/WAVE PCM-16: the audio analog of the BMP path — a real
+# container parse (chunk walk, fmt validation, int16 samples) with no
+# codec library, closing the audio decode tier the same way BMP closed
+# images. Compressed formats (mp3/ogg/aac) keep the NotImplementedError
+# marker at the librosa/av integration point.
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """(n,) or (n, ch) int16 PCM → RIFF/WAVE bytes (fmt chunk: PCM,
+    16-bit, interleaved channels; data chunk: little-endian samples)."""
+    import struct
+
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    data = s.reshape(-1).tobytes()
+    byte_rate = sample_rate * ch * 2
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, ch, sample_rate, byte_rate, ch * 2, 16
+    )
+    hdr = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + 8 + len(data), b"WAVE")
+    return hdr + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+
+def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE bytes → ((n, ch) int16 samples, sample_rate). Walks the
+    chunk list (fmt may be followed by LIST/fact chunks before data);
+    rejects non-PCM / non-16-bit loudly."""
+    import struct
+
+    buf = bytes(buf)
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(buf):
+        cid, size = struct.unpack_from("<4sI", buf, pos)
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, ch, sample_rate, _br, _ba, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(
+            f"only PCM-16 WAV supported (format={audio_format}, bits={bits})"
+        )
+    s = np.frombuffer(data, dtype="<i2")
+    n = s.size // ch
+    return s[: n * ch].reshape(n, ch), sample_rate
+
+
+def resample_pcm(samples: np.ndarray, n_out: int) -> np.ndarray:
+    """Nearest-sample resample by index arithmetic (the 1-D analog of
+    nn_resize: src_index = floor(dst_index · n/n_out))."""
+    n = samples.shape[0]
+    idx = (np.arange(n_out) * n) // n_out
+    return samples[idx]
+
+
+def synth_wav_sample(asset_id: int, i: int, seed: int = 42) -> int:
+    """Sample i of asset `asset_id`: arithmetic LCG-style mix into the
+    int16 range — same cross-engine-recomputable design as
+    synth_asset_byte, so a DuckDB oracle can regenerate the exact
+    waveform and the REAL decode path is value-checkable."""
+    a, b, c = 2654435761, 40503, seed * 97 + 13
+    return ((a * asset_id + b * i + c) % 65536) - 32768
+
+
+def synth_wav_assets(
+    spark: SparkSession, n: int, n_samples: int = 256,
+    sample_rate: int = 8000, seed: int = 42,
+) -> DataFrame:
+    """n real PCM-16 WAV assets (kind='audio') — payloads are genuine
+    RIFF files the decode path must actually parse; waveforms come from
+    the arithmetic generator above."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        a, b, c = 2654435761, 40503, seed * 97 + 13
+        i = np.arange(n_samples, dtype=np.int64)
+        for pdf in batches:
+            ids = pdf["id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "kind": ["audio"] * len(ids),
+                    "data": [
+                        encode_wav(
+                            (((a * aid + b * i + c) % 65536) - 32768).astype(
+                                np.int16
+                            ),
+                            sample_rate,
+                        )
+                        for aid in ids
+                    ],
+                    "meta": [
+                        {
+                            "codec": "wav",
+                            "sr": str(sample_rate),
+                            "n": str(n_samples),
+                        }
+                    ]
+                    * len(ids),
+                }
+            )
+
+    return spark.range(n).mapInPandas(gen, ASSET_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("mean_amp", T.DoubleType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+        T.StructField("min_amp", T.IntegerType(), False),
+        T.StructField("max_amp", T.IntegerType(), False),
+        T.StructField("n_zero_cross", T.IntegerType(), False),
+    ]
+)
+
+
+def audio_stats(assets: DataFrame, decoder: str = "wav") -> DataFrame:
+    """audio assets → per-asset waveform statistics through the REAL WAV
+    parse (mono mix when multichannel): mean, RMS, min/max, strict
+    sign-change zero crossings. Every value is exact integer arithmetic
+    until the final division/sqrt, so a SQL oracle regenerating the
+    arithmetic waveform matches to float64."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if decoder == "real":
+            raise NotImplementedError(
+                "compressed-audio decoders (librosa/av) are not installed "
+                "in this container; use decoder='wav'"
+            )
+        for pdf in batches:
+            auds = pdf[pdf["kind"] == "audio"]
+            if auds.empty:
+                continue
+            out = {k: [] for k in AUDIO_STATS_SCHEMA.names}
+            for aid, buf in zip(auds["asset_id"], auds["data"]):
+                s, sr = decode_wav(buf)
+                mono = s[:, 0].astype(np.int64) if s.shape[1] == 1 else (
+                    s.astype(np.int64).sum(axis=1) // s.shape[1]
+                )
+                n = mono.size
+                sgn = np.sign(mono)
+                nz = sgn != 0
+                zc = int(np.count_nonzero(np.diff(sgn[nz]) != 0))
+                out["asset_id"].append(int(aid))
+                out["sample_rate"].append(int(sr))
+                out["n_samples"].append(n)
+                out["mean_amp"].append(float(mono.sum()) / max(n, 1))
+                out["rms"].append(
+                    float(np.sqrt(float((mono * mono).sum()) / max(n, 1)))
+                )
+                out["min_amp"].append(int(mono.min()) if n else 0)
+                out["max_amp"].append(int(mono.max()) if n else 0)
+                out["n_zero_cross"].append(zc)
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "kind", "data").mapInPandas(
+        run, AUDIO_STATS_SCHEMA
+    )
+
+
+RESAMPLED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("data", T.BinaryType(), False),
+    ]
+)
+
+
+def resample_audio(
+    assets: DataFrame, target_rate: int, decoder: str = "wav"
+) -> DataFrame:
+    """Audio resample as a mapInPandas stage: REAL parse → index-
+    arithmetic nearest-sample resample → re-encode at target_rate (the
+    audio analog of resize_images' decoder='bmp' tier)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if decoder == "real":
+            raise NotImplementedError(
+                "compressed-audio decoders (librosa/av) are not installed "
+                "in this container; use decoder='wav'"
+            )
+        for pdf in batches:
+            auds = pdf[pdf["kind"] == "audio"]
+            if auds.empty:
+                continue
+            out = {k: [] for k in RESAMPLED_SCHEMA.names}
+            for aid, buf in zip(auds["asset_id"], auds["data"]):
+                s, sr = decode_wav(buf)
+                n_out = max(int(round(s.shape[0] * target_rate / sr)), 1)
+                rs = resample_pcm(s, n_out)
+                out["asset_id"].append(int(aid))
+                out["sample_rate"].append(target_rate)
+                out["n_samples"].append(n_out)
+                out["data"].append(encode_wav(rs, target_rate))
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "kind", "data").mapInPandas(
+        run, RESAMPLED_SCHEMA
+    )
 
 
 def _fake_decode(data: pd.Series, kind: pd.Series) -> np.ndarray:

@@ -378,6 +378,101 @@ def test_bmp_nn_resize_known_values():
     assert np.array_equal(down, px)
 
 
+def test_wav_codec_roundtrip():
+    """encode_wav → decode_wav is the identity on int16 sample arrays,
+    mono and stereo; non-PCM and non-RIFF payloads are rejected loudly."""
+    import numpy as np
+
+    from gliner_spark.operators.multimodal import decode_wav, encode_wav
+
+    rng = np.random.RandomState(11)
+    for n, ch, sr in [(256, 1, 8000), (100, 2, 44100), (1, 1, 16000)]:
+        s = rng.randint(-32768, 32768, size=(n, ch)).astype(np.int16)
+        buf = encode_wav(s, sr)
+        assert buf[:4] == b"RIFF" and buf[8:12] == b"WAVE"
+        out, out_sr = decode_wav(buf)
+        assert out_sr == sr
+        assert np.array_equal(out, s)
+    # mono 1-D input round-trips as (n, 1)
+    mono = rng.randint(-100, 100, size=64).astype(np.int16)
+    out, _ = decode_wav(encode_wav(mono, 8000))
+    assert np.array_equal(out[:, 0], mono)
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"ID3\x03----------------")
+    # 8-bit PCM is a valid RIFF this codec must refuse, not mis-parse
+    import struct
+
+    fmt8 = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 8000, 8000, 1, 8)
+    bad = (
+        struct.pack("<4sI4s", b"RIFF", 4 + len(fmt8) + 12, b"WAVE")
+        + fmt8
+        + struct.pack("<4sI", b"data", 4)
+        + b"\x01\x02\x03\x04"
+    )
+    with pytest.raises(ValueError, match="PCM-16"):
+        decode_wav(bad)
+
+
+def test_wav_resample_known_values():
+    """Index-arithmetic nearest-sample semantics pinned: 4 → 8 duplicates
+    each sample; 8 → 4 inverts it (floor(dst·n/n_out) pairs)."""
+    import numpy as np
+
+    from gliner_spark.operators.multimodal import resample_pcm
+
+    s = np.array([[10], [20], [30], [40]], dtype=np.int16)
+    up = resample_pcm(s, 8)
+    assert np.array_equal(up[:, 0], [10, 10, 20, 20, 30, 30, 40, 40])
+    assert np.array_equal(resample_pcm(up, 4), s)
+
+
+def test_multimodal_wav_real_decode_e2e(spark):
+    """The audio 'real decode' tier end-to-end on Spark: genuine WAV
+    payloads parsed, resampled, re-encoded inside mapInPandas; output
+    bytes equal the pure-numpy computation per asset, and audio_stats
+    matches the analytic waveform."""
+    import numpy as np
+
+    from gliner_spark.operators.multimodal import (
+        audio_stats,
+        decode_wav,
+        encode_wav,
+        resample_audio,
+        resample_pcm,
+        synth_wav_assets,
+        synth_wav_sample,
+    )
+
+    assets = synth_wav_assets(spark, 20, n_samples=256, sample_rate=8000)
+    out = {
+        r.asset_id: (bytes(r.data), r.sample_rate, r.n_samples)
+        for r in resample_audio(assets, target_rate=4000).collect()
+    }
+    assert len(out) == 20
+    for aid in (0, 7, 19):
+        wave = np.array(
+            [synth_wav_sample(aid, i) for i in range(256)], dtype=np.int16
+        )[:, None]
+        expected = encode_wav(resample_pcm(wave, 128), 4000)
+        buf, sr, n = out[aid]
+        assert (sr, n) == (4000, 128)
+        assert buf == expected
+        dec, dsr = decode_wav(buf)
+        assert dsr == 4000 and dec.shape == (128, 1)
+    stats = {r.asset_id: r for r in audio_stats(assets).collect()}
+    wave = np.array(
+        [synth_wav_sample(5, i) for i in range(256)], dtype=np.int64
+    )
+    r5 = stats[5]
+    assert r5.sample_rate == 8000 and r5.n_samples == 256
+    assert abs(r5.mean_amp - wave.sum() / 256) < 1e-9
+    assert abs(r5.rms - np.sqrt((wave * wave).sum() / 256)) < 1e-9
+    assert r5.min_amp == wave.min() and r5.max_amp == wave.max()
+    sgn = np.sign(wave)
+    nz = sgn[sgn != 0]
+    assert r5.n_zero_cross == int(np.count_nonzero(np.diff(nz) != 0))
+
+
 def test_multimodal_bmp_real_decode_e2e(spark):
     """The 'real decode' tier end-to-end on Spark: genuine BMP payloads
     parsed, resampled and re-encoded inside mapInPandas; output pixels
