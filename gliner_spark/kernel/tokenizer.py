@@ -61,11 +61,15 @@ def _universal_splitter(text: str) -> Iterator[tuple[str, int, int]]:
 
 def _library_gated(name: str, module: str) -> Callable[[], Splitter]:
     def factory() -> Splitter:
+        # message leads with the reference's exact convention
+        # ("Please install X with: `pip install X`" —
+        # gliner/data_processing/tokenizer.py:27,42,59,75) so call sites
+        # matching on it port unchanged; the trailing sentence is this
+        # engine's added guidance
         raise ModuleNotFoundError(
-            f"splitter '{name}' needs the '{module}' package, which is not "
-            f"installed in this environment; use 'whitespace', 'cjk' or "
-            f"'universal' (reference registry: "
-            f"gliner/data_processing/tokenizer.py:269-296)"
+            f"Please install {module} with: `pip install {module}` "
+            f"(splitter '{name}'); in this environment use 'whitespace', "
+            f"'cjk' or 'universal', or register_splitter() a custom one"
         )
 
     return factory

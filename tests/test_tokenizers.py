@@ -67,9 +67,24 @@ def test_universal_dispatches_per_text():
 
 
 def test_library_gated_splitters_raise_module_not_found():
-    for name in ["jieba", "mecab", "janome", "hanlp", "camel", "hindi"]:
-        with pytest.raises(ModuleNotFoundError, match=name):
+    """Every library-backed registry name fails exactly like the
+    reference when its library is absent: ModuleNotFoundError whose
+    message leads with the reference's convention
+    'Please install <pkg> with: `pip install <pkg>`'
+    (gliner/data_processing/tokenizer.py:27,42,59,75,92,109,129)."""
+    pkg = {
+        "spacy": "spacy", "jieba": "jieba", "hanlp": "hanlp",
+        "mecab": "python-mecab-ko", "janome": "janome",
+        "camel": "camel-tools", "hindi": "indic-nlp-library",
+        "stanza": "stanza",
+    }
+    for name, module in pkg.items():
+        with pytest.raises(ModuleNotFoundError) as ei:
             get_splitter(name)
+        msg = str(ei.value)
+        assert msg.startswith(
+            f"Please install {module} with: `pip install {module}`"
+        ), msg
 
 
 def test_unknown_splitter_rejected():
