@@ -870,11 +870,23 @@ def _q_multimodal_features(spark, sf_dir):
     (multimodal.decode_wav) over genuine WAV payloads whose samples come
     from the same style of arithmetic generator (synth_wav_sample), so
     the actual byte-level container parse is value-checked: any header/
-    stride/endianness mistake shifts every statistic."""
+    stride/endianness mistake shifts every statistic.
+
+    r4b: and kind='image_bmp' / 'image_png' rows — per-asset pixel
+    statistics through BOTH real image container parses
+    (multimodal.image_stats over decode_bmp / decode_png). The two
+    synthesizers encode the SAME _synth_pixels pattern, so one arithmetic
+    DuckDB oracle value-checks the BMP stride/bottom-up walk AND the PNG
+    CRC/inflate/unfilter pipeline (the PNG encoder cycles all five
+    scanline filter types, so every unfilter branch is on the checked
+    path)."""
     from gliner_spark.operators.multimodal import (
         audio_stats,
         extract_features,
+        image_stats,
         synth_assets,
+        synth_bmp_assets,
+        synth_png_assets,
         synth_wav_assets,
     )
 
@@ -910,7 +922,34 @@ def _q_multimodal_features(spark, sf_dir):
             )
         ).alias("dim", "value"),
     )
-    return img.unionByName(wav_long)
+    out = img.unionByName(wav_long)
+    for kind_name, synth, dec in (
+        ("image_bmp", synth_bmp_assets, "bmp"),
+        ("image_png", synth_png_assets, "png"),
+    ):
+        st = image_stats(synth(spark, 50, width=8, height=6), decoder=dec)
+        out = out.unionByName(
+            st.select(
+                "asset_id",
+                F.lit(kind_name).alias("kind"),
+                (F.lit(3) * F.col("width") * F.col("height"))
+                .cast("int")
+                .alias("n_bytes"),
+                F.posexplode(
+                    F.array(
+                        F.col("width").cast("double"),
+                        F.col("height").cast("double"),
+                        F.col("sum_r").cast("double"),
+                        F.col("sum_g").cast("double"),
+                        F.col("sum_b").cast("double"),
+                        F.round("mean_rgb", 6),
+                        F.col("min_rgb").cast("double"),
+                        F.col("max_rgb").cast("double"),
+                    )
+                ).alias("dim", "value"),
+            )
+        )
+    return out
 
 
 def _synth_mentions(spark, sf_dir):
@@ -1080,11 +1119,17 @@ def _q_multimodal_resize(spark, sf_dir):
     RIFF codec, nearest-sample resampled 8 kHz → 4 kHz, re-encoded
     (decode_wav/resample_pcm). Emits digests of the output payloads;
     pixel/sample correctness is pinned in test_corpus_ops (round-trip +
-    known-resample tests)."""
+    known-resample tests).
+
+    r4b: plus an 'image_png' tier — the same resize through the PNG
+    codec (CRC-verified chunk walk, zlib inflate, five-filter unfilter,
+    re-encode); PNG-decoded pixels equal BMP-decoded pixels by
+    construction, which test_corpus_ops pins directly."""
     from gliner_spark.operators.multimodal import (
         resample_audio,
         resize_images,
         synth_bmp_assets,
+        synth_png_assets,
         synth_wav_assets,
     )
 
@@ -1102,6 +1147,19 @@ def _q_multimodal_resize(spark, sf_dir):
         F.col("height").alias("out_b"),
         F.md5("data").alias("payload_md5"),
     )
+    png = resize_images(
+        synth_png_assets(spark, 200, width=8, height=6),
+        width=16,
+        height=12,
+        decoder="png",
+    ).select(
+        F.lit("image_png").alias("tier"),
+        "asset_id",
+        F.col("width").alias("out_a"),
+        F.col("height").alias("out_b"),
+        F.md5("data").alias("payload_md5"),
+    )
+    img = img.unionByName(png)
     # audio tier (r4): REAL RIFF parse → index-arithmetic resample →
     # re-encode; sample math pinned in test_corpus_ops, digest here
     rs = resample_audio(
@@ -2041,6 +2099,44 @@ def oracle_sql() -> dict[str, str]:
               cross join lateral (values
                 (0, 8000.0), (1, 256.0), (2, st.mean_amp), (3, st.rms),
                 (4, st.min_amp), (5, st.max_amp), (6, zc.n_zc::double)
+              ) as u(dim, value))
+            union all
+            -- image_bmp / image_png tiers: regenerate the _synth_pixels
+            -- pattern analytically. Both synthesizers encode the SAME
+            -- pixels, so this one arithmetic oracle value-checks the BMP
+            -- stride/bottom-up parse AND the PNG CRC/inflate/unfilter
+            -- pipeline; sums cast ::bigint (DuckDB sum() is HUGEINT)
+            select asset_id, kind, 144 as n_bytes, dim, value
+            from (
+              with iassets as (select range as asset_id from range(50)),
+              px as (
+                select asset_id,
+                       ((2654435761 * asset_id + 4074) % 256
+                        + 17 * x + 29 * y) % 256 as r,
+                       ((2654435761 * asset_id + 4074) % 256
+                        + 31 * x + 7 * y + 101) % 256 as g,
+                       ((2654435761 * asset_id + 4074) % 256
+                        + 5 * x + 53 * y + 191) % 256 as b
+                from iassets,
+                     unnest(generate_series(0, 7)) as ux(x),
+                     unnest(generate_series(0, 5)) as uy(y)),
+              istats as (
+                select asset_id,
+                       sum(r)::bigint as sum_r,
+                       sum(g)::bigint as sum_g,
+                       sum(b)::bigint as sum_b,
+                       min(r + g + b)::double as min_rgb,
+                       max(r + g + b)::double as max_rgb
+                from px group by 1)
+              select s.asset_id, k.kind, u.dim, u.value
+              from istats s
+              cross join (values ('image_bmp'), ('image_png')) as k(kind)
+              cross join lateral (values
+                (0, 8.0), (1, 6.0),
+                (2, s.sum_r::double), (3, s.sum_g::double),
+                (4, s.sum_b::double),
+                (5, round((s.sum_r + s.sum_g + s.sum_b) / 144.0, 6)),
+                (6, s.min_rgb), (7, s.max_rgb)
               ) as u(dim, value))
         """,
         "edge_agg": """

@@ -3,13 +3,14 @@
 The image/audio/video codec LIBRARIES are not installed in this container
 (and the reference has no multimodal path), so three decoder tiers exist:
 `decoder="fake"` produces deterministic hash-derived features with the
-real batch shape; `decoder="bmp"` and `decoder="wav"` are REAL decodes —
-numpy parsers for 24-bit uncompressed BMP (header fields, bottom-up
-rows, 4-byte stride padding) and RIFF/WAVE PCM-16 (chunk walk, int16
-samples) with true pixel/sample math in resize/resample/features;
-`decoder="real"` raises NotImplementedError at the exact point where
-PIL/librosa/av would be called for the formats that genuinely need codec
-libraries.
+real batch shape; `decoder="bmp"`, `decoder="png"` and `decoder="wav"`
+are REAL decodes — numpy parsers for 24-bit uncompressed BMP (header
+fields, bottom-up rows, 4-byte stride padding), 8-bit truecolor PNG
+(chunk walk + CRC-32, stdlib-zlib inflate, all five scanline filters)
+and RIFF/WAVE PCM-16 (chunk walk, int16 samples) with true pixel/sample
+math in resize/resample/features; `decoder="real"` raises
+NotImplementedError at the exact point where PIL/librosa/av would be
+called for the formats that genuinely need codec libraries.
 Everything AROUND the decode — schema, Arrow batch plumbing, mapInPandas
 iterator signature, partition behavior, feature schema — is shared by
 all tiers, so swapping in a library decoder on a cluster with the libs
@@ -323,6 +324,256 @@ def synth_wav_assets(
     return spark.range(n).mapInPandas(gen, ASSET_SCHEMA)
 
 
+# --------------------------------------------------------------- PNG codec
+# stdlib-zlib + numpy PNG (8-bit truecolor, color type 2): unlike BMP,
+# PNG is a COMPRESSED container, so this path exercises a real
+# inflate-then-unfilter pipeline — chunk walk with CRC-32 verification,
+# zlib decompress, and all FIVE scanline filter types (None/Sub/Up/
+# Average/Paeth, PNG spec §6) — with nothing beyond the standard
+# library. The encoder deliberately cycles the filter type per row
+# ("mixed") so every round-trip drives every unfilter branch.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """PNG Paeth predictor (spec §6.6), elementwise over channel vectors:
+    pick whichever of left/up/up-left is closest to a+b-c, ties in
+    left→up→up-left order."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def _png_filter_row(row: np.ndarray, prev: np.ndarray, ft: int) -> np.ndarray:
+    """Filter one RECONSTRUCTED scanline (w, 3) against the previous
+    reconstructed row → filtered bytes (flat, mod 256). Encoding is fully
+    vectorized: left/up/up-left are known reconstructed values."""
+    left = np.zeros_like(row)
+    left[1:] = row[:-1]
+    if ft == 0:
+        out = row
+    elif ft == 1:  # Sub
+        out = row - left
+    elif ft == 2:  # Up
+        out = row - prev
+    elif ft == 3:  # Average
+        out = row - (left + prev) // 2
+    elif ft == 4:  # Paeth
+        upleft = np.zeros_like(prev)
+        upleft[1:] = prev[:-1]
+        out = row - _paeth(left, prev, upleft)
+    else:
+        raise ValueError(f"bad PNG filter type {ft}")
+    return (out % 256).reshape(-1)
+
+
+def _png_unfilter_row(filt: np.ndarray, prev: np.ndarray, ft: int) -> np.ndarray:
+    """Invert one scanline filter: filtered (w, 3) ints + previous
+    reconstructed row → reconstructed row. Sub is an exact per-channel
+    cumulative sum mod 256 (recon[x] = filt[x] + recon[x-1]); Average and
+    Paeth carry a true left-pixel recurrence, walked per pixel."""
+    if ft == 0:
+        return filt % 256
+    if ft == 2:  # Up
+        return (filt + prev) % 256
+    if ft == 1:  # Sub
+        return np.cumsum(filt, axis=0) % 256
+    w = filt.shape[0]
+    out = np.zeros_like(filt)
+    zero = np.zeros(filt.shape[1], dtype=filt.dtype)
+    for x in range(w):
+        left = out[x - 1] if x else zero
+        if ft == 3:  # Average
+            out[x] = (filt[x] + (left + prev[x]) // 2) % 256
+        elif ft == 4:  # Paeth
+            upleft = prev[x - 1] if x else zero
+            out[x] = (filt[x] + _paeth(left, prev[x], upleft)) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+    return out
+
+
+def encode_png(px: np.ndarray, filter_mode: str = "mixed") -> bytes:
+    """(h, w, 3) uint8 RGB → PNG bytes (8-bit truecolor, non-interlaced,
+    one zlib-compressed IDAT). filter_mode="mixed" cycles the scanline
+    filter (row % 5) so decoding the payload exercises all five PNG
+    filters; "none" writes filter 0 everywhere."""
+    import struct
+    import zlib
+
+    h, w, _ = px.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = px.astype(np.int64)
+    prev = np.zeros((w, 3), dtype=np.int64)
+    lines = []
+    for y in range(h):
+        ft = (y % 5) if filter_mode == "mixed" else 0
+        lines.append(
+            bytes([ft])
+            + _png_filter_row(raw[y], prev, ft).astype(np.uint8).tobytes()
+        )
+        prev = raw[y]
+    idat = zlib.compress(b"".join(lines), 9)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, 3) uint8 RGB. Real container parse: signature,
+    chunk walk with CRC-32 verification, multi-IDAT concatenation, zlib
+    inflate, per-scanline unfiltering (all five filter types). Rejects
+    non-8-bit / non-truecolor / interlaced images loudly."""
+    import struct
+    import zlib
+
+    buf = bytes(buf)
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos = 8
+    ihdr = None
+    idat = []
+    while pos + 12 <= len(buf):
+        ln, ctype = struct.unpack_from(">I4s", buf, pos)
+        body = buf[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", buf, pos + 8 + ln)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError(
+            "only 8-bit truecolor non-interlaced PNG supported "
+            f"(depth={depth}, color_type={color}, interlace={interlace})"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (1 + w * 3):
+        raise ValueError(
+            f"decompressed stream is {len(raw)} bytes, "
+            f"expected {h * (1 + w * 3)}"
+        )
+    stream = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + w * 3)
+    out = np.zeros((h, w, 3), dtype=np.int64)
+    prev = np.zeros((w, 3), dtype=np.int64)
+    for y in range(h):
+        prev = _png_unfilter_row(
+            stream[y, 1:].reshape(w, 3).astype(np.int64), prev, int(stream[y, 0])
+        )
+        out[y] = prev
+    return out.astype(np.uint8)
+
+
+def synth_png_assets(
+    spark: SparkSession, n: int, width: int = 8, height: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """n real PNG image assets (kind='image') — the SAME deterministic
+    pixel pattern as synth_bmp_assets (_synth_pixels), so BMP and PNG
+    decodes of the same asset_id must agree pixel-for-pixel and one
+    arithmetic oracle checks both containers."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "kind": ["image"] * len(ids),
+                    "data": [
+                        encode_png(_synth_pixels(i, width, height, seed))
+                        for i in ids
+                    ],
+                    "meta": [
+                        {"codec": "png", "w": str(width), "h": str(height)}
+                    ]
+                    * len(ids),
+                }
+            )
+
+    return spark.range(n).mapInPandas(gen, ASSET_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("sum_r", T.LongType(), False),
+        T.StructField("sum_g", T.LongType(), False),
+        T.StructField("sum_b", T.LongType(), False),
+        T.StructField("mean_rgb", T.DoubleType(), False),
+        T.StructField("min_rgb", T.IntegerType(), False),
+        T.StructField("max_rgb", T.IntegerType(), False),
+    ]
+)
+
+_IMAGE_DECODERS = {"bmp": decode_bmp, "png": decode_png}
+
+
+def image_stats(assets: DataFrame, decoder: str = "bmp") -> DataFrame:
+    """image assets → per-asset pixel statistics through a REAL container
+    parse (BMP or PNG — the image analog of audio_stats). Every value is
+    exact integer arithmetic until the single mean division, so a SQL
+    oracle regenerating the pixel pattern matches to float64: any
+    header/filter/stride/CRC mistake shifts every sum."""
+    if decoder == "real":
+        raise NotImplementedError(
+            "compressed-image decoders (PIL/av) are not installed in this "
+            "container; use decoder='bmp' or 'png'"
+        )
+    decode = _IMAGE_DECODERS[decoder]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            imgs = pdf[pdf["kind"] == "image"]
+            if imgs.empty:
+                continue
+            out = {k: [] for k in IMAGE_STATS_SCHEMA.names}
+            for aid, buf in zip(imgs["asset_id"], imgs["data"]):
+                px = decode(buf).astype(np.int64)
+                h, w, _ = px.shape
+                sums = px.reshape(-1, 3).sum(axis=0)
+                srgb = px.sum(axis=-1)  # per-pixel r+g+b, exact ints
+                out["asset_id"].append(int(aid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_r"].append(int(sums[0]))
+                out["sum_g"].append(int(sums[1]))
+                out["sum_b"].append(int(sums[2]))
+                out["mean_rgb"].append(float(sums.sum()) / (3 * h * w))
+                out["min_rgb"].append(int(srgb.min()))
+                out["max_rgb"].append(int(srgb.max()))
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "kind", "data").mapInPandas(
+        run, IMAGE_STATS_SCHEMA
+    )
+
+
 AUDIO_STATS_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType(), False),
@@ -435,12 +686,13 @@ def _fake_decode(data: pd.Series, kind: pd.Series) -> np.ndarray:
     return out
 
 
-def _bmp_features(data: pd.Series) -> np.ndarray:
-    """True decoded-pixel features per BMP payload: [w, h, per-channel
-    means (3), per-channel stds (3), 8-bin gray histogram] = 16 dims."""
+def _image_features(data: pd.Series, decode) -> np.ndarray:
+    """True decoded-pixel features per image payload: [w, h, per-channel
+    means (3), per-channel stds (3), 8-bin gray histogram] = 16 dims.
+    `decode` is decode_bmp or decode_png — identical math either way."""
     out = np.zeros((len(data), _FEATURE_DIM), dtype=np.float32)
     for i, buf in enumerate(data):
-        px = decode_bmp(buf).astype(np.float32)
+        px = decode(buf).astype(np.float32)
         h, w, _ = px.shape
         gray = px.mean(axis=-1)
         hist = np.histogram(gray, bins=8, range=(0.0, 256.0))[0]
@@ -457,9 +709,9 @@ def extract_features(
 ) -> DataFrame:
     """assets → (asset_id, kind, n_bytes, feature[16]) via mapInPandas.
 
-    decoder="bmp" actually parses the payload (numpy BMP codec above) and
-    computes pixel statistics; decoder="real" marks the integration point
-    for PIL/librosa/av — intentionally NotImplemented in this
+    decoder="bmp"/"png" actually parse the payload (numpy codecs above)
+    and compute pixel statistics; decoder="real" marks the integration
+    point for PIL/librosa/av — intentionally NotImplemented in this
     environment."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -467,10 +719,10 @@ def extract_features(
             if decoder == "real":
                 raise NotImplementedError(
                     "real decoders (PIL/librosa/av) are not installed in "
-                    "this container; use decoder='fake' or 'bmp'"
+                    "this container; use decoder='fake', 'bmp' or 'png'"
                 )
-            if decoder == "bmp":
-                feats = _bmp_features(pdf["data"])
+            if decoder in _IMAGE_DECODERS:
+                feats = _image_features(pdf["data"], _IMAGE_DECODERS[decoder])
             else:
                 feats = _fake_decode(pdf["data"], pdf["kind"])
             yield pd.DataFrame(
@@ -503,31 +755,36 @@ def resize_images(
 ) -> DataFrame:
     """Image resize as a mapInPandas stage.
 
-    decoder="bmp": REAL resize — parse the BMP payload, nearest-neighbor
-    resample the pixel grid, re-encode as BMP of the target size (true
-    pixel math, numpy codec above). decoder="fake" emits a deterministic
-    payload of the TARGET size (hash-expanded bytes) so downstream
-    batch-shape/memory behavior — the Spark-side contract — is exercised
-    with production-shaped data even for formats whose codecs are absent.
-    decoder="real" is the PIL.Image.resize integration point
-    (NotImplemented here)."""
+    decoder="bmp"/"png": REAL resize — parse the payload, nearest-
+    neighbor resample the pixel grid, re-encode in the same container at
+    the target size (true pixel math, numpy codecs above). decoder="fake"
+    emits a deterministic payload of the TARGET size (hash-expanded
+    bytes) so downstream batch-shape/memory behavior — the Spark-side
+    contract — is exercised with production-shaped data even for formats
+    whose codecs are absent. decoder="real" is the PIL.Image.resize
+    integration point (NotImplemented here)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if decoder == "real":
             raise NotImplementedError(
                 "PIL is not installed in this container; use "
-                "decoder='fake' or 'bmp'"
+                "decoder='fake', 'bmp' or 'png'"
             )
         n_bytes = width * height
+        encode = {"bmp": encode_bmp, "png": encode_png}.get(decoder)
         for pdf in batches:
             imgs = pdf[pdf["kind"] == "image"]
             if imgs.empty:
                 continue
             out_payloads = []
             for buf in imgs["data"]:
-                if decoder == "bmp":
+                if decoder in _IMAGE_DECODERS:
                     out_payloads.append(
-                        encode_bmp(nn_resize(decode_bmp(buf), width, height))
+                        encode(
+                            nn_resize(
+                                _IMAGE_DECODERS[decoder](buf), width, height
+                            )
+                        )
                     )
                 else:
                     seed = np.frombuffer(

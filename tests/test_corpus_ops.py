@@ -512,6 +512,139 @@ def test_multimodal_bmp_real_decode_e2e(spark):
     assert abs(f0[2] - px.reshape(-1, 3).mean(axis=0)[0]) < 1e-3
 
 
+def test_png_codec_roundtrip():
+    """encode_png → decode_png is the identity on pixel arrays under both
+    filter modes; bad signature, corrupted CRC, and unsupported color
+    types are rejected loudly (a real parser, not a happy-path one)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from gliner_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(19)
+    for w, h in [(8, 6), (1, 1), (23, 17), (1, 9), (9, 1)]:
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for mode in ("mixed", "none"):
+            buf = encode_png(px, filter_mode=mode)
+            assert buf[:8] == _PNG_SIG
+            assert np.array_equal(decode_png(buf), px)
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"BM" + b"\x00" * 20)
+    good = bytearray(encode_png(rng.randint(0, 256, (4, 4, 3), dtype=np.uint8)))
+    good[40] ^= 0xFF  # flip a byte inside IDAT
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(good))
+    # grayscale (color type 0) is a valid PNG this codec must refuse
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    idat = zlib.compress(b"\x00\x01\x02" * 2)
+    gray = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="truecolor"):
+        decode_png(gray)
+
+
+def test_png_mixed_filters_cover_all_five():
+    """The 'mixed' encoder genuinely writes all five scanline filter
+    types (so every unfilter branch — None/Sub/Up/Average/Paeth — sits on
+    the round-trip path), and PNG-decoded pixels equal BMP-decoded pixels
+    for the same synthetic asset."""
+    import zlib
+
+    import numpy as np
+
+    from gliner_spark.operators.multimodal import (
+        _synth_pixels,
+        decode_bmp,
+        decode_png,
+        encode_bmp,
+        encode_png,
+    )
+
+    px = _synth_pixels(13, 8, 6, 42)
+    buf = encode_png(px)
+    # pull the raw filtered stream back out of the single IDAT chunk
+    import struct
+
+    pos, idat = 8, b""
+    while pos + 12 <= len(buf):
+        ln, ctype = struct.unpack_from(">I4s", buf, pos)
+        if ctype == b"IDAT":
+            idat += buf[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    ftypes = {raw[y * (1 + 8 * 3)] for y in range(6)}
+    assert ftypes == {0, 1, 2, 3, 4}
+    assert np.array_equal(decode_png(buf), px)
+    assert np.array_equal(
+        decode_png(encode_png(px)), decode_bmp(encode_bmp(px))
+    )
+
+
+def test_multimodal_png_real_decode_e2e(spark):
+    """The PNG 'real decode' tier end-to-end on Spark: genuine PNG
+    payloads parsed (CRC walk + inflate + unfilter) inside mapInPandas;
+    resized outputs equal the pure-numpy computation, and image_stats
+    over PNG assets equals image_stats over BMP assets (same pixels, two
+    containers) and the direct numpy statistics."""
+    import numpy as np
+
+    from gliner_spark.operators.multimodal import (
+        _synth_pixels,
+        decode_png,
+        encode_png,
+        image_stats,
+        nn_resize,
+        resize_images,
+        synth_bmp_assets,
+        synth_png_assets,
+    )
+
+    assets = synth_png_assets(spark, 30, width=8, height=6)
+    out = {
+        r.asset_id: bytes(r.data)
+        for r in resize_images(assets, 16, 12, decoder="png").collect()
+    }
+    assert len(out) == 30
+    for aid in (0, 11, 29):
+        expected = encode_png(nn_resize(_synth_pixels(aid, 8, 6, 42), 16, 12))
+        assert out[aid] == expected
+        assert decode_png(out[aid]).shape == (12, 16, 3)
+    png_stats = {
+        r.asset_id: r
+        for r in image_stats(assets, decoder="png").collect()
+    }
+    bmp_stats = {
+        r.asset_id: r
+        for r in image_stats(
+            synth_bmp_assets(spark, 30, width=8, height=6), decoder="bmp"
+        ).collect()
+    }
+    assert set(png_stats) == set(bmp_stats) == set(range(30))
+    for aid in range(30):
+        assert png_stats[aid] == bmp_stats[aid]
+    px = _synth_pixels(5, 8, 6, 42).astype(np.int64)
+    r5 = png_stats[5]
+    assert (r5.sum_r, r5.sum_g, r5.sum_b) == tuple(
+        int(s) for s in px.reshape(-1, 3).sum(axis=0)
+    )
+    assert r5.mean_rgb == float(px.sum()) / px.size
+    assert r5.min_rgb == int(px.sum(axis=-1).min())
+    assert r5.max_rgb == int(px.sum(axis=-1).max())
+    with pytest.raises(NotImplementedError):
+        image_stats(assets, decoder="real")
+
+
 def test_multimodal_resize_stub(spark):
     from gliner_spark.operators.multimodal import resize_images, synth_assets
 
