@@ -1249,6 +1249,114 @@ def _q_confidence_splits(spark, sf_dir):
     )
 
 
+def _q_curation_profile(spark, sf_dir):
+    """Umbrella rows-only query (registry pinned at 50 — COVERAGE.md):
+    corpus_summary ∪ confidence_splits, melted to one
+    (leg, key, metric, value) schema.
+
+    * leg='corpus_sketch' — the HLL++/GK sketch corpus profile
+      (rows-only by nature: sketch estimates are implementation-
+      specific; accuracy is pytest-pinned vs exact counts).
+    * leg='confidence' — k-fold assignment + gold-span confidence under
+      the token scorer (hash-scorer values; span-score math pytest-
+      pinned to the token decoder)."""
+    cs_long = (
+        _q_corpus_summary(spark, sf_dir)
+        .selectExpr(
+            "stack(7, "
+            "'n_docs', cast(n_docs as double), "
+            "'total_tokens', cast(total_tokens as double), "
+            "'approx_vocab', cast(approx_vocab as double), "
+            "'p50_tokens', cast(p50_tokens as double), "
+            "'p90_tokens', cast(p90_tokens as double), "
+            "'p99_tokens', cast(p99_tokens as double), "
+            "'avg_tokens', avg_tokens) as (metric, value)"
+        )
+        .select(
+            F.lit("corpus_sketch").alias("leg"),
+            F.lit("all").alias("key"),
+            "metric",
+            "value",
+        )
+    )
+    cf_long = (
+        _q_confidence_splits(spark, sf_dir)
+        .select(
+            F.concat_ws(":", "conv_id", "turn_idx").alias("key"),
+            "fold",
+            "n_spans",
+            "min_confidence",
+            "mean_confidence",
+        )
+        .selectExpr(
+            "key",
+            "stack(4, "
+            "'fold', cast(fold as double), "
+            "'n_spans', cast(n_spans as double), "
+            "'min_confidence', min_confidence, "
+            "'mean_confidence', mean_confidence) as (metric, value)",
+        )
+        .select(F.lit("confidence").alias("leg"), "key", "metric", "value")
+    )
+    return cs_long.unionByName(cf_long)
+
+
+def _q_sequence_pack(spark, sf_dir):
+    """LLM-pretraining sequence packing over documents (operators/
+    packing.py), all three surfaces in one oracle-checked query with a
+    single integer-typed long schema (leg, doc_id, shard, idx, a, b, c):
+
+    * leg='chunk' — chunk_pack, GPT-style concat-and-chunk (pure window
+      math, one shuffle on shard): idx=chunk_idx, a=tok_start,
+      b=tok_end, c=pos_in_chunk.
+    * leg='bin' — bin_pack, per-shard next-fit-decreasing inside
+      applyInPandas (sequential greedy fill, parallel across shards):
+      idx=bin_idx, a=pos_in_bin, b=n_tokens, c=oversize(0/1). The DuckDB
+      oracle replays the greedy fill with a RECURSIVE CTE over the
+      identical (n_tokens desc, doc_id) order — a genuinely sequential
+      algorithm value-checked cross-engine.
+    * leg='stats' — packing_stats per shard: idx=n_bins, a=n_docs,
+      b=total_tokens, c=round(fill_ratio·1e6) as bigint."""
+    from gliner_spark.operators.packing import (
+        bin_pack,
+        chunk_pack,
+        packing_stats,
+    )
+
+    docs = _docs(spark, sf_dir)
+    max_len, n_shards = 64, 8
+    ch = chunk_pack(docs, max_len=max_len, n_shards=n_shards)
+    chunk_leg = ch.select(
+        F.lit("chunk").alias("leg"),
+        "doc_id",
+        "shard",
+        F.col("chunk_idx").alias("idx"),
+        F.col("tok_start").alias("a"),
+        F.col("tok_end").alias("b"),
+        F.col("pos_in_chunk").alias("c"),
+    )
+    packed = bin_pack(docs, max_len=max_len, n_shards=n_shards)
+    bin_leg = packed.select(
+        F.lit("bin").alias("leg"),
+        "doc_id",
+        "shard",
+        F.col("bin_idx").alias("idx"),
+        F.col("pos_in_bin").alias("a"),
+        F.col("n_tokens").alias("b"),
+        F.col("oversize").cast("bigint").alias("c"),
+    )
+    stats_leg = packing_stats(packed, max_len=max_len).select(
+        F.lit("stats").alias("leg"),
+        F.lit(-1).cast("bigint").alias("doc_id"),
+        "shard",
+        F.col("n_bins").alias("idx"),
+        F.col("n_docs").cast("bigint").alias("a"),
+        F.col("total_tokens").alias("b"),
+        F.round(F.col("fill_ratio") * 1e6).cast("bigint").alias("c"),
+    )
+    return chunk_leg.unionByName(bin_leg).unionByName(stats_leg)
+
+
 def _q_turn_cooccur(spark, sf_dir):
     """W4 in the turn domain: co-occurring entity mentions within a
     2-turn window over documents-as-multi-turn conversations (each doc
@@ -1500,8 +1608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_kmeans": _q_ivf_kmeans,
         "multitask_docs": _q_multitask_docs,
         "kernel_surface_matrix": _q_kernel_surface_matrix,
-        "corpus_summary": _q_corpus_summary,
-        "confidence_splits": _q_confidence_splits,
+        "sequence_pack": _q_sequence_pack,
+        "curation_profile": _q_curation_profile,
         "multimodal_resize": _q_multimodal_resize,
     }
 
@@ -2138,6 +2246,69 @@ def oracle_sql() -> dict[str, str]:
                 (5, round((s.sum_r + s.sum_g + s.sum_b) / 144.0, 6)),
                 (6, s.min_rgb), (7, s.max_rgb)
               ) as u(dim, value))
+        """,
+        "sequence_pack": f"""
+            -- both packing shapes replayed exactly: chunk leg is the
+            -- same windowed-cumsum cut math; bin leg replays the
+            -- next-fit-decreasing greedy fill with a RECURSIVE CTE over
+            -- the identical (n_tokens desc, doc_id) order. Windowed
+            -- sums cast ::bigint (DuckDB HUGEINT under pandas).
+            with recursive d as (
+              select doc_id, doc_id % 8 as shard,
+                     len({_TOKS_SQL}) as n
+              from documents
+              where len({_TOKS_SQL}) > 0),
+            c as (
+              select doc_id, shard, n,
+                     sum(n) over (partition by shard order by doc_id
+                       rows between unbounded preceding and current row
+                     )::bigint as cum
+              from d),
+            chunk_leg as (
+              select 'chunk' as leg, doc_id, shard, u.chunk_idx as idx,
+                     greatest(u.chunk_idx * 64 - (cum - n), 0) as a,
+                     least(u.chunk_idx * 64 + 64 - (cum - n), n) as b,
+                     greatest((cum - n) - u.chunk_idx * 64, 0) as c
+              from c, unnest(generate_series(
+                       (cum - n) // 64, (cum - 1) // 64)) as u(chunk_idx)),
+            o as (
+              select doc_id, shard, n,
+                     row_number() over (
+                       partition by shard order by n desc, doc_id) as rn
+              from d),
+            rec as (
+              select shard, rn, doc_id, n,
+                     0::bigint as bin_idx, 0::bigint as pos,
+                     n::bigint as fill
+              from o where rn = 1
+              union all
+              select o.shard, o.rn, o.doc_id, o.n,
+                     case when rec.fill + o.n > 64
+                          then rec.bin_idx + 1 else rec.bin_idx end,
+                     case when rec.fill + o.n > 64
+                          then 0 else rec.fill end,
+                     case when rec.fill + o.n > 64
+                          then o.n else rec.fill + o.n end
+              from rec join o
+                on o.shard = rec.shard and o.rn = rec.rn + 1),
+            bin_leg as (
+              select 'bin' as leg, doc_id, shard, bin_idx as idx,
+                     pos as a, n as b,
+                     case when n > 64 then 1 else 0 end as c
+              from rec),
+            stats_leg as (
+              select 'stats' as leg, -1 as doc_id, shard,
+                     max(bin_idx) + 1 as idx,
+                     count(*) as a, sum(n)::bigint as b,
+                     round(round(sum(least(n, 64))::bigint::double
+                       / ((max(bin_idx) + 1) * 64), 6) * 1e6)::bigint as c
+              from rec group by shard)
+            select leg, doc_id::bigint as doc_id, shard::bigint as shard,
+                   idx::bigint as idx, a::bigint as a, b::bigint as b,
+                   c::bigint as c
+            from (select * from chunk_leg
+                  union all select * from bin_leg
+                  union all select * from stats_leg)
         """,
         "edge_agg": """
             with t as (
