@@ -104,9 +104,35 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _q_token_stats(spark, sf_dir):
-    from gliner_spark.operators.textstats import token_stats
+    """Per-doc regex-token stats JOINED with the BPE-ish budget stats —
+    one wide oracle row per doc (merged from the former token_stats +
+    bpe_token_stats queries to free a registry slot; both legs stay
+    fully value-checked)."""
+    from gliner_spark.operators.textstats import bpe_token_stats, token_stats
 
-    return token_stats(_docs(spark, sf_dir))
+    d = _docs(spark, sf_dir)
+    return token_stats(d).join(bpe_token_stats(d), "doc_id")
+
+
+def _q_lm_perplexity(spark, sf_dir):
+    """Corpus-trained bigram-LM document scoring (operators/lm.py —
+    the CCNet/KenLM-style learned quality signal): train add-k smoothed
+    bigram counts over the documents table, score the same corpus,
+    emit per-doc bigram count, model-hit count and mean log-prob.
+    Training is two map-side-combining aggregates; scoring here uses
+    broadcast_model=True (the model at sf0.01 is small), making the
+    score join shuffle-free. Everything is exact counting until the
+    final ln/avg, so DuckDB reproduces values to 6dp."""
+    from gliner_spark.operators.lm import score_perplexity, train_bigram_lm
+
+    d = _docs(spark, sf_dir)
+    model = train_bigram_lm(d, k=0.5)
+    return score_perplexity(d, model, broadcast_model=True).select(
+        "doc_id",
+        "n_bigrams",
+        "n_hits",
+        F.round("avg_logprob", 6).alias("avg_logprob"),
+    )
 
 
 def _q_tfidf_topterms(spark, sf_dir):
@@ -230,12 +256,6 @@ def _q_redact_pii(spark, sf_dir):
     from gliner_spark.operators.textstats import redact_pii
 
     return redact_pii(_docs(spark, sf_dir))
-
-
-def _q_bpe_token_stats(spark, sf_dir):
-    from gliner_spark.operators.textstats import bpe_token_stats
-
-    return bpe_token_stats(_docs(spark, sf_dir))
 
 
 def _q_corpus_summary(spark, sf_dir):
@@ -1558,7 +1578,7 @@ def _q_kg_pipeline(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_stats": _q_token_stats,
-        "bpe_token_stats": _q_bpe_token_stats,
+        "lm_perplexity": _q_lm_perplexity,
         "span_grid": _q_span_grid,
         "exact_dedup": _q_exact_dedup,
         "repetition_stats": _q_repetition_stats,
@@ -1685,32 +1705,57 @@ def oracle_sql() -> dict[str, str]:
     """
     return {
         "token_stats": f"""
-            with t as (select doc_id, {_TOKS_SQL} as toks from documents)
-            select doc_id,
-                   len(toks) as n_tokens,
-                   (select length(text) from documents d
-                    where d.doc_id = t.doc_id) as n_chars_exact,
-                   len(list_distinct(list_transform(toks, x -> lower(x))))
-                     as n_unique_tokens,
-                   round(case when len(toks) > 0 then
-                     list_sum(list_transform(toks, x -> length(x)))::double
-                       / len(toks) else 0.0 end, 6) as avg_token_len
-            from t
-        """,
-        "bpe_token_stats": f"""
+            -- merged: regex-token stats + BPE-ish budget stats in one
+            -- wide row per doc (former token_stats ⋈ bpe_token_stats)
             with t as (
-              select doc_id, text, {_TOKS_SQL} as ws,
+              select doc_id, text, {_TOKS_SQL} as toks,
                      regexp_extract_all(text,
                        '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')
                        as bpe
               from documents)
             select doc_id,
-                   len(ws) as n_tokens_ws,
+                   len(toks) as n_tokens,
+                   length(text) as n_chars_exact,
+                   len(list_distinct(list_transform(toks, x -> lower(x))))
+                     as n_unique_tokens,
+                   round(case when len(toks) > 0 then
+                     list_sum(list_transform(toks, x -> length(x)))::double
+                       / len(toks) else 0.0 end, 6) as avg_token_len,
+                   len(toks) as n_tokens_ws,
                    len(bpe) as n_tokens_bpe,
                    round(case when len(bpe) > 0
                          then length(text)::double / len(bpe)
                          else 0.0 end, 6) as chars_per_bpe_token
             from t
+        """,
+        "lm_perplexity": f"""
+            -- retrain the add-0.5-smoothed bigram LM analytically and
+            -- rescore: p(cur|prev) = (b + 0.5) / (c + 0.5·V) over
+            -- lowercased regex tokens with a <s> BOS context per doc.
+            -- Scoring corpus == training corpus, so every bigram hits
+            -- the table (n_hits = n_bigrams) and inner joins suffice.
+            with t as (
+              select doc_id,
+                     list_transform({_TOKS_SQL}, x -> lower(x)) as toks
+              from documents),
+            t2 as (select doc_id, toks from t where len(toks) > 0),
+            g as (
+              select doc_id, toks[i] as cur,
+                     case when i = 1 then '<s>' else toks[i - 1] end as prev
+              from t2, unnest(generate_series(1, len(toks))) as u(i)),
+            bc as (select prev, cur, count(*) as b from g group by 1, 2),
+            cc as (select prev, count(*) as c from g group by 1),
+            v as (select count(distinct cur) as vs from g)
+            select g.doc_id,
+                   count(*)::bigint as n_bigrams,
+                   count(*)::bigint as n_hits,
+                   round(avg(ln((bc.b + 0.5) / (cc.c + 0.5 * v.vs))), 6)
+                     as avg_logprob
+            from g
+            join bc on bc.prev = g.prev and bc.cur = g.cur
+            join cc on cc.prev = g.prev
+            cross join v
+            group by g.doc_id
         """,
         "span_grid": f"""
             with t as (select doc_id, len({_TOKS_SQL}) as l from documents)
