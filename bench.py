@@ -194,6 +194,23 @@ def build_queries(spark, sf_dir: str, n_convs: int, parts: int):
             docs, ["spark", "window", "merge"], top_k=100
         ).count()
 
+    def q_sequence_pack():
+        from gliner_spark.operators.packing import bin_pack, chunk_pack
+
+        a = chunk_pack(docs, max_len=512, n_shards=64).count()
+        b = bin_pack(docs, max_len=512, n_shards=64).count()
+        return a + b
+
+    def q_lm_perplexity():
+        from gliner_spark.operators.lm import (
+            score_perplexity,
+            train_bigram_lm,
+        )
+
+        # prune to keep the model broadcastable — the scale path
+        model = train_bigram_lm(docs, k=0.5, prune_min_count=2)
+        return score_perplexity(docs, model, broadcast_model=True).count()
+
     return n_turns, {
         "kg_triples": q_kg_triples,
         "ner_entities": q_ner_entities,
@@ -209,6 +226,8 @@ def build_queries(spark, sf_dir: str, n_convs: int, parts: int):
         "substring_dedup": q_substring_dedup,
         "decontaminate": q_decontaminate,
         "bm25": q_bm25,
+        "sequence_pack": q_sequence_pack,
+        "lm_perplexity": q_lm_perplexity,
     }
 
 
