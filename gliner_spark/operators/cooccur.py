@@ -73,10 +73,14 @@ def induce_cooccurrence(
         F.col("text").alias("subj"),
         F.col("label").alias("subj_label"),
         F.col("score").alias("score_a"),
+        # the ordering predicate below forces turn_a <= turn_b, and buckets
+        # are monotone in turn_idx, so bucket_b ∈ {bucket_a, bucket_a+1}:
+        # a 2-way explode co-locates every surviving pair (the bucket-1 leg
+        # of the symmetric 3-way explode only ever produced rows the
+        # ordering predicate discarded) — one third less shuffle on the
+        # exploded side, pair set provably identical
         F.explode(
-            F.array(
-                F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1
-            )
+            F.array(F.col("bucket"), F.col("bucket") + 1)
         ).alias("bucket"),
     )
     right = base.select(

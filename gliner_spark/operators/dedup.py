@@ -391,7 +391,17 @@ def ngram_jaccard_pairs(
     """
     sh = doc_shingles(docs, text_col, n).where(F.size("shingles") > 0)
     sizes = sh.select("doc_id", F.size("shingles").alias("n_grams"))
-    inv = sh.select("doc_id", F.explode("shingles").alias("gram"))
+    # invert on xxhash64(gram), not the gram string: the gram join is the
+    # operator's only big shuffle and n-word shingles are ~10× wider than
+    # an int64 key; per-doc shingles are already distinct so hashing
+    # preserves the per-doc gram multiset (cross-gram collisions are the
+    # usual ~n²/2^64 and deterministic — the oracle query stays exact)
+    inv = sh.select(
+        "doc_id",
+        F.explode(
+            F.transform("shingles", lambda g: F.xxhash64(g))
+        ).alias("gram"),
+    )
     if max_doc_freq is not None:
         # df-capping: a gram in > max_doc_freq docs generates O(df²) join
         # rows while its Jaccard contribution is spread so thin that the
