@@ -221,15 +221,29 @@ def _q_repetition_stats(spark, sf_dir):
 
 
 def _q_substring_dedup(spark, sf_dir):
-    """Substring-containment dedup (operators/dedup.py
-    substring_duplicates) over the documents table plus DETERMINISTIC
-    planted truncations (every doc_id % 7 == 0 doc re-enters as its
-    first ⌊4/5·len⌋ characters under doc_id+1,000,000), so the query
-    exercises real contained-copy pairs instead of vacuously returning
-    whatever the corpus happens to contain. Truncation length uses
-    integer-div on both engines (Spark `div`, DuckDB `//`) — float-div
-    + cast ROUNDS in DuckDB but TRUNCATES in Spark."""
-    from gliner_spark.operators.dedup import substring_duplicates
+    """Substring-dedup UMBRELLA (two oracle-checked legs over the same
+    planted corpus — every doc_id % 7 == 0 doc re-enters as its first
+    ⌊4/5·len⌋ characters under doc_id+1,000,000, so both legs exercise
+    real duplicated content instead of vacuously returning whatever the
+    corpus happens to contain):
+
+     leg='contain'  substring-containment pairs (operators/dedup.py
+                    substring_duplicates): doc_id=contained, x1=container,
+                    x2/x3 = contained/container lengths;
+     leg='repeat'   ExactSubstr-style repeated k-gram cut spans
+                    (repeated_ngram_spans, Lee et al. 2021): the
+                    truncated copies share every 15-token window with
+                    their originals, so each non-canonical occurrence
+                    merges into one maximal cut interval — x1=tok_start,
+                    x2=tok_end, x3=merged window count.
+
+    Truncation length uses integer-div on both engines (Spark `div`,
+    DuckDB `//`) — float-div + cast ROUNDS in DuckDB but TRUNCATES in
+    Spark. All value columns cast to bigint on both engines."""
+    from gliner_spark.operators.dedup import (
+        repeated_ngram_spans,
+        substring_duplicates,
+    )
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     planted = docs.where(F.col("doc_id") % 7 == 0).select(
@@ -237,7 +251,23 @@ def _q_substring_dedup(spark, sf_dir):
         F.expr("substring(text, 1, (length(text)*4) div 5)").alias("text"),
     )
     corpus = docs.unionByName(planted)
-    return substring_duplicates(corpus, key_tokens=10, max_bucket_size=1000)
+    contain = substring_duplicates(
+        corpus, key_tokens=10, max_bucket_size=1000
+    ).select(
+        F.lit("contain").alias("leg"),
+        F.col("contained_id").cast("bigint").alias("doc_id"),
+        F.col("container_id").cast("bigint").alias("x1"),
+        F.col("len_contained").cast("bigint").alias("x2"),
+        F.col("len_container").cast("bigint").alias("x3"),
+    )
+    repeat = repeated_ngram_spans(corpus, k=15).select(
+        F.lit("repeat").alias("leg"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("tok_start").cast("bigint").alias("x1"),
+        F.col("tok_end").cast("bigint").alias("x2"),
+        F.col("n_windows").cast("bigint").alias("x3"),
+    )
+    return contain.unionByName(repeat)
 
 
 def _q_quality(spark, sf_dir):
@@ -1838,14 +1868,63 @@ def oracle_sql() -> dict[str, str]:
                      length(ta.norm) as la, length(tb.norm) as lb
               from pairs p
               join elig ta on ta.doc_id = p.id_a
-              join elig tb on tb.doc_id = p.id_b)
-            select case when la <= lb then id_a else id_b end as contained_id,
-                   case when la <= lb then id_b else id_a end as container_id,
-                   least(la, lb) as len_contained,
-                   greatest(la, lb) as len_container
-            from v
-            where contains(case when la <= lb then nb else na end,
-                           case when la <= lb then na else nb end)
+              join elig tb on tb.doc_id = p.id_b),
+            contain_leg as (
+              select 'contain' as leg,
+                     (case when la <= lb then id_a else id_b end)::bigint
+                       as doc_id,
+                     (case when la <= lb then id_b else id_a end)::bigint
+                       as x1,
+                     least(la, lb)::bigint as x2,
+                     greatest(la, lb)::bigint as x3
+              from v
+              where contains(case when la <= lb then nb else na end,
+                             case when la <= lb then na else nb end)),
+            rep_elig as (
+              select doc_id, regexp_extract_all(norm, '{_PAT_SQL}') as toks
+              from base
+              where len(regexp_extract_all(norm, '{_PAT_SQL}')) >= 15),
+            rep_wins as (
+              select doc_id, i - 1 as pos,
+                     array_to_string(list_slice(toks, i, i + 14), ' ') as w
+              from rep_elig,
+                   unnest(generate_series(1, len(toks) - 14)) as u(i)),
+            rep_marked as (
+              select doc_id, pos,
+                     count(*) over (partition by w) as occ,
+                     row_number() over (partition by w
+                                        order by doc_id, pos) as rn
+              from rep_wins),
+            rep_cut as (
+              select doc_id, pos from rep_marked
+              where occ >= 2 and rn > 1),
+            rep_isl as (
+              select doc_id, pos,
+                     case when max(pos + 15) over (
+                            partition by doc_id order by pos
+                            rows between unbounded preceding
+                                     and 1 preceding) is null
+                            or pos > max(pos + 15) over (
+                            partition by doc_id order by pos
+                            rows between unbounded preceding
+                                     and 1 preceding)
+                     then 1 else 0 end as newi
+              from rep_cut),
+            rep_isl2 as (
+              select doc_id, pos,
+                     (sum(newi) over (partition by doc_id order by pos
+                        rows between unbounded preceding and current row)
+                     )::bigint as island
+              from rep_isl),
+            repeat_leg as (
+              select 'repeat' as leg, doc_id::bigint as doc_id,
+                     min(pos)::bigint as x1,
+                     (max(pos) + 15)::bigint as x2,
+                     count(*)::bigint as x3
+              from rep_isl2 group by doc_id, island)
+            select * from contain_leg
+            union all
+            select * from repeat_leg
         """,
         "quality_scores": quality_sql,
         "quality_deciles": f"""

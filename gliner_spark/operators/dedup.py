@@ -643,3 +643,94 @@ def substring_duplicates(
             F.greatest("la", "lb").alias("len_container"),
         )
     )
+
+
+# ------------------------------------------------- repeated-substring spans
+
+
+def repeated_ngram_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+    max_occurrences: int | None = None,
+) -> DataFrame:
+    """ExactSubstr-style repeated-span detection (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    k-token window whose exact token sequence occurs MORE THAN ONCE in
+    the corpus (across docs or within one) is a duplicated span; all
+    occurrences except the canonical first — min (doc_id, pos) — are
+    marked for removal, and per doc the marked windows are merged into
+    maximal cut intervals.
+
+    The reference implementation builds a corpus-wide suffix array on
+    one machine; the Spark shape replaces it with the distributable
+    equivalent over fixed-width windows:
+
+     1. narrow map: per doc, hash every k-token window of the
+        NORMALIZED token stream (xxhash64 of the space-joined slice —
+        an O(n·k) slice-and-concat; a Rabin-Karp rolling hash would
+        make it O(n) but k·n is already linear in output size);
+     2. groupBy(window hash) with map-side partial count + min(struct
+        (doc_id, pos)) — one int64-keyed shuffle;
+     3. keep hashes with count ≥ 2 ONLY, then inner-join back onto the
+        window stream: non-repeated windows (the vast majority) never
+        ride the second shuffle, which bounds the join to genuine
+        repeat families; `max_occurrences` additionally drops
+        mega-boilerplate families (opt-in, same recall argument as the
+        LSH bucket cap);
+     4. per-doc gaps-and-islands merge of surviving [pos, pos+k)
+        windows under a doc_id-partitioned window — the final groupBy
+        (doc_id, island) reuses the window's hash partitioning, so the
+        merge costs ONE shuffle total.
+
+    Output: (doc_id, tok_start, tok_end, n_windows) with [tok_start,
+    tok_end) a 0-based token interval to cut; n_windows = merged window
+    count (cut length = tok_end - tok_start).
+    """
+    from pyspark.sql import Window
+
+    norm = normalized_text(F.col(text_col))
+    base = docs.select("doc_id", tokens(norm).alias("_toks")).where(
+        F.size("_toks") >= k
+    )
+    wins = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_toks") - k + 1),
+                lambda i: F.xxhash64(
+                    F.concat_ws(" ", F.slice("_toks", i, k))
+                ),
+            )
+        ).alias("pos", "h"),
+    )
+    grouped = wins.groupBy("h").agg(
+        F.count(F.lit(1)).alias("_occ"),
+        F.min(F.struct("doc_id", "pos")).alias("_first"),
+    )
+    repeated = grouped.where(F.col("_occ") >= 2)
+    if max_occurrences is not None:
+        repeated = repeated.where(F.col("_occ") <= max_occurrences)
+    cut = wins.join(repeated, "h").where(
+        F.struct("doc_id", "pos") != F.col("_first")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = cut.select(
+        "doc_id",
+        "pos",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1)
+        .otherwise(0)
+        .alias("_new"),
+    )
+    islands = flagged.withColumn(
+        "_island",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return islands.groupBy("doc_id", "_island").agg(
+        F.min("pos").alias("tok_start"),
+        (F.max("pos") + k).alias("tok_end"),
+        F.count(F.lit(1)).alias("n_windows"),
+    ).select("doc_id", "tok_start", "tok_end", "n_windows")
