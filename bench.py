@@ -180,6 +180,11 @@ def build_queries(spark, sf_dir: str, n_convs: int, parts: int):
 
         return substring_duplicates(docs).count()
 
+    def q_exactsubstr():
+        from gliner_spark.operators.dedup import repeated_ngram_spans
+
+        return repeated_ngram_spans(docs, k=15).count()
+
     def q_decontaminate():
         from gliner_spark.operators.curation import decontaminate
 
@@ -224,6 +229,7 @@ def build_queries(spark, sf_dir: str, n_convs: int, parts: int):
         "session_agg": q_session_agg,
         "repetition_stats": q_repetition_stats,
         "substring_dedup": q_substring_dedup,
+        "exactsubstr": q_exactsubstr,
         "decontaminate": q_decontaminate,
         "bm25": q_bm25,
         "sequence_pack": q_sequence_pack,
