@@ -1504,9 +1504,11 @@ def _q_near_dup_candidates(spark, sf_dir):
 
 
 def _q_ivf_kmeans(spark, sf_dir):
-    """Lloyd's k-means assignment + partial-probe IVF ANN in one query
-    (part, id_a, id_b, value); full-probe IVF stays oracle-checked
-    (knn_ivf_exact), partial-probe recall stays pytest-pinned."""
+    """Lloyd's k-means assignment + partial-probe IVF ANN + PQ/ADC ANN
+    in one query (part, id_a, id_b, value); full-probe IVF stays
+    oracle-checked (knn_ivf_exact), partial-probe recall stays
+    pytest-pinned, PQ encode/ADC math stays numpy-parity-pinned
+    (test_corpus_ops.py PQ block)."""
     km = _q_kmeans(spark, sf_dir).select(
         F.lit("kmeans").alias("part"),
         F.col("vec_id").alias("id_a"),
@@ -1519,7 +1521,20 @@ def _q_ivf_kmeans(spark, sf_dir):
         F.col("vec_id").alias("id_b"),
         F.round("cos", 6).alias("value"),
     )
-    return km.unionByName(knn)
+    from gliner_spark.operators.similarity import knn_pq, train_pq
+
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.where("vec_id < 8").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    books = train_pq(emb, m=8, nbits=4, kmeans_iter=2)
+    pq = knn_pq(emb, queries, books, k=5, refine=4).select(
+        F.lit("knn_pq").alias("part"),
+        F.col("query_id").alias("id_a"),
+        F.col("vec_id").alias("id_b"),
+        F.col("score").alias("value"),
+    )
+    return km.unionByName(knn).unionByName(pq)
 
 
 def _q_kernel_surface_matrix(spark, sf_dir):

@@ -130,6 +130,15 @@ def build_queries(spark, sf_dir: str, n_convs: int, parts: int):
         )
         return knn_bruteforce(emb, queries, k=10).count()
 
+    def q_knn_pq():
+        from gliner_spark.operators.similarity import knn_pq, train_pq
+
+        queries = emb.where("vec_id < 32").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        books = train_pq(emb, m=8, nbits=4, kmeans_iter=3)
+        return knn_pq(emb, queries, books, k=10, refine=4).count()
+
     def q_event_cooccur():
         e = ev.select(
             "event_id",
@@ -225,6 +234,7 @@ def build_queries(spark, sf_dir: str, n_convs: int, parts: int):
         "minhash_dedup": q_minhash_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "knn": q_knn,
+        "knn_pq": q_knn_pq,
         "event_cooccur": q_event_cooccur,
         "session_agg": q_session_agg,
         "repetition_stats": q_repetition_stats,

@@ -21,6 +21,7 @@ orders.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -84,16 +85,22 @@ def nearest_centroid(vec_col: Column, cent_lists: list[list[float]]) -> Column:
 
 
 def centroid_table(
-    embeddings: DataFrame, n_cells: int = 16, seed: int = 5
+    embeddings: DataFrame, n_cells: int = 16, seed: int = 5,
+    normalize: bool = True,
 ) -> DataFrame:
     """Deterministic pseudo-centroids: per hash-cell, the element-wise mean
     of that cell's vectors (one k-means half-step from a hashed init —
-    deterministic, no iteration). Returns (cell, centroid array<double>)."""
+    deterministic, no iteration). Returns (cell, centroid array<double>).
+
+    normalize=False clusters the raw `embedding` arrays as-is (the PQ
+    subspace path: sub-vector slices of an ALREADY-unit vector must not be
+    re-normalized per subspace)."""
+    vec = _unit() if normalize else F.col("embedding").alias("unit")
     assigned = embeddings.select(
         F.pmod(F.xxhash64(F.lit(seed), F.col("vec_id")), F.lit(n_cells)).alias(
             "cell"
         ),
-        _unit(),
+        vec,
     )
     exploded = assigned.select(
         "cell", F.posexplode(F.col("unit")).alias("d", "v")
@@ -119,6 +126,7 @@ def kmeans(
     max_iter: int = 10,
     tol: float = 1e-5,
     seed: int = 5,
+    normalize: bool = True,
 ) -> tuple[DataFrame, list[list[float]], float]:
     """Lloyd's k-means over the embedding column, Catalyst-native:
 
@@ -137,7 +145,8 @@ def kmeans(
     cluster, dist2), centroids, inertia). Deterministic: hash init,
     argmin ties broken by cluster index.
     """
-    cents_df = centroid_table(embeddings, n_cells=k, seed=seed)
+    cents_df = centroid_table(embeddings, n_cells=k, seed=seed,
+                              normalize=normalize)
     centroids = {
         r["cell"]: list(r["centroid"]) for r in cents_df.collect()
     }
@@ -148,7 +157,11 @@ def kmeans(
         raise ValueError("kmeans requires a non-empty embeddings input")
     cents = [c if c is not None else filler for c in cents]
 
-    e = embeddings.select("vec_id", unit_vector("embedding").alias("x"))
+    x_expr = (
+        unit_vector("embedding") if normalize
+        else F.col("embedding").cast("array<double>")
+    )
+    e = embeddings.select("vec_id", x_expr.alias("x"))
     e = e.localCheckpoint()  # scanned every iteration
 
     def assign(cent_lists):
@@ -334,3 +347,313 @@ def knn_ivf_indexed(
         cents = json.load(f)
     corpus = spark.read.parquet(index_path)
     return _probe_and_rank(corpus, queries, cents, k, n_probe)
+
+
+# ------------------------------------------------------ product quantization
+
+
+def train_pq(
+    embeddings: DataFrame,
+    m: int = 8,
+    nbits: int = 4,
+    kmeans_iter: int = 4,
+    seed: int = 5,
+    sample_cap: int | None = 65536,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks (Jégou et al. 2011, the
+    IVF-PQ/FAISS compression scheme): the unit vector is split into `m`
+    contiguous subspaces and each subspace gets its own 2^nbits-centroid
+    codebook from the SAME Catalyst-native Lloyd's k-means the IVF path
+    uses (normalize=False — the sub-slices of an already-unit vector must
+    not be re-normalized). Returns codebooks[m][2^nbits][d/m].
+
+    Why PQ at 100 TB: a 64-dim float32 corpus vector is 256 bytes; its
+    m=8 × 4-bit code is FOUR bytes — the corpus index fits in ~1.6% of
+    the raw footprint, so the scan side of ANN becomes bandwidth-trivial
+    and the exact vectors are only fetched for the final re-rank
+    (knn_pq(refine=...)). Training cost is m small k-means over a SAMPLE
+    at scale; the codebooks (m · 2^nbits · d/m doubles) ride the plan as
+    literals exactly like the IVF centroids.
+    """
+    dim = len(embeddings.select("embedding").first()["embedding"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub_d = dim // m
+    k = 1 << nbits
+    if sample_cap:
+        # codebooks are trained on a deterministic hash-uniform sample —
+        # training cost is O(sample_cap), independent of corpus size
+        # (the FAISS recipe: quantizer training never scans the corpus;
+        # TakeOrderedAndProject keeps only sample_cap rows per scan task)
+        embeddings = embeddings.orderBy(
+            F.xxhash64(F.lit(seed), "vec_id")
+        ).limit(sample_cap)
+
+    # FUSED multi-subspace Lloyd's: all m subspace k-means advance in the
+    # same jobs — (vec_id, j, sub) rows carry every subspace through ONE
+    # (j, cluster, dim)-keyed map-side-combining shuffle per iteration and
+    # ONE driver collect of m·k·(d/m) = k·d doubles, instead of m
+    # sequential driver loops (the m-loop version measured ~6× slower at
+    # sf0.01 purely on scheduler latency, and serializes what is
+    # embarrassingly parallel at cluster scale).
+    subs = embeddings.select("vec_id", _unit()).select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[F.slice("unit", j * sub_d + 1, sub_d) for j in range(m)]
+            )
+        ).alias("j", "sub"),
+    )
+    subs = subs.localCheckpoint()  # scanned every iteration
+
+    def collect_books(grouped_rows, prev):
+        got = {(r["j"], r["cluster"]): list(r["centroid"]) for r in grouped_rows}
+        out = []
+        for j in range(m):
+            cs = [got.get((j, i)) for i in range(k)]
+            filler = next((c for c in cs if c is not None), None)
+            if filler is None and prev is not None:
+                cs = prev[j]
+            else:
+                if filler is None:
+                    raise ValueError("train_pq requires non-empty input")
+                cs = [
+                    c
+                    if c is not None
+                    else (prev[j][i] if prev is not None else filler)
+                    for i, c in enumerate(cs)
+                ]
+            out.append(cs)
+        return out
+
+    init_rows = (
+        subs.select(
+            "j",
+            F.pmod(
+                F.xxhash64(F.lit(seed), "vec_id", "j"), F.lit(k)
+            ).alias("cluster"),
+            "sub",
+        )
+        .select("j", "cluster", F.posexplode("sub").alias("d", "v"))
+        .groupBy("j", "cluster", "d")
+        .agg(F.avg("v").alias("mv"))
+        .groupBy("j", "cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "mv"))),
+                lambda s: s.getField("mv"),
+            ).alias("centroid")
+        )
+        .collect()
+    )
+    books = collect_books(init_rows, None)
+
+    # the row's own subspace codebook is picked by indexing the broadcast
+    # codebook tensor with the row's `j` — ONE parsed SQL expression over
+    # a one-row broadcast column (the per-subspace when-chain of composed
+    # nearest_centroid Columns cost seconds of driver wall per iteration
+    # in py4j expression construction alone, and an expression-literal
+    # tensor is re-evaluated per element inside HOF lambdas — see
+    # _with_books)
+    assign = F.expr(_pq_argmin_sql("sub", "_bk", "j", k))
+
+    for _ in range(kmeans_iter):
+        new_rows = (
+            _with_books(subs, books).select("j", assign.alias("cluster"), "sub")
+            .select("j", "cluster", F.posexplode("sub").alias("d", "v"))
+            .groupBy("j", "cluster", "d")
+            .agg(F.avg("v").alias("mv"))
+            .groupBy("j", "cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "mv"))),
+                    lambda s: s.getField("mv"),
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        new_books = collect_books(new_rows, books)
+        shift = max(
+            sum((a - b) ** 2 for a, b in zip(c0, c1)) ** 0.5
+            for bj0, bj1 in zip(books, new_books)
+            for c0, c1 in zip(bj0, bj1)
+        )
+        books = new_books
+        if shift < 1e-5:
+            break
+    return books
+
+
+_BOOKS_SCHEMA = "_bk: array<array<array<double>>>"
+
+
+def _with_books(df: DataFrame, codebooks) -> DataFrame:
+    """Attach the m × 2^nbits × d/m codebook tensor as a `_bk` column via
+    a ONE-ROW broadcast join. The tensor must ride as DATA, not as an
+    expression literal: a 1024-leaf nested array() literal inside a
+    higher-order-function lambda is NOT constant-folded and gets
+    re-evaluated per element access — measured 37 s vs 2.3 s for the
+    same 500-row encode (16×). The broadcast row is evaluated once per
+    task, exactly the shape a real cluster wants."""
+    spark = df.sparkSession
+    books_df = spark.createDataFrame(
+        [(
+            [[list(map(float, c)) for c in book] for book in codebooks],
+        )],
+        _BOOKS_SCHEMA,
+    )
+    return df.crossJoin(F.broadcast(books_df))
+
+
+def _pq_argmin_sql(sub: str, books: str, j: str, k: int) -> str:
+    """argmin_i ‖sub − books[j][i]‖² with index tie-break, as SQL text:
+    same struct-ordered array_min metric as nearest_centroid, but the
+    k-way unroll is a zip_with over the codebook column instead of k
+    composed Column objects (the py4j-free formulation — building the
+    composed version for m·k=128 centroids cost ~10 s of pure driver
+    wall per query before any task ran)."""
+    return (
+        f"array_min(zip_with({books}[{j}], sequence(0, {k - 1}), "
+        f"(c, i) -> struct("
+        f"aggregate(zip_with({sub}, c, (a, b) -> (a - b) * (a - b)), "
+        f"0D, (acc, v) -> acc + v) AS dist2, i AS cluster))).cluster"
+    )
+
+
+def _pq_code_expr(unit_col: str, codebooks) -> Column:
+    """codes array<int>[m]: per subspace, argmin ‖sub − c‖² over that
+    subspace's codebook read from the broadcast `_bk` column — encoding
+    is a pure map built as a single SQL string."""
+    m = len(codebooks)
+    k = len(codebooks[0])
+    sub_d = len(codebooks[0][0])
+    argmin = _pq_argmin_sql(
+        f"slice({unit_col}, jj * {sub_d} + 1, {sub_d})", "_bk", "jj", k
+    )
+    return F.expr(f"transform(sequence(0, {m - 1}), jj -> {argmin})")
+
+
+def _pq_codes_udf(codebooks):
+    """Vectorized (Arrow-batched) PQ encoder: per batch, reshape to
+    (n, m, sub_d) and argmin ‖sub − c‖² against the (m, k, sub_d)
+    codebook tensor in numpy. Same metric and lowest-index tie-break as
+    _pq_code_expr (parity-pinned in test_corpus_ops). The interpreted
+    HOF expression costs ~2 ms/vector — fine for oracles, unusable for
+    a billion-vector corpus; this path is ~µs/vector."""
+    import numpy as np
+
+    nb = np.asarray(codebooks, dtype=np.float64)  # (m, k, sub_d)
+    m, _k, sub_d = nb.shape
+
+    @F.pandas_udf("array<int>")
+    def enc(units: "pd.Series") -> "pd.Series":
+        n = len(units)
+        if not n:
+            return pd.Series([], dtype=object)
+        X = np.asarray(list(units), dtype=np.float64).reshape(n, m, sub_d)
+        codes = np.empty((n, m), dtype=np.int32)
+        for j in range(m):
+            d2 = (
+                (X[:, j, None, :] - nb[j][None, :, :]) ** 2
+            ).sum(axis=-1)  # (n, k)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return enc
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    impl: str = "arrow",
+) -> DataFrame:
+    """(vec_id, codes array<int>[m]) — the compressed corpus index. Pure
+    narrow map (no join, no shuffle); at scale this is written once,
+    like build_ivf_index, and queries scan codes instead of vectors.
+
+    impl="arrow" (default) encodes in a vectorized pandas UDF;
+    impl="sql" is the pure-Catalyst twin (one SQL-string expression over
+    the broadcast codebook column) — bit-identical codes, used as the
+    engine-independent definition and by the parity test."""
+    u = embeddings.select("vec_id", _unit())
+    if impl == "arrow":
+        return u.select(
+            "vec_id", _pq_codes_udf(codebooks)("unit").alias("codes")
+        )
+    return _with_books(u, codebooks).select(
+        "vec_id", _pq_code_expr("unit", codebooks).alias("codes")
+    )
+
+
+def knn_pq(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    refine: int = 0,
+) -> DataFrame:
+    """ANN by asymmetric distance computation (ADC) over PQ codes:
+    approx_cos(q, x) = Σ_j  <q_j , codebook_j[code_j(x)]>  — the dot
+    product of the EXACT query sub-vector with the corpus sub-vector's
+    centroid, which is why ADC beats symmetric code-code distance.
+
+    plan: per query the m×2^nbits LUT of sub-dot-products is computed
+    once as a native projection (codebook literals ride the plan); the
+    broadcast-joined corpus side then scores each row with ONE
+    zip_with(codes, lut) + sum — no vector arithmetic per corpus row at
+    all, just m table lookups. Top-k via the shared rank window.
+
+    refine > 0 re-ranks the top refine·k ADC candidates by exact cosine
+    (joining only those rows back to their full vectors) — the standard
+    PQ recall recovery; refine=0 returns pure-ADC ranks.
+    Returns (query_id, vec_id, score, rank) where score is approx cos
+    (refine=0) or exact cos (refine>0), rounded to 6dp.
+    """
+    m = len(codebooks)
+    corpus_codes = pq_encode(embeddings, codebooks)
+    q = queries.select("query_id", _unit().alias("q_unit"))
+    sub_d = len(codebooks[0][0])
+    lut = F.expr(
+        f"transform(sequence(0, {m - 1}), jj -> "
+        f"transform(_bk[jj], c -> "
+        f"aggregate(zip_with(slice(q_unit, jj * {sub_d} + 1, {sub_d}), c, "
+        f"(a, b) -> a * b), 0D, (acc, v) -> acc + v)))"
+    )
+    q_lut = _with_books(q, codebooks).select(
+        "query_id", "q_unit", lut.alias("lut")
+    )
+    adc = F.expr(
+        "aggregate(zip_with(codes, lut, (c, l) -> l[c]), "
+        "0D, (acc, v) -> acc + v)"
+    )
+    scored = corpus_codes.join(
+        F.broadcast(q_lut.select("query_id", "lut"))
+    ).select("query_id", "vec_id", F.round(adc, 6).alias("score"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if not refine:
+        return ranked.where(F.col("rank") <= k).select(
+            "query_id", "vec_id", "score", "rank"
+        )
+    cand = ranked.where(F.col("rank") <= refine * k).select(
+        "query_id", "vec_id"
+    )
+    exact = (
+        cand.join(embeddings.select("vec_id", _unit()), "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(_dot("unit", "q_unit"), 6).alias("score"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )
