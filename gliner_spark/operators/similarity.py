@@ -359,6 +359,7 @@ def train_pq(
     kmeans_iter: int = 4,
     seed: int = 5,
     sample_cap: int | None = 65536,
+    normalize: bool = True,
 ) -> list[list[list[float]]]:
     """Train product-quantization codebooks (Jégou et al. 2011, the
     IVF-PQ/FAISS compression scheme): the unit vector is split into `m`
@@ -396,7 +397,12 @@ def train_pq(
     # sequential driver loops (the m-loop version measured ~6× slower at
     # sf0.01 purely on scheduler latency, and serializes what is
     # embarrassingly parallel at cluster scale).
-    subs = embeddings.select("vec_id", _unit()).select(
+    vec = (
+        _unit()
+        if normalize
+        else F.col("embedding").cast("array<double>").alias("unit")
+    )
+    subs = embeddings.select("vec_id", vec).select(
         "vec_id",
         F.posexplode(
             F.array(
@@ -484,25 +490,39 @@ def train_pq(
     return books
 
 
-_BOOKS_SCHEMA = "_bk: array<array<array<double>>>"
+def _with_const(df: DataFrame, name: str, value, sql_type: str) -> DataFrame:
+    """Attach a constant tensor as a column via a ONE-ROW broadcast join.
+    Constant tensors must ride as DATA, not as expression literals: a
+    1024-leaf nested array() literal inside a higher-order-function
+    lambda is NOT constant-folded and gets re-evaluated per element
+    access — measured 37 s vs 2.3 s for the same 500-row PQ encode
+    (16×). The broadcast row is deserialized once per task, exactly the
+    shape a real cluster wants."""
+    spark = df.sparkSession
+    one = spark.createDataFrame([(value,)], f"{name}: {sql_type}")
+    return df.crossJoin(F.broadcast(one))
 
 
 def _with_books(df: DataFrame, codebooks) -> DataFrame:
-    """Attach the m × 2^nbits × d/m codebook tensor as a `_bk` column via
-    a ONE-ROW broadcast join. The tensor must ride as DATA, not as an
-    expression literal: a 1024-leaf nested array() literal inside a
-    higher-order-function lambda is NOT constant-folded and gets
-    re-evaluated per element access — measured 37 s vs 2.3 s for the
-    same 500-row encode (16×). The broadcast row is evaluated once per
-    task, exactly the shape a real cluster wants."""
-    spark = df.sparkSession
-    books_df = spark.createDataFrame(
-        [(
-            [[list(map(float, c)) for c in book] for book in codebooks],
-        )],
-        _BOOKS_SCHEMA,
+    """The m × 2^nbits × d/m PQ codebook tensor as a `_bk` column."""
+    return _with_const(
+        df,
+        "_bk",
+        [[list(map(float, c)) for c in book] for book in codebooks],
+        "array<array<array<double>>>",
     )
-    return df.crossJoin(F.broadcast(books_df))
+
+
+def _pq_lut_expr(m: int, sub_d: int, vec: str = "q_unit") -> Column:
+    """Per-query ADC lookup table lut[m][k]: the dot product of each
+    query sub-vector with every centroid of that subspace's codebook
+    (read from the broadcast `_bk` column)."""
+    return F.expr(
+        f"transform(sequence(0, {m - 1}), jj -> "
+        f"transform(_bk[jj], c -> "
+        f"aggregate(zip_with(slice({vec}, jj * {sub_d} + 1, {sub_d}), c, "
+        f"(a, b) -> a * b), 0D, (acc, v) -> acc + v)))"
+    )
 
 
 def _pq_argmin_sql(sub: str, books: str, j: str, k: int) -> str:
@@ -533,39 +553,75 @@ def _pq_code_expr(unit_col: str, codebooks) -> Column:
     return F.expr(f"transform(sequence(0, {m - 1}), jj -> {argmin})")
 
 
-def _pq_codes_udf(codebooks):
-    """Vectorized (Arrow-batched) PQ encoder: per batch, reshape to
-    (n, m, sub_d) and argmin ‖sub − c‖² against the (m, k, sub_d)
-    codebook tensor in numpy. Same metric and lowest-index tie-break as
-    _pq_code_expr (parity-pinned in test_corpus_ops). The interpreted
-    HOF expression costs ~2 ms/vector — fine for oracles, unusable for
-    a billion-vector corpus; this path is ~µs/vector."""
+def _pq_codes_np(codebooks):
+    """numpy batch encoder (n, d) → (n, m) int32 codes: argmin ‖sub−c‖²
+    per subspace, lowest-index tie-break — same metric as
+    _pq_code_expr."""
     import numpy as np
 
     nb = np.asarray(codebooks, dtype=np.float64)  # (m, k, sub_d)
     m, _k, sub_d = nb.shape
 
-    @F.pandas_udf("array<int>")
-    def enc(units: "pd.Series") -> "pd.Series":
-        n = len(units)
-        if not n:
-            return pd.Series([], dtype=object)
-        X = np.asarray(list(units), dtype=np.float64).reshape(n, m, sub_d)
+    def encode(X):
+        n = X.shape[0]
+        S = X.reshape(n, m, sub_d)
         codes = np.empty((n, m), dtype=np.int32)
         for j in range(m):
             d2 = (
-                (X[:, j, None, :] - nb[j][None, :, :]) ** 2
+                (S[:, j, None, :] - nb[j][None, :, :]) ** 2
             ).sum(axis=-1)  # (n, k)
             codes[:, j] = d2.argmin(axis=1)
-        return pd.Series(list(codes))
+        return codes
 
-    return enc
+    return encode
+
+
+def _pq_codes_udf(codebooks, packed_nbits: int | None = None):
+    """Vectorized (Arrow-batched) PQ encoder: same codes as
+    _pq_code_expr (parity-pinned in test_corpus_ops). The interpreted
+    HOF expression costs ~2 ms/vector — fine for oracles, unusable for
+    a billion-vector corpus; this path is ~µs/vector.
+
+    packed_nbits=nbits returns the m codes PACKED into one BIGINT
+    (code_j in bits [j·nbits, (j+1)·nbits)) — 8 bytes per vector at
+    m=8/nbits=4 instead of a 256-byte float vector; requires
+    m·nbits ≤ 63."""
+    import numpy as np
+
+    encode = _pq_codes_np(codebooks)
+    m = len(codebooks)
+
+    if packed_nbits is None:
+
+        @F.pandas_udf("array<int>")
+        def enc(units: "pd.Series") -> "pd.Series":
+            if not len(units):
+                return pd.Series([], dtype=object)
+            X = np.asarray(list(units), dtype=np.float64)
+            return pd.Series(list(encode(X)))
+
+        return enc
+
+    if m * packed_nbits > 63:
+        raise ValueError(f"m·nbits = {m * packed_nbits} > 63: cannot pack")
+    shifts = packed_nbits * np.arange(m, dtype=np.int64)
+
+    @F.pandas_udf("long")
+    def enc_packed(units: "pd.Series") -> "pd.Series":
+        if not len(units):
+            return pd.Series([], dtype=np.int64)
+        X = np.asarray(list(units), dtype=np.float64)
+        codes = encode(X).astype(np.int64)
+        return pd.Series((codes << shifts[None, :]).sum(axis=1))
+
+    return enc_packed
 
 
 def pq_encode(
     embeddings: DataFrame,
     codebooks: list[list[list[float]]],
     impl: str = "arrow",
+    normalize: bool = True,
 ) -> DataFrame:
     """(vec_id, codes array<int>[m]) — the compressed corpus index. Pure
     narrow map (no join, no shuffle); at scale this is written once,
@@ -575,7 +631,12 @@ def pq_encode(
     impl="sql" is the pure-Catalyst twin (one SQL-string expression over
     the broadcast codebook column) — bit-identical codes, used as the
     engine-independent definition and by the parity test."""
-    u = embeddings.select("vec_id", _unit())
+    vec = (
+        _unit()
+        if normalize
+        else F.col("embedding").cast("array<double>").alias("unit")
+    )
+    u = embeddings.select("vec_id", vec)
     if impl == "arrow":
         return u.select(
             "vec_id", _pq_codes_udf(codebooks)("unit").alias("codes")
@@ -613,14 +674,8 @@ def knn_pq(
     corpus_codes = pq_encode(embeddings, codebooks)
     q = queries.select("query_id", _unit().alias("q_unit"))
     sub_d = len(codebooks[0][0])
-    lut = F.expr(
-        f"transform(sequence(0, {m - 1}), jj -> "
-        f"transform(_bk[jj], c -> "
-        f"aggregate(zip_with(slice(q_unit, jj * {sub_d} + 1, {sub_d}), c, "
-        f"(a, b) -> a * b), 0D, (acc, v) -> acc + v)))"
-    )
     q_lut = _with_books(q, codebooks).select(
-        "query_id", "q_unit", lut.alias("lut")
+        "query_id", "q_unit", _pq_lut_expr(m, sub_d).alias("lut")
     )
     adc = F.expr(
         "aggregate(zip_with(codes, lut, (c, l) -> l[c]), "
@@ -643,6 +698,176 @@ def knn_pq(
     exact = (
         cand.join(embeddings.select("vec_id", _unit()), "vec_id")
         .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(_dot("unit", "q_unit"), 6).alias("score"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
+# ------------------------------------------------------------------- IVF-PQ
+
+
+def build_ivfpq_index(
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    m: int = 8,
+    nbits: int = 4,
+    seed: int = 5,
+    kmeans_iter: int = 4,
+    pq_iter: int = 4,
+    sample_cap: int | None = 65536,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Persist a FAISS-shaped IVF-PQ index: coarse k-means cells route
+    each unit vector to its Voronoi region, the RESIDUAL x − c_cell is
+    product-quantized (residual PQ is what makes IVF-PQ accurate: the
+    quantizer only has to cover the within-cell spread, not the whole
+    space), and the m codes are PACKED into one BIGINT per vector.
+
+    On-disk layout: parquet (vec_id, packed) PARTITIONED BY cell, plus a
+    JSON sidecar with centroids + codebooks. At m=8/nbits=4 a 64-dim
+    float corpus row shrinks 256 B → 8 B of payload; a query batch reads
+    only its probed cell partitions (dynamic partition pruning — same
+    plan shape as knn_ivf_indexed) and scores each row with m table
+    lookups, no vector arithmetic. Returns (centroids, codebooks)."""
+    import json
+    import os
+
+    _assigned, cents, _inertia = kmeans(
+        embeddings, k=n_cells, max_iter=kmeans_iter, seed=seed
+    )
+    corpus = embeddings.select("vec_id", _unit()).withColumn(
+        "cell", nearest_centroid(F.col("unit"), cents).getField("cluster")
+    )
+    resid = _with_const(
+        corpus,
+        "_ct",
+        [list(map(float, c)) for c in cents],
+        "array<array<double>>",
+    ).select(
+        "cell",
+        "vec_id",
+        F.expr("zip_with(unit, _ct[cell], (a, b) -> a - b)").alias(
+            "embedding"
+        ),
+    )
+    books = train_pq(
+        resid,
+        m=m,
+        nbits=nbits,
+        kmeans_iter=pq_iter,
+        seed=seed,
+        sample_cap=sample_cap,
+        normalize=False,
+    )
+    enc = _pq_codes_udf(books, packed_nbits=nbits)
+    resid.select(
+        "cell", "vec_id", enc(F.col("embedding")).alias("packed")
+    ).write.mode("overwrite").partitionBy("cell").parquet(path)
+    with open(os.path.join(path, "_ivfpq.json"), "w") as f:
+        json.dump({"cents": cents, "books": books, "nbits": nbits}, f)
+    return cents, books
+
+
+def knn_ivfpq_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    refine: int = 0,
+    source: DataFrame | None = None,
+) -> DataFrame:
+    """ANN over a persisted IVF-PQ index: probe the n_probe nearest
+    cells per query, then score every row of those partitions by
+    residual ADC —
+
+        approx_cos(q, x) = <q, c_cell> + Σ_j lut[j][code_j(x)]
+
+    where lut[j][i] = <q_j, book_j[i]> is the per-query table over the
+    residual codebooks and code_j is unpacked from the BIGINT by
+    shift+mask inside the same expression. The corpus side never touches
+    a float vector; only probed partitions are read (dynamic partition
+    pruning).
+
+    refine > 0 re-ranks the top refine·k ADC candidates by exact cosine
+    against `source` (the original embeddings table — point lookups of
+    just those vec_ids; required when refine is set)."""
+    import json
+    import os
+
+    with open(os.path.join(index_path, "_ivfpq.json")) as f:
+        meta = json.load(f)
+    cents, books, nbits = meta["cents"], meta["books"], meta["nbits"]
+    m = len(books)
+    sub_d = len(books[0][0])
+    n_cells = len(cents)
+    mask = (1 << nbits) - 1
+    corpus = spark.read.parquet(index_path)
+
+    q = queries.select("query_id", _unit().alias("q_unit"))
+    q = _with_books(q, books)
+    q = _with_const(
+        q, "_ct", [list(map(float, c)) for c in cents], "array<array<double>>"
+    )
+    # rank cells by ‖q − c‖², keep n_probe, carry <q, c> for the ADC
+    # score; one SQL expression over the broadcast centroid column
+    probe = F.expr(
+        f"slice(array_sort(zip_with(_ct, sequence(0, {n_cells - 1}), "
+        f"(c, i) -> struct("
+        f"aggregate(zip_with(q_unit, c, (a, b) -> (a - b) * (a - b)), "
+        f"0D, (acc, v) -> acc + v) AS dist2, "
+        f"i AS cell, "
+        f"aggregate(zip_with(q_unit, c, (a, b) -> a * b), "
+        f"0D, (acc, v) -> acc + v) AS qdotc))), 1, {n_probe})"
+    )
+    probes = q.select(
+        "query_id",
+        _pq_lut_expr(m, sub_d).alias("lut"),
+        F.explode(probe).alias("p"),
+    ).select(
+        "query_id",
+        "lut",
+        F.col("p.cell").alias("cell"),
+        F.col("p.qdotc").alias("qdotc"),
+    )
+    adc = F.expr(
+        f"qdotc + aggregate(zip_with(lut, sequence(0, {m - 1}), "
+        f"(l, j) -> l[cast(shiftright(packed, j * {nbits}) & {mask} "
+        f"as int)]), 0D, (acc, v) -> acc + v)"
+    )
+    scored = corpus.join(F.broadcast(probes), "cell").select(
+        "query_id", "vec_id", F.round(adc, 6).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if not refine:
+        return ranked.where(F.col("rank") <= k).select(
+            "query_id", "vec_id", "score", "rank"
+        )
+    if source is None:
+        raise ValueError("refine > 0 requires the source embeddings table")
+    cand = ranked.where(F.col("rank") <= refine * k).select(
+        "query_id", "vec_id"
+    )
+    exact = (
+        cand.join(source.select("vec_id", _unit()), "vec_id")
+        .join(
+            F.broadcast(queries.select("query_id", _unit().alias("q_unit"))),
+            "query_id",
+        )
         .select(
             "query_id",
             "vec_id",
