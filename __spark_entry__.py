@@ -1485,9 +1485,13 @@ def _q_multitask_docs(spark, sf_dir):
 
 
 def _q_near_dup_candidates(spark, sf_dir):
-    """MinHash-LSH and SimHash banded near-dup scale paths in one query
-    (method, doc_a, doc_b, value) — the exact-math twins stay separately
-    oracle-checked (jaccard_verify, simhash_hamming)."""
+    """MinHash-LSH, SimHash-banded and SemDeDup cluster-scoped near-dup
+    scale paths in one query (method, doc_a, doc_b, value) — the
+    exact-math twins stay separately oracle-checked (jaccard_verify,
+    simhash_hamming, embedding_near_dup); SemDeDup recall/keep-rule
+    stays pytest-pinned (test_corpus_ops semantic block)."""
+    from gliner_spark.operators.dedup import semantic_duplicates
+
     mh = _q_minhash_near_dup(spark, sf_dir).select(
         F.lit("minhash").alias("method"),
         "doc_a",
@@ -1500,7 +1504,15 @@ def _q_near_dup_candidates(spark, sf_dir):
         "doc_b",
         F.col("hamming").cast("double").alias("value"),
     )
-    return mh.unionByName(sh)
+    sem = semantic_duplicates(
+        _embeddings(spark, sf_dir), threshold=0.5, n_clusters=8
+    ).select(
+        F.lit("semantic").alias("method"),
+        F.col("vec_a").alias("doc_a"),
+        F.col("vec_b").alias("doc_b"),
+        F.round("cos", 6).alias("value"),
+    )
+    return mh.unionByName(sh).unionByName(sem)
 
 
 def _q_ivf_kmeans(spark, sf_dir):

@@ -734,3 +734,110 @@ def repeated_ngram_spans(
         (F.max("pos") + k).alias("tok_end"),
         F.count(F.lit(1)).alias("n_windows"),
     ).select("doc_id", "tok_start", "tok_end", "n_windows")
+
+
+# ---------------------------------------------------------- semantic dedup
+
+
+def semantic_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    kmeans_iter: int = 4,
+    seed: int = 5,
+    max_cluster_size: int | None = 10_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) candidate pairs: k-means partitions
+    the corpus, exact cosine is computed only WITHIN clusters — the
+    pair join is an equi-join on `cluster`, O(Σ cᵢ²) instead of O(n²),
+    and each cluster's pairs land in one shuffle partition (the scale
+    knob is n_clusters, exactly the paper's recipe). max_cluster_size
+    drops degenerate clusters from the pair join (same safety cap as
+    the LSH band buckets — a templated-content mega-cluster would
+    otherwise explode quadratically).
+
+    Returns (cluster, vec_a, vec_b, cos ≥ threshold). Recall is scoped
+    to within-cluster pairs by construction; near-identical texts land
+    in the same Voronoi cell (pytest pins ≥90% recall on planted
+    twins vs the brute-force oracle)."""
+    from .similarity import kmeans
+
+    assigned, _cents, _ = kmeans(
+        embeddings, k=n_clusters, max_iter=kmeans_iter, seed=seed
+    )
+    e = assigned.join(
+        embeddings.select("vec_id", unit_vector("embedding").alias("unit")),
+        "vec_id",
+    ).select("cluster", "vec_id", "dist2", "unit")
+    e = e.localCheckpoint()  # pair source is scanned from both sides
+    if max_cluster_size is not None:
+        sizes = e.groupBy("cluster").count()
+        e = e.join(
+            F.broadcast(sizes.where(F.col("count") <= max_cluster_size)),
+            "cluster",
+        ).drop("count")
+    a = e.select(
+        "cluster",
+        F.col("vec_id").alias("vec_a"),
+        F.col("unit").alias("ua"),
+    )
+    b = e.select(
+        "cluster",
+        F.col("vec_id").alias("vec_b"),
+        F.col("unit").alias("ub"),
+    )
+    return (
+        a.join(b, "cluster")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", _dot("ua", "ub"))
+        .where(F.col("cos") >= threshold)
+        .select("cluster", "vec_a", "vec_b", "cos")
+    )
+
+
+def semantic_dedup_survivors(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    kmeans_iter: int = 4,
+    seed: int = 5,
+    max_cluster_size: int | None = 10_000,
+) -> DataFrame:
+    """SemDeDup keep-set: connected components over the semantic-dup
+    graph; per component KEEP the vector FARTHEST from its cluster
+    centroid (the paper's diversity-preserving choice — the most
+    central duplicates are the most redundant), vec_id tie-break.
+    Returns the surviving subset of `embeddings`."""
+    from .linking import connected_components
+    from .similarity import kmeans
+
+    assigned, _cents, _ = kmeans(
+        embeddings, k=n_clusters, max_iter=kmeans_iter, seed=seed
+    )
+    pairs = semantic_duplicates(
+        embeddings,
+        threshold=threshold,
+        n_clusters=n_clusters,
+        kmeans_iter=kmeans_iter,
+        seed=seed,
+        max_cluster_size=max_cluster_size,
+    )
+    comps = connected_components(
+        embeddings.select(F.col("vec_id").alias("id")),
+        pairs.select(
+            F.col("vec_a").alias("id_a"), F.col("vec_b").alias("id_b")
+        ),
+    )
+    keep = (
+        comps.join(
+            assigned.select(F.col("vec_id").alias("id"), "dist2"), "id"
+        )
+        .groupBy("component")
+        .agg(
+            F.max(
+                F.struct(F.col("dist2"), (-F.col("id")).alias("nid"))
+            ).alias("best")
+        )
+        .select((-F.col("best.nid")).alias("vec_id"))
+    )
+    return embeddings.join(keep, "vec_id")

@@ -1242,3 +1242,90 @@ def test_ivfpq_index_recall_pruning_and_packing(spark, tmp_path_factory):
     assert len(rows) == 3 * queries.count()
     plan = part._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruningexpression" in plan
+
+
+# ------------------------------------------------------------ semantic dedup
+
+
+def test_semantic_duplicates_planted_twins(spark):
+    """SemDeDup: planted near-identical twins (cos ≈ 0.997) must be
+    found within clusters — subset of the brute-force exact pairs with
+    ≥90% recall (a twin only escapes if k-means splits it from its
+    original, which the tight clusters make rare)."""
+    import numpy as np
+
+    from gliner_spark.operators.dedup import (
+        embedding_near_duplicates_bruteforce,
+        semantic_duplicates,
+    )
+
+    rng = np.random.RandomState(5)
+    base = rng.standard_normal((40, 64))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        rows.append((1000 + i, [float(x) for x in (v + rng.normal(0, 0.05, 64))]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = {(r.vec_a, r.vec_b): r.cos
+             for r in embedding_near_duplicates_bruteforce(
+                 df, threshold=0.95).collect()}
+    got = {(r.vec_a, r.vec_b): r.cos
+           for r in semantic_duplicates(
+               df, threshold=0.95, n_clusters=8).collect()}
+    assert set(got) <= set(exact)
+    assert len(got) / len(exact) >= 0.9
+    for key in got:  # within-cluster cosine is EXACT, not approximated
+        assert abs(got[key] - exact[key]) < 1e-9
+
+
+def test_semantic_dedup_survivors_keep_rule(spark):
+    """Survivors = one per connected component (python union-find
+    oracle over the operator's own pairs), and the kept vector is the
+    component member FARTHEST from its cluster centroid (the paper's
+    diversity rule), vec_id tie-break."""
+    import numpy as np
+
+    from gliner_spark.operators.dedup import (
+        semantic_dedup_survivors,
+        semantic_duplicates,
+    )
+    from gliner_spark.operators.similarity import kmeans
+
+    rng = np.random.RandomState(9)
+    base = rng.standard_normal((30, 16)) * 3.0
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        rows.append((1000 + i, [float(x) for x in (v + rng.normal(0, 0.03, 16))]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    pairs = semantic_duplicates(df, threshold=0.95, n_clusters=4, seed=5)
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs.collect():
+        ra, rb = find(r.vec_a), find(r.vec_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    all_ids = [r.vec_id for r in df.select("vec_id").collect()]
+    n_components = len({find(i) for i in all_ids})
+
+    surv = semantic_dedup_survivors(df, threshold=0.95, n_clusters=4, seed=5)
+    kept = {r.vec_id for r in surv.collect()}
+    assert len(kept) == n_components
+
+    # keep rule: farthest-from-centroid member of each component
+    assigned, _c, _ = kmeans(df, k=4, seed=5)
+    dist = {r.vec_id: r.dist2 for r in assigned.collect()}
+    groups = {}
+    for i in all_ids:
+        groups.setdefault(find(i), []).append(i)
+    for members in groups.values():
+        want = max(members, key=lambda i: (dist[i], -i))
+        assert want in kept
