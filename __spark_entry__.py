@@ -328,18 +328,41 @@ def _q_quality_deciles(spark, sf_dir):
 
 
 def _q_stratified_sample(spark, sf_dir):
-    """Deterministic per-language sampling (curation.stratified_sample):
-    survivor iff md5(doc_id)-derived uniform < per-stratum rate. The
-    uniform is an EXACT power-of-two division, so the survivor set is
-    bit-identical on both engines."""
-    from gliner_spark.operators.curation import stratified_sample
+    """Curation sampling umbrella (leg, doc_id, key, value) — r4 widened
+    to admit DSIR without a new registry slot:
+
+    * leg='stratified' — deterministic per-language sampling
+      (curation.stratified_sample): survivor iff md5(doc_id)-derived
+      uniform < per-stratum rate; key=pred_lang, value=_u (an EXACT
+      power-of-two division — unrounded by design, bit-identical on
+      both engines).
+    * leg='dsir' — DSIR importance resampling toward the lang='en'
+      target (curation.dsir_sample, Xie et al. 2023): hashed
+      unigram+bigram add-one-smoothed log-ratio weights (portable md5
+      buckets), Gumbel top-64 selection on the same md5 uniform;
+      key ∈ {log_weight, score}, both rounded to 6dp."""
+    from gliner_spark.operators.curation import dsir_sample, stratified_sample
     from gliner_spark.operators.textstats import language_id
 
-    langs = language_id(_docs(spark, sf_dir)).select("doc_id", "pred_lang")
+    docs = _docs(spark, sf_dir)
+    langs = language_id(docs).select("doc_id", "pred_lang")
     out = stratified_sample(
         langs, "pred_lang", {"en": 0.5, "und": 0.3}, default_rate=0.1
     )
-    return out.select("doc_id", "pred_lang", "_u")
+    strat = out.select(
+        F.lit("stratified").alias("leg"),
+        "doc_id",
+        F.col("pred_lang").alias("key"),
+        F.col("_u").alias("value"),
+    )
+    sel = dsir_sample(docs, docs.where("lang = 'en'"), k=64, n_buckets=1024)
+    dsir = sel.selectExpr(
+        "'dsir' as leg",
+        "doc_id",
+        "stack(2, 'log_weight', round(log_weight, 6), "
+        "'score', score) as (key, value)",
+    )
+    return strat.unionByName(dsir)
 
 
 def _q_decontaminate(spark, sf_dir):
@@ -1969,11 +1992,59 @@ def oracle_sql() -> dict[str, str]:
             s as (select doc_id, pred_lang,
                     (('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint)
                       ::double / 4294967296.0 as _u
-                  from p)
-            select doc_id, pred_lang, _u from s
-            where _u < case pred_lang when 'en' then 0.5
-                                      when 'und' then 0.3
-                                      else 0.1 end
+                  from p),
+            strat as (
+              select 'stratified' as leg, doc_id, pred_lang as "key",
+                     _u as value
+              from s
+              where _u < case pred_lang when 'en' then 0.5
+                                        when 'und' then 0.3
+                                        else 0.1 end),
+            lt as (select doc_id, lang,
+                          regexp_extract_all(lower(text), '{_PAT_SQL}') as ts
+                   from documents),
+            g as (
+              select doc_id, lang, g
+              from lt, unnest(list_concat(ts,
+                   case when len(ts) >= 2
+                        then list_transform(range(1, len(ts)),
+                                            i -> ts[i] || ' ' || ts[i+1])
+                        else [] end)) as u(g)),
+            b as (select doc_id, lang,
+                         (('0x' || substr(md5(g), 1, 15))::bigint % 1024)
+                           as bk
+                  from g),
+            rc as (select bk, count(*) as c from b group by bk),
+            tc as (select bk, count(*) as c from b where lang = 'en'
+                   group by bk),
+            tot as (select (select count(*) from b) + 1024 as r_tot,
+                           (select count(*) from b where lang = 'en')
+                             + 1024 as t_tot),
+            lr as (select rc.bk,
+                          ln(coalesce(tc.c, 0) + 1)
+                            - ln((select t_tot from tot))
+                            - ln(rc.c + 1)
+                            + ln((select r_tot from tot)) as lr
+                   from rc left join tc using (bk)),
+            w as (select d.doc_id, coalesce(x.w, 0.0) as log_weight
+                  from documents d left join (
+                    select doc_id, sum(lr) as w from b join lr using (bk)
+                    group by doc_id) x using (doc_id)),
+            sc as (select doc_id, log_weight,
+                          round(log_weight + -ln(-ln(
+                            (('0x' || substr(md5(doc_id::varchar), 1, 8))
+                              ::bigint)::double / 4294967296.0)), 6)
+                            as score
+                   from w),
+            sel as (select * from sc
+                    order by score desc, doc_id asc limit 64),
+            dsir as (
+              select 'dsir' as leg, doc_id, 'log_weight' as "key",
+                     round(log_weight, 6) as value from sel
+              union all
+              select 'dsir' as leg, doc_id, 'score' as "key",
+                     score as value from sel)
+            select * from strat union all select * from dsir
         """,
         "language_id": f"""
             with t as (select doc_id, text, {_TOKS_SQL} as toks

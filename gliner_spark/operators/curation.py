@@ -299,3 +299,114 @@ def decontaminate(
         zero.alias("n_hit_grams"),
         (zero > 0).cast("int").alias("contaminated"),
     )
+
+
+def _dsir_bucket_sql(gram: str, n_buckets: int) -> str:
+    """Portable hash bucket for a gram string: md5 (bit-identical across
+    Spark / DuckDB / Python, like stratified_sample's uniform), 15 hex
+    chars (< 2^60, fits bigint) → pmod n_buckets → int index."""
+    return (
+        f"cast(pmod(cast(conv(substr(md5({gram}), 1, 15), 16, 10) as "
+        f"bigint), {n_buckets}) as int)"
+    )
+
+
+def dsir_weights(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., NeurIPS 2023): score every
+    raw document by how much more likely its hashed-n-gram bag is under
+    the TARGET distribution than under the raw distribution —
+    log w(x) = Σ_g  log p̂_target(bucket(g)) − log p̂_raw(bucket(g)),
+    with unigram+bigram features hashed into n_buckets and add-one
+    smoothing, exactly the paper's recipe for selecting pre-training
+    data that looks like a high-quality target corpus.
+
+    Scale shape: the two bucket distributions are groupBy-count
+    aggregates that collapse to ≤ n_buckets rows each (the ONLY
+    collects — corpus-size independent, like the IVF centroids); the
+    per-doc weight is then a pure narrow map: the log-ratio table rides
+    as a one-row broadcast column and each gram costs one md5 + one
+    array lookup. No joins touch the corpus. Returns (id, log_weight);
+    docs with zero grams get weight 0."""
+    import math
+
+    from ..functions.text import tokens, word_ngrams
+    from .similarity import _with_const
+
+    toks = tokens(F.lower(F.col(text_col)))
+    grams = F.concat(toks, word_ngrams(toks, 2))
+    bucket = _dsir_bucket_sql("g", n_buckets)
+
+    def dist(df) -> list[int]:
+        rows = (
+            df.select(F.explode(grams).alias("g"))
+            .selectExpr(f"{bucket} as b")
+            .groupBy("b")
+            .count()
+            .collect()
+        )
+        counts = [0] * n_buckets
+        for r in rows:
+            counts[r["b"]] = r["count"]
+        return counts
+
+    ct, cr = dist(target_docs), dist(raw_docs)
+    t_tot, r_tot = sum(ct) + n_buckets, sum(cr) + n_buckets
+    lr = [
+        math.log(ct[b] + 1) - math.log(t_tot)
+        - math.log(cr[b] + 1) + math.log(r_tot)
+        for b in range(n_buckets)
+    ]
+    with_lr = _with_const(
+        raw_docs.select(id_col, grams.alias("_grams")),
+        "_lr",
+        lr,
+        "array<double>",
+    )
+    w = F.expr(
+        f"aggregate(transform(_grams, g -> _lr[{bucket}]), "
+        f"0D, (acc, v) -> acc + v)"
+    )
+    return with_lr.select(id_col, w.alias("log_weight"))
+
+
+def dsir_sample(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    k: int,
+    n_buckets: int = 4096,
+    temperature: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR selection: Gumbel top-k — sampling k docs WITHOUT
+    replacement with probability ∝ exp(log_weight / temperature) is
+    exactly taking the top k of  log_weight/T + Gumbel(u)  where
+    Gumbel(u) = −ln(−ln(u)). u is stratified_sample's md5 power-of-two
+    uniform, so the draw is DETERMINISTIC and bit-identical across
+    engines (re-runs and resumes select the same k docs). The score is
+    rounded to 6dp before ranking with an id tie-break (the repo's
+    cross-engine ranking rule) and selection is orderBy+limit —
+    TakeOrderedAndProject, no global sort materialization.
+
+    Returns (id, log_weight, score) for the k selected docs."""
+    w = dsir_weights(
+        raw_docs, target_docs, n_buckets=n_buckets,
+        text_col=text_col, id_col=id_col,
+    )
+    u = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+    u = u.cast("double") / F.lit(float(1 << 32))
+    gumbel = -F.log(-F.log(u))
+    score = F.round(
+        F.col("log_weight") / F.lit(float(temperature)) + gumbel, 6
+    )
+    return (
+        w.select(id_col, "log_weight", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -236,3 +236,88 @@ def test_stratified_sample_default_rate_zero_drops_unlisted(spark):
     rows = [Row(doc_id=i, lang="xx") for i in range(50)]
     assert stratified_sample(
         spark.createDataFrame(rows), "lang", {"en": 1.0}).count() == 0
+
+
+def test_dsir_weights_match_python_oracle(spark):
+    """dsir_weights vs an independent pure-Python reimplementation of
+    the paper math (hashed unigram+bigram bag, add-one smoothing,
+    log-ratio sum) over the sf0.001 documents with target = lang='en'.
+    Also pins the sign property the op exists for: the MEAN weight of
+    target-member docs exceeds the mean of non-members."""
+    import hashlib
+    import math
+    import re
+
+    from gliner_spark.operators.curation import dsir_weights
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    target = docs.where("lang = 'en'")
+    B = 512
+    got = {
+        r.doc_id: r.log_weight
+        for r in dsir_weights(docs, target, n_buckets=B).collect()
+    }
+
+    pat = re.compile(r"\w+(?:[-_]\w+)*|\S", re.ASCII)
+
+    def grams(text):
+        t = pat.findall(text.lower())
+        return t + [" ".join(t[i : i + 2]) for i in range(len(t) - 1)]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+
+    rows = docs.select("doc_id", "text", "lang").collect()
+    cr, ct = [0] * B, [0] * B
+    per_doc = {}
+    for r in rows:
+        bs = [bucket(g) for g in grams(r.text)]
+        per_doc[r.doc_id] = bs
+        for b in bs:
+            cr[b] += 1
+            if r.lang == "en":
+                ct[b] += 1
+    t_tot, r_tot = sum(ct) + B, sum(cr) + B
+    lr = [
+        math.log(ct[b] + 1) - math.log(t_tot)
+        - math.log(cr[b] + 1) + math.log(r_tot)
+        for b in range(B)
+    ]
+    want = {d: sum(lr[b] for b in bs) for d, bs in per_doc.items()}
+    assert set(got) == set(want)
+    for d in want:
+        assert abs(got[d] - want[d]) < 1e-9, d
+
+    en = [want[r.doc_id] for r in rows if r.lang == "en"]
+    other = [want[r.doc_id] for r in rows if r.lang != "en"]
+    assert sum(en) / len(en) > sum(other) / len(other)
+
+
+def test_dsir_sample_gumbel_topk_deterministic(spark):
+    """dsir_sample = top-k of round(log_weight/T + gumbel(md5_uniform))
+    with id tie-break — verified against the python oracle, and
+    identical across two runs (the determinism that makes resumes and
+    oracle checks possible)."""
+    import hashlib
+    import math
+
+    from gliner_spark.operators.curation import dsir_sample, dsir_weights
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    target = docs.where("lang = 'en'")
+    w = {r.doc_id: r.log_weight
+         for r in dsir_weights(docs, target, n_buckets=512).collect()}
+
+    def score(d):
+        u = int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) / 2**32
+        return round(w[d] + -math.log(-math.log(u)), 6)
+
+    want = sorted(w, key=lambda d: (-score(d), d))[:10]
+    got1 = dsir_sample(docs, target, k=10, n_buckets=512)
+    got2 = dsir_sample(docs, target, k=10, n_buckets=512)
+    ids1 = [r.doc_id for r in got1.collect()]
+    ids2 = [r.doc_id for r in got2.collect()]
+    assert ids1 == want
+    assert ids1 == ids2
+    for r in got1.collect():
+        assert abs(r.score - score(r.doc_id)) < 1e-6
