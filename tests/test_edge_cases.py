@@ -87,3 +87,50 @@ def test_single_and_duplicate_labels(spark):
     a = extract_entities(df, ["person", "person", "tool"]).collect()
     b = extract_entities(df, ["person", "tool"]).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_new_ops_degenerate_inputs(spark):
+    """r4 operators on degenerate inputs: PQ training on an empty
+    corpus raises cleanly; DSIR with an EMPTY target still returns
+    finite weights (all-zero target counts just shift every log-ratio);
+    SemDeDup on fewer rows than clusters still works (kmeans filler
+    re-seats empty cells); knn_pq with an empty query set returns 0
+    rows with the right schema."""
+    import pytest as _pytest
+
+    from gliner_spark.operators.curation import dsir_weights
+    from gliner_spark.operators.dedup import semantic_duplicates
+    from gliner_spark.operators.similarity import knn_pq, train_pq
+
+    empty = spark.createDataFrame([], "vec_id: bigint, embedding: array<double>")
+    with _pytest.raises(Exception):
+        train_pq(empty, m=2, nbits=2)
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "alpha beta delta")],
+        ["doc_id", "text"],
+    )
+    w = {r.doc_id: r.log_weight
+         for r in dsir_weights(docs, docs.where("doc_id < 0"),
+                               n_buckets=64).collect()}
+    assert set(w) == {0, 1}
+    assert all(abs(v) < 1e6 and v == v for v in w.values())  # finite
+
+    tiny = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.01]), (2, [0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    # more clusters than rows: runs cleanly (kmeans filler re-seats
+    # empty cells); every point can become its own cluster, so the
+    # within-cluster pair set is allowed to be empty
+    over = semantic_duplicates(tiny, threshold=0.9, n_clusters=8).collect()
+    assert {(r.vec_a, r.vec_b) for r in over} <= {(0, 1)}
+    # one cluster = exact: the near-identical pair must be found
+    one = semantic_duplicates(tiny, threshold=0.9, n_clusters=1).collect()
+    assert {(r.vec_a, r.vec_b) for r in one} == {(0, 1)}
+
+    books = train_pq(tiny, m=2, nbits=1, kmeans_iter=1)
+    eq = spark.createDataFrame([], "query_id: bigint, embedding: array<double>")
+    out = knn_pq(tiny, eq, books, k=2)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "vec_id", "score", "rank"]
