@@ -107,6 +107,57 @@ def stream_to_kg(
     )
 
 
+def stream_sessionize(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of operators/sessions.sessionize + session_stats:
+    native `session_window` gap sessionization. State is BOUNDED by the
+    watermark — a session closes (and its state is evicted) once the
+    watermark passes last_event + gap, which is the only formulation
+    that survives an unbounded feed; the batch operator's running-sum
+    window would need the full history per key.
+
+    Boundary note: `session_window` merges events strictly closer than
+    the gap (an event at exactly prev + gap starts a NEW session), while
+    the batch operator keeps `gap == gap_seconds` in the SAME session
+    (`gap_us > gap_seconds`). Identical on real timestamps; differs only
+    on exact-gap ties (parity-tested with tie-free data).
+
+    → (key, n_events, session_start, session_end, duration_us), the
+    batch `session_stats` shape minus the running session_idx (a global
+    per-key ordinal is not computable incrementally without unbounded
+    state; the (key, session_start) pair is the streaming session id).
+    """
+    ts = F.col(ts_col).cast("timestamp")
+    return (
+        stream.withColumn(ts_col, ts)
+        .withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), f"{gap_seconds} seconds"),
+            F.col(key_col),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+        )
+        .select(
+            key_col,
+            "n_events",
+            "session_start",
+            "session_end",
+            (
+                F.unix_micros(F.col("session_end"))
+                - F.unix_micros(F.col("session_start"))
+            ).alias("duration_us"),
+        )
+    )
+
+
 def stream_dedup(
     stream: DataFrame,
     text_col: str = "text",

@@ -215,3 +215,83 @@ def test_stream_near_dup_candidates_across_batches(spark, tmp_path_factory):
     expected = bucket_pairs()
     assert (1, 3) in expected, "test corpus must make 1~3 a candidate"
     assert got == expected, (got, expected)
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path_factory):
+    """session_window gap sessionization == batch sessionize/session_stats
+    on the same events (tie-free gaps). A far-future sentinel event in the
+    last micro-batch drives the watermark past every real session's end so
+    append mode flushes them all; the sentinel's own session stays in
+    state and must NOT be emitted."""
+    import datetime
+    import glob
+    import os
+    import time
+
+    from gliner_spark.operators.sessions import session_stats, sessionize
+    from gliner_spark.streaming.ingest import stream_sessionize
+
+    land = str(tmp_path_factory.mktemp("sess_land"))
+    ckpt = str(tmp_path_factory.mktemp("sess_ckpt"))
+    t0 = datetime.datetime(2024, 3, 1, 0, 0, 0)
+    gap = 600  # 10 min; offsets below never hit the gap exactly
+
+    rows = []
+    eid = 0
+    for user in (1, 2, 3):
+        # three bursts per user separated by > gap, events inside < gap
+        for burst in range(3):
+            base = t0 + datetime.timedelta(
+                seconds=burst * 3600 + user * 17
+            )
+            for j in range(2 + (user + burst) % 3):
+                rows.append(
+                    (eid, base + datetime.timedelta(seconds=j * 95 + 1),
+                     user, "click", 1.0, None)
+                )
+                eid += 1
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    half = len(rows) // 2
+    spark.createDataFrame(rows[:half], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    spark.createDataFrame(rows[half:], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    time.sleep(1.1)  # sentinel file must sort last by mtime
+    sentinel_ts = t0 + datetime.timedelta(days=30)
+    spark.createDataFrame(
+        [(999999, sentinel_ts, -1, "flush", 0.0, None)], schema
+    ).coalesce(1).write.mode("append").parquet(land)
+    # pin mtime ordering: data files strictly before the sentinel file
+    files = sorted(glob.glob(os.path.join(land, "*.parquet")),
+                   key=os.path.getmtime)
+    for i, f in enumerate(files):
+        os.utime(f, (1700000000 + i * 10, 1700000000 + i * 10))
+
+    stream = (
+        spark.readStream.schema(schema).format("parquet")
+        .option("path", land).option("maxFilesPerTrigger", "1").load()
+    )
+    q = (
+        stream_sessionize(stream, gap_seconds=gap, watermark="0 seconds")
+        .writeStream.format("memory").queryName("sess_sink")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.user_id, r.n_events, r.session_start, r.session_end, r.duration_us)
+        for r in spark.sql("select * from sess_sink").collect()
+    }
+    batch = spark.createDataFrame(rows, schema)  # sentinel excluded
+    exp = {
+        (r.user_id, r.n_events, r.session_start, r.session_end, r.duration_us)
+        for r in session_stats(
+            sessionize(batch, gap_seconds=gap, order_cols=("event_id",))
+        ).select(
+            "user_id", "n_events", "session_start", "session_end",
+            "duration_us",
+        ).collect()
+    }
+    assert got == exp and len(got) == 9  # 3 users x 3 bursts
