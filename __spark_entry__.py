@@ -340,8 +340,19 @@ def _q_stratified_sample(spark, sf_dir):
       target (curation.dsir_sample, Xie et al. 2023): hashed
       unigram+bigram add-one-smoothed log-ratio weights (portable md5
       buckets), Gumbel top-64 selection on the same md5 uniform;
-      key ∈ {log_weight, score}, both rounded to 6dp."""
-    from gliner_spark.operators.curation import dsir_sample, stratified_sample
+      key ∈ {log_weight, score}, both rounded to 6dp.
+    * leg='mixture' — token-budget domain mixing
+      (curation.mixture_sample): per-source docs kept in md5-uniform
+      order until the source's token budget is crossed; key=source,
+      value=running token total incl. the doc (exact integer in a
+      double). The oracle replays the NAIVE single-window spec, so the
+      operator's two-pass bucket decomposition is value-checked against
+      the definition it optimizes."""
+    from gliner_spark.operators.curation import (
+        dsir_sample,
+        mixture_sample,
+        stratified_sample,
+    )
     from gliner_spark.operators.textstats import language_id
 
     docs = _docs(spark, sf_dir)
@@ -362,7 +373,16 @@ def _q_stratified_sample(spark, sf_dir):
         "stack(2, 'log_weight', round(log_weight, 6), "
         "'score', score) as (key, value)",
     )
-    return strat.unionByName(dsir)
+    mix = mixture_sample(
+        docs, "source", {"src0": 700, "src1": 150}, default_budget=400
+    )
+    mixture = mix.select(
+        F.lit("mixture").alias("leg"),
+        "doc_id",
+        F.col("source").alias("key"),
+        F.col("cum_tokens").cast("double").alias("value"),
+    )
+    return strat.unionByName(dsir).unionByName(mixture)
 
 
 def _q_decontaminate(spark, sf_dir):
@@ -2043,8 +2063,26 @@ def oracle_sql() -> dict[str, str]:
                      round(log_weight, 6) as value from sel
               union all
               select 'dsir' as leg, doc_id, 'score' as "key",
-                     score as value from sel)
+                     score as value from sel),
+            mt as (select d.doc_id, d.source, len(t.toks) as n_tokens,
+                          (('0x' || substr(md5(d.doc_id::varchar), 1, 8))
+                            ::bigint)::double / 4294967296.0 as u
+                   from documents d join t using (doc_id)),
+            mc as (select *,
+                     coalesce(sum(n_tokens) over (
+                       partition by source order by u asc, doc_id asc
+                       rows between unbounded preceding and 1 preceding),
+                       0) as cb
+                   from mt),
+            mixture as (
+              select 'mixture' as leg, doc_id, source as "key",
+                     (cb + n_tokens)::double as value
+              from mc
+              where cb < case source when 'src0' then 700
+                                     when 'src1' then 150
+                                     else 400 end)
             select * from strat union all select * from dsir
+            union all select * from mixture
         """,
         "language_id": f"""
             with t as (select doc_id, text, {_TOKS_SQL} as toks

@@ -32,7 +32,7 @@ from collections.abc import Iterator
 
 import pyarrow as pa
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -252,6 +252,93 @@ def stratified_sample(
     for k in sorted(rates):
         rate = F.when(F.col(strata_col) == k, F.lit(rates[k])).otherwise(rate)
     return df.withColumn("_u", u).where(F.col("_u") < rate)
+
+
+def mixture_sample(
+    df,
+    group_col: str,
+    budgets: dict[str, int],
+    default_budget: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+):
+    """Token-budget mixture sampling — the domain-mixing op used to
+    assemble a pre-training corpus (Pile/Dolma-style): walk each group's
+    documents in a deterministic-uniform order and keep them until the
+    group's running token total reaches its budget. The doc that crosses
+    the boundary is kept, so any group with documents makes progress
+    even when its budget is smaller than its shortest doc.
+
+    Determinism: the walk order is (u, id) where u is the same
+    bit-identical md5 uniform as `stratified_sample` — re-runs, resumes,
+    and both engines of the driver oracle see the exact same survivor
+    set, and the order is uncorrelated with ingest order (a raw
+    `order by id` would bias toward whatever sorted first upstream).
+
+    Scale shape — the naive formulation is ONE window partitioned by
+    group, which serializes each domain onto a single task (a 40 TB
+    `web` domain = one executor). Instead, two passes over bounded
+    state: (1) docs land in `n_buckets` sub-buckets by floor(u·B) —
+    order-consistent with (u, id) since the bucket is a monotone
+    function of u — and a per-(group, bucket) token-sum aggregate
+    (≤ groups·B rows, tiny) takes a cumulative window to yield each
+    bucket's STARTING offset; (2) the offsets broadcast-join back and
+    the running sum runs inside (group, bucket) partitions only, so no
+    window partition ever exceeds ~1/B of a domain. Keep iff
+    offset + within-bucket prefix sum (exclusive) < budget.
+
+    → (id, group, n_tokens, cum_tokens) for kept docs, where cum_tokens
+    is the group's running total INCLUDING this doc.
+    """
+    from ..functions.text import token_count
+
+    u = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+    u = u.cast("double") / F.lit(float(1 << 32))
+    base = df.select(
+        id_col,
+        group_col,
+        token_count(F.col(text_col)).alias("n_tokens"),
+        u.alias("_u"),
+        F.floor(u * n_buckets).cast("int").alias("_bk"),
+    )
+    bucket_sums = base.groupBy(group_col, "_bk").agg(
+        F.sum("n_tokens").alias("_btok")
+    )
+    off_w = (
+        Window.partitionBy(group_col)
+        .orderBy("_bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bucket_sums.select(
+        group_col,
+        "_bk",
+        F.coalesce(F.sum("_btok").over(off_w), F.lit(0)).alias("_off"),
+    )
+    in_w = (
+        Window.partitionBy(group_col, "_bk")
+        .orderBy(F.col("_u").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    budget = F.lit(default_budget)
+    for k in sorted(budgets):
+        budget = F.when(F.col(group_col) == k, F.lit(budgets[k])).otherwise(
+            budget
+        )
+    cum_before = F.col("_off") + F.coalesce(
+        F.sum("n_tokens").over(in_w), F.lit(0)
+    )
+    return (
+        base.join(F.broadcast(offsets), [group_col, "_bk"])
+        .withColumn("_cb", cum_before)
+        .where(F.col("_cb") < budget)
+        .select(
+            id_col,
+            group_col,
+            "n_tokens",
+            (F.col("_cb") + F.col("n_tokens")).alias("cum_tokens"),
+        )
+    )
 
 
 def decontaminate(

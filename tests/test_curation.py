@@ -321,3 +321,69 @@ def test_dsir_sample_gumbel_topk_deterministic(spark):
     assert ids1 == ids2
     for r in got1.collect():
         assert abs(r.score - score(r.doc_id)) < 1e-6
+
+
+def test_mixture_sample_matches_naive_python_fold(spark):
+    """Two-pass bucketed mixture_sample == the naive per-group (u, id)
+    walk computed in Python: same survivor set and the same running
+    totals, with n_buckets tiny (4) so documents genuinely straddle
+    buckets and the offset join is exercised."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from gliner_spark.operators.curation import mixture_sample
+
+    rows = [
+        Row(doc_id=i, source=f"s{i % 3}", text="w " * (5 + i % 17))
+        for i in range(120)
+    ]
+    budgets = {"s0": 90, "s1": 25}
+    got = {
+        (r.doc_id, r.source, r.n_tokens, r.cum_tokens)
+        for r in mixture_sample(
+            spark.createDataFrame(rows).repartition(7),
+            "source",
+            budgets,
+            default_budget=40,
+            n_buckets=4,
+        ).collect()
+    }
+
+    def u(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) / 2**32
+
+    want = set()
+    for g in ("s0", "s1", "s2"):
+        cum = 0
+        for r in sorted(
+            (r for r in rows if r.source == g),
+            key=lambda r: (u(r.doc_id), r.doc_id),
+        ):
+            n = len(r.text.split())
+            if cum < budgets.get(g, 40):
+                want.add((r.doc_id, g, n, cum + n))
+            cum += n
+    assert got == want
+    assert want, "budgets must actually keep something"
+    # every group crossed its budget (the boundary doc IS kept)
+    for g, b in (("s0", 90), ("s1", 25), ("s2", 40)):
+        assert max(c for _, s, _, c in got if s == g) >= b
+
+
+def test_mixture_sample_zero_budget_and_tiny_budget(spark):
+    """default_budget=0 drops unlisted groups entirely; a budget smaller
+    than the shortest doc still keeps exactly one doc (the crosser)."""
+    from pyspark.sql import Row
+
+    from gliner_spark.operators.curation import mixture_sample
+
+    rows = [
+        Row(doc_id=i, source="a" if i < 40 else "b", text="x y z w v")
+        for i in range(80)
+    ]
+    out = mixture_sample(
+        spark.createDataFrame(rows), "source", {"a": 1}, default_budget=0
+    ).collect()
+    assert {r.source for r in out} == {"a"}
+    assert len(out) == 1 and out[0].n_tokens == 5 and out[0].cum_tokens == 5
