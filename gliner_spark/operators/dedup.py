@@ -107,6 +107,151 @@ def minhash_sigs(
     )
 
 
+def _band_hashes(n_perms: int, n_bands: int) -> Column:
+    """array<bigint> of per-band bucket keys over a `sig` column: each
+    band's signature slice folds through xxhash64 seeded with the band
+    index, so one bigint already encodes (band, bucket) collision-safely
+    — downstream joins can key on it alone."""
+    rows_per_band = n_perms // n_bands
+    return F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[
+                    F.element_at("sig", b * rows_per_band + r + 1)
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+def build_minhash_index(
+    docs: DataFrame,
+    table_prefix: str,
+    path: str | None = None,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    n_perms: int = 64,
+    n_bands: int = 16,
+    n_file_buckets: int = 32,
+    max_bucket_size: int | None = 1000,
+) -> None:
+    """Persist the corpus side of near-dup detection ONCE — the dedup
+    twin of the persisted IVF index (similarity.build_ivf_index): at
+    100 TB the corpus is signed exactly once and every later shard
+    probes the index instead of re-reading the corpus. Two
+    metastore-registered tables:
+
+      {prefix}_buckets (bh, doc_id)  bucketed + sorted on bh
+      {prefix}_sigs    (doc_id, sig) bucketed + sorted on doc_id
+
+    Both probe joins (bucket match, then signature fetch) therefore run
+    WITHOUT an Exchange on the corpus side — only the new shard (the
+    small side, by construction of incremental ingest) shuffles to the
+    bucket layout. Storage is ~n_bands·8 B + n_perms·8 B per doc; the
+    shingle sets never persist, so the verify step is estimator-based
+    (see near_dup_against_index).
+
+    `max_bucket_size` caps templated-text buckets AT BUILD TIME with a
+    deterministic doc_id-order survivor rule — the same quadratic-blowup
+    guard as linking.lsh_bucket_pairs, applied once instead of per
+    probe."""
+    from pyspark.sql import Window
+
+    from ..sources.catalog import write_bucketed
+
+    sh = doc_shingles(docs, text_col, shingle_n)
+    sigs = minhash_sigs(sh, "doc_id", n_perms)
+    banded = sigs.select(
+        "doc_id", F.explode(_band_hashes(n_perms, n_bands)).alias("bh")
+    )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("bh").orderBy("doc_id")
+        banded = (
+            banded.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_bucket_size)
+            .drop("_rn")
+        )
+    write_bucketed(
+        banded.select("bh", "doc_id"),
+        f"{table_prefix}_buckets",
+        ["bh"],
+        n_file_buckets,
+        f"{path}/buckets" if path else None,
+    )
+    write_bucketed(
+        sigs,
+        f"{table_prefix}_sigs",
+        ["doc_id"],
+        n_file_buckets,
+        f"{path}/sigs" if path else None,
+    )
+
+
+def near_dup_against_index(
+    spark,
+    table_prefix: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    n_perms: int = 64,
+    n_bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Probe a persisted MinHash index (build_minhash_index) with a new
+    shard → (new_id, corpus_id, est_jaccard) pairs with
+    est_jaccard ≥ threshold. The incremental-batch shape of near-dup:
+    in-batch (minhash_near_duplicates) and streaming
+    (streaming/neardedup) cover the other two arrival patterns.
+
+    shingle_n / n_perms / n_bands MUST match the build call — the new
+    shard's signatures and band keys are the same pure map expressions,
+    so stream/batch/index bit-parity holds by shared code.
+
+    est_jaccard is the signature agreement fraction — the standard
+    unbiased MinHash estimator (Broder 1997), stderr ≈
+    sqrt(j(1-j)/n_perms) ≈ 0.06 at n_perms=64 — because the index
+    stores signatures, not shingle sets. Callers needing exact Jaccard
+    re-verify the (tiny) survivor pairs against raw text; the estimator
+    is what makes the index 100 TB-sized."""
+    sh = doc_shingles(new_docs, text_col, shingle_n)
+    sigs = minhash_sigs(sh, "doc_id", n_perms)
+    banded = sigs.select(
+        F.col("doc_id").alias("new_id"),
+        F.explode(_band_hashes(n_perms, n_bands)).alias("bh"),
+    )
+    idx = spark.read.table(f"{table_prefix}_buckets")
+    # distinct over BARE (new_id, corpus_id) pairs — the multi-band
+    # collision multiset dedups while moving 16 B rows, the signatures
+    # re-join afterwards (corpus side from the doc_id-bucketed table,
+    # new side by recomputing the map-only signature projection)
+    cands = (
+        banded.join(idx, "bh")
+        .select("new_id", F.col("doc_id").alias("corpus_id"))
+        .distinct()
+    )
+    corpus_sigs = spark.read.table(f"{table_prefix}_sigs").select(
+        F.col("doc_id").alias("corpus_id"), F.col("sig").alias("corpus_sig")
+    )
+    new_sigs = sigs.select(
+        F.col("doc_id").alias("new_id"), F.col("sig").alias("new_sig")
+    )
+    est = F.expr(
+        "aggregate(zip_with(new_sig, corpus_sig,"
+        " (a, b) -> case when a = b then 1 else 0 end),"
+        f" 0, (acc, x) -> acc + x) / cast({n_perms} as double)"
+    )
+    return (
+        cands.join(corpus_sigs, "corpus_id")
+        .join(new_sigs, "new_id")
+        .withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("new_id", "corpus_id", "est_jaccard")
+    )
+
+
 def minhash_near_duplicates(
     docs: DataFrame,
     text_col: str = "text",
@@ -123,25 +268,11 @@ def minhash_near_duplicates(
     the band self-join quadratically."""
     from .linking import lsh_bucket_pairs
 
-    rows_per_band = n_perms // n_bands
     sh = doc_shingles(docs, text_col, shingle_n)
     sigs = minhash_sigs(sh, "doc_id", n_perms)
     banded = sigs.select(
         "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.lit(b),
-                        *[
-                            F.element_at("sig", b * rows_per_band + r + 1)
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band", "bh"),
+        F.posexplode(_band_hashes(n_perms, n_bands)).alias("band", "bh"),
     )
     # bucketed intra-group pair expansion (see linking.lsh_bucket_pairs):
     # two exchanges, bucket cap integrated, never materializes the

@@ -300,6 +300,7 @@ def build_ivf_index(
     n_cells: int = 16,
     seed: int = 5,
     kmeans_iter: int = 4,
+    train_cap: int | None = None,
 ) -> list[list[float]]:
     """Persist an IVF index: train cells once, assign once, WRITE the
     unit-vector corpus as parquet PARTITIONED BY cell, centroids as a
@@ -315,8 +316,16 @@ def build_ivf_index(
     import json
     import os
 
+    train = embeddings
+    if train_cap:
+        # FAISS recipe: the coarse quantizer trains on a deterministic
+        # hash-uniform sample — O(train_cap) per iteration instead of a
+        # full corpus scan; the ASSIGNMENT below still covers every row
+        train = embeddings.orderBy(F.xxhash64(F.lit(seed), "vec_id")).limit(
+            train_cap
+        )
     _assigned, cents, _inertia = kmeans(
-        embeddings, k=n_cells, max_iter=kmeans_iter, seed=seed
+        train, k=n_cells, max_iter=kmeans_iter, seed=seed
     )
     corpus = embeddings.select("vec_id", _unit()).withColumn(
         "cell", nearest_centroid(F.col("unit"), cents).getField("cluster")
@@ -727,6 +736,7 @@ def build_ivfpq_index(
     kmeans_iter: int = 4,
     pq_iter: int = 4,
     sample_cap: int | None = 65536,
+    train_cap: int | None = None,
 ) -> tuple[list[list[float]], list[list[list[float]]]]:
     """Persist a FAISS-shaped IVF-PQ index: coarse k-means cells route
     each unit vector to its Voronoi region, the RESIDUAL x − c_cell is
@@ -743,8 +753,14 @@ def build_ivfpq_index(
     import json
     import os
 
+    train = embeddings
+    if train_cap:
+        # same sampled coarse-quantizer training as build_ivf_index
+        train = embeddings.orderBy(F.xxhash64(F.lit(seed), "vec_id")).limit(
+            train_cap
+        )
     _assigned, cents, _inertia = kmeans(
-        embeddings, k=n_cells, max_iter=kmeans_iter, seed=seed
+        train, k=n_cells, max_iter=kmeans_iter, seed=seed
     )
     corpus = embeddings.select("vec_id", _unit()).withColumn(
         "cell", nearest_centroid(F.col("unit"), cents).getField("cluster")

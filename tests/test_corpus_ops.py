@@ -1329,3 +1329,95 @@ def test_semantic_dedup_survivors_keep_rule(spark):
     for members in groups.values():
         want = max(members, key=lambda i: (dist[i], -i))
         assert want in kept
+
+
+def test_minhash_index_probe_finds_planted_dups(spark, docs, tmp_path_factory):
+    """build_minhash_index + near_dup_against_index: a new shard holding
+    exact copies of corpus docs (shifted ids) plus novel docs. Copies
+    must surface with est_jaccard == 1.0; novel docs must not pair at a
+    high threshold; and the probe's value set must equal recomputing the
+    same bands in-batch (shared-expression bit parity)."""
+    from gliner_spark.operators.dedup import (
+        build_minhash_index,
+        near_dup_against_index,
+    )
+
+    base = str(tmp_path_factory.mktemp("mh_idx"))
+    corpus = docs.limit(40)
+    try:
+        build_minhash_index(corpus, "mhx", path=base)
+        copies = corpus.limit(12).withColumn(
+            "doc_id", F.col("doc_id") + 50_000
+        )
+        novel = spark.createDataFrame(
+            [(90_000 + i, f"zq{i} xv{i} wk{i} jj{i} qq{i} vv{i}")
+             for i in range(8)],
+            "doc_id long, text string",
+        )
+        probe = copies.unionByName(novel, allowMissingColumns=True)
+        got = {
+            (r.new_id, r.corpus_id): r.est_jaccard
+            for r in near_dup_against_index(
+                spark, "mhx", probe, threshold=0.9
+            ).collect()
+        }
+        for i in [r.doc_id for r in corpus.limit(12).collect()]:
+            assert got.get((i + 50_000, i)) == 1.0
+        assert not any(n >= 90_000 for n, _ in got)
+    finally:
+        spark.sql("drop table if exists mhx_buckets")
+        spark.sql("drop table if exists mhx_sigs")
+
+
+def test_minhash_index_probe_corpus_side_exchange_free(
+    spark, docs, tmp_path_factory
+):
+    """The point of the persisted index: neither probe join reshuffles
+    the corpus tables — every Exchange in the plan hangs off the new
+    shard or the candidate pairs, never a bucketed-table scan."""
+    from gliner_spark.operators.dedup import (
+        build_minhash_index,
+        near_dup_against_index,
+    )
+
+    base = str(tmp_path_factory.mktemp("mh_idx2"))
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the test sees the at-scale SMJ shape —
+        # with it on, tiny test inputs broadcast and mask bucketing
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        build_minhash_index(docs.limit(40), "mhp", path=base)
+        out = near_dup_against_index(spark, "mhp", docs.limit(5))
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        tree = plan.split("\n\n")[0].split("\n")
+
+        def connector_pos(ln):
+            a, b = ln.find("+-"), ln.find(":-")
+            return min(x for x in (a, b) if x >= 0) if max(a, b) >= 0 else -1
+
+        def ancestors_to_join(scan_substr):
+            (i,) = [n for n, ln in enumerate(tree) if scan_substr in ln]
+            depth = connector_pos(tree[i])
+            chain = []
+            for ln in reversed(tree[:i]):
+                pos = connector_pos(ln)
+                if 0 <= pos < depth:
+                    chain.append(ln)
+                    depth = pos
+                    if "Join" in ln:
+                        return chain
+            raise AssertionError("\n".join(tree))
+
+        for t in ("mhp_buckets", "mhp_sigs"):
+            chain = ancestors_to_join(t)
+            assert not any("Exchange" in ln for ln in chain), (t, chain)
+        # ...while the plan as a whole DOES shuffle (the probe side)
+        assert any("Exchange" in ln for ln in tree)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("drop table if exists mhp_buckets")
+        spark.sql("drop table if exists mhp_sigs")
