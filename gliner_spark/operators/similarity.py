@@ -84,6 +84,39 @@ def nearest_centroid(vec_col: Column, cent_lists: list[list[float]]) -> Column:
     return F.array_min(choices)
 
 
+def assign_nearest(
+    df: DataFrame, cent_lists: list[list[float]], vec_col: str
+) -> DataFrame:
+    """nearest_centroid over a whole DataFrame with the k×d centroid
+    matrix riding as a ONE-ROW broadcast-joined column (`_with_const`)
+    instead of k×d expression literals — identical argmin arithmetic and
+    (dist2, cluster) tie-break (parity-pinned in test_corpus_ops), but
+    the constant tensor materializes once per batch instead of being
+    re-created per row: the broadcast-tensor rule that bought 16× on
+    pq_encode buys ~1.4× here at k=64, on EVERY corpus-side assignment
+    (each Lloyd's iteration + the index build). Adds `cluster`/`dist2`.
+
+    Literal-riding nearest_centroid stays for the per-QUERY probe
+    selection, where rows are few and a crossJoin would cost more than
+    it saves."""
+    d = _with_const(
+        df, "_ct", [list(map(float, c)) for c in cent_lists],
+        "array<array<double>>",
+    )
+    best = F.expr(
+        f"array_min(transform(_ct, (c, i) -> struct("
+        f"aggregate(zip_with({vec_col}, c, (a, b) -> (a - b) * (a - b)),"
+        f" cast(0.0 as double), (acc, v) -> acc + v) as dist2,"
+        f" i as cluster)))"
+    )
+    return (
+        d.withColumn("_best", best)
+        .withColumn("cluster", F.col("_best.cluster"))
+        .withColumn("dist2", F.col("_best.dist2"))
+        .drop("_ct", "_best")
+    )
+
+
 def centroid_table(
     embeddings: DataFrame, n_cells: int = 16, seed: int = 5,
     normalize: bool = True,
@@ -165,12 +198,8 @@ def kmeans(
     e = e.localCheckpoint()  # scanned every iteration
 
     def assign(cent_lists):
-        best = nearest_centroid(F.col("x"), cent_lists)
-        return e.select(
-            "vec_id",
-            "x",
-            best.getField("cluster").alias("cluster"),
-            best.getField("dist2").alias("dist2"),
+        return assign_nearest(e, cent_lists, "x").select(
+            "vec_id", "x", "cluster", "dist2"
         )
 
     assigned = None
@@ -236,8 +265,10 @@ def knn_ivf(
     _assigned, cents, _inertia = kmeans(
         embeddings, k=n_cells, max_iter=kmeans_iter, seed=seed
     )
-    corpus = embeddings.select("vec_id", _unit()).withColumn(
-        "cell", nearest_centroid(F.col("unit"), cents).getField("cluster")
+    corpus = (
+        assign_nearest(embeddings.select("vec_id", _unit()), cents, "unit")
+        .withColumnRenamed("cluster", "cell")
+        .drop("dist2")
     )
     return _probe_and_rank(corpus, queries, cents, k, n_probe)
 
@@ -320,17 +351,31 @@ def build_ivf_index(
     if train_cap:
         # FAISS recipe: the coarse quantizer trains on a deterministic
         # hash-uniform sample — O(train_cap) per iteration instead of a
-        # full corpus scan; the ASSIGNMENT below still covers every row
-        train = embeddings.orderBy(F.xxhash64(F.lit(seed), "vec_id")).limit(
-            train_cap
+        # full corpus scan; the ASSIGNMENT below still covers every row.
+        # GlobalLimit leaves ONE partition — re-spread it or every
+        # k-means iteration runs single-core (measured 110 s of a 137 s
+        # build at 50k rows)
+        train = (
+            embeddings.orderBy(F.xxhash64(F.lit(seed), "vec_id"))
+            .limit(train_cap)
+            .repartition(
+                embeddings.sparkSession.sparkContext.defaultParallelism
+            )
         )
     _assigned, cents, _inertia = kmeans(
         train, k=n_cells, max_iter=kmeans_iter, seed=seed
     )
-    corpus = embeddings.select("vec_id", _unit()).withColumn(
-        "cell", nearest_centroid(F.col("unit"), cents).getField("cluster")
+    corpus = (
+        assign_nearest(embeddings.select("vec_id", _unit()), cents, "unit")
+        .withColumnRenamed("cluster", "cell")
+        .drop("dist2")
     )
-    corpus.write.mode("overwrite").partitionBy("cell").parquet(path)
+    # co-locate each cell before the partitioned write: without this,
+    # every one of the T scan tasks opens a file in every cell dir
+    # (T × n_cells small files); with it, one file per cell
+    corpus.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
     with open(os.path.join(path, "_centroids.json"), "w") as f:
         json.dump(cents, f)
     return cents
@@ -395,9 +440,13 @@ def train_pq(
         # training cost is O(sample_cap), independent of corpus size
         # (the FAISS recipe: quantizer training never scans the corpus;
         # TakeOrderedAndProject keeps only sample_cap rows per scan task)
-        embeddings = embeddings.orderBy(
-            F.xxhash64(F.lit(seed), "vec_id")
-        ).limit(sample_cap)
+        embeddings = (
+            embeddings.orderBy(F.xxhash64(F.lit(seed), "vec_id"))
+            .limit(sample_cap)
+            .repartition(
+                embeddings.sparkSession.sparkContext.defaultParallelism
+            )
+        )  # re-spread the single-partition GlobalLimit (see train_cap)
 
     # FUSED multi-subspace Lloyd's: all m subspace k-means advance in the
     # same jobs — (vec_id, j, sub) rows carry every subspace through ONE
@@ -755,15 +804,22 @@ def build_ivfpq_index(
 
     train = embeddings
     if train_cap:
-        # same sampled coarse-quantizer training as build_ivf_index
-        train = embeddings.orderBy(F.xxhash64(F.lit(seed), "vec_id")).limit(
-            train_cap
+        # same sampled coarse-quantizer training (and the same
+        # single-partition GlobalLimit re-spread) as build_ivf_index
+        train = (
+            embeddings.orderBy(F.xxhash64(F.lit(seed), "vec_id"))
+            .limit(train_cap)
+            .repartition(
+                embeddings.sparkSession.sparkContext.defaultParallelism
+            )
         )
     _assigned, cents, _inertia = kmeans(
         train, k=n_cells, max_iter=kmeans_iter, seed=seed
     )
-    corpus = embeddings.select("vec_id", _unit()).withColumn(
-        "cell", nearest_centroid(F.col("unit"), cents).getField("cluster")
+    corpus = (
+        assign_nearest(embeddings.select("vec_id", _unit()), cents, "unit")
+        .withColumnRenamed("cluster", "cell")
+        .drop("dist2")
     )
     resid = _with_const(
         corpus,
@@ -789,7 +845,9 @@ def build_ivfpq_index(
     enc = _pq_codes_udf(books, packed_nbits=nbits)
     resid.select(
         "cell", "vec_id", enc(F.col("embedding")).alias("packed")
-    ).write.mode("overwrite").partitionBy("cell").parquet(path)
+    ).repartition(F.col("cell")).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
     with open(os.path.join(path, "_ivfpq.json"), "w") as f:
         json.dump({"cents": cents, "books": books, "nbits": nbits}, f)
     return cents, books

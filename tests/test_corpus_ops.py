@@ -1421,3 +1421,33 @@ def test_minhash_index_probe_corpus_side_exchange_free(
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.sql("drop table if exists mhp_buckets")
         spark.sql("drop table if exists mhp_sigs")
+
+
+def test_assign_nearest_matches_literal_nearest_centroid(spark, embeddings):
+    """The broadcast-tensor assignment (assign_nearest) must reproduce
+    the literal-riding nearest_centroid argmin bit-for-bit — same
+    distance arithmetic, same (dist2, cluster) tie-break — since kmeans
+    and every index build now route through it."""
+    from gliner_spark.operators.similarity import (
+        assign_nearest,
+        centroid_table,
+        nearest_centroid,
+        unit_vector,
+    )
+
+    cents = [
+        list(r.centroid)
+        for r in centroid_table(embeddings, n_cells=13).collect()
+    ]
+    e = embeddings.select("vec_id", unit_vector("embedding").alias("x"))
+    lit = {
+        r.vec_id: (r.best.cluster, r.best.dist2)
+        for r in e.select(
+            "vec_id", nearest_centroid(F.col("x"), cents).alias("best")
+        ).collect()
+    }
+    bc = {
+        r.vec_id: (r.cluster, r.dist2)
+        for r in assign_nearest(e, cents, "x").collect()
+    }
+    assert lit == bc
