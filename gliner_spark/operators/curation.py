@@ -341,6 +341,158 @@ def mixture_sample(
     )
 
 
+def curate_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    allowed_langs: set[str] | None = None,
+    max_dup_line_frac: float = 0.3,
+    max_top_bigram_frac: float = 0.3,
+    benchmark_docs: DataFrame | None = None,
+    decontam_n: int = 13,
+    near_dup_threshold: float = 0.8,
+    mixture_budgets: dict[str, int] | None = None,
+    mixture_group_col: str = "source",
+    mixture_default_budget: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """One-call corpus curation — the Dolma mixer shape: every filter
+    runs as an independent parallel TAGGER over the same corpus (exact
+    dedup, transitive near-dedup, quality, repetition, language,
+    benchmark decontamination), then one mixer combines the tags into a
+    keep/drop decision with reason codes, and the optional token-budget
+    mixture pass runs LAST over the docs that survived everything else
+    (budgets must count only tokens that can actually ship).
+
+    Tagger-parallel (not sequential-stage) semantics on purpose: at
+    100 TB each tagger is one pass over the same materialized corpus
+    (cache/checkpoint `docs` to share the scan), and taggers compose by
+    a flag join instead of re-materializing the shrinking corpus once
+    per stage the way a sequential pipeline would. The only stage whose input genuinely depends
+    on the others is the budget mixer, which is why it alone runs on
+    survivors.
+
+    Returns (decisions, report):
+      decisions  (doc_id, keep, reasons array<string>) — reasons empty
+                 iff keep; a doc can carry several reasons (they are
+                 diagnostics, not an execution order)
+      report     (reason, n_docs) attrition counts plus 'total' and
+                 'kept' rows — derived from decisions in ONE aggregate,
+                 no per-stage count jobs
+    """
+    from .dedup import exact_duplicates, near_dedup_survivors
+    from .textstats import language_id, quality_scores, repetition_stats
+
+    ids = docs.select("doc_id")
+    flag_cols: list[str] = []
+    flagged = ids
+
+    def add_flag(name: str, loser_ids: DataFrame):
+        nonlocal flagged
+        flag_cols.append(name)
+        flagged = flagged.join(
+            loser_ids.select("doc_id").distinct().withColumn(
+                name, F.lit(True)
+            ),
+            "doc_id",
+            "left",
+        )
+
+    ex = exact_duplicates(docs, text_col)
+    exact_losers = ex.select(
+        F.explode("doc_ids").alias("doc_id"), "keep_doc_id"
+    ).where(F.col("doc_id") != F.col("keep_doc_id"))
+    add_flag("exact_dup", exact_losers)
+
+    near_kept = near_dedup_survivors(
+        docs, text_col, jaccard_threshold=near_dup_threshold
+    ).select("doc_id")
+    add_flag("near_dup", ids.join(near_kept, "doc_id", "left_anti"))
+
+    q = quality_scores(docs, text_col)
+    add_flag(
+        "low_quality",
+        q.where(F.col("quality") < min_quality),
+    )
+
+    rep = repetition_stats(docs, text_col)
+    add_flag(
+        "repetitive",
+        rep.where(
+            (F.col("dup_line_frac") > max_dup_line_frac)
+            | (F.col("top_bigram_frac") > max_top_bigram_frac)
+        ),
+    )
+
+    if allowed_langs is not None:
+        langs = language_id(docs, text_col)
+        add_flag(
+            "bad_lang",
+            langs.where(~F.col("pred_lang").isin(*sorted(allowed_langs))),
+        )
+
+    if benchmark_docs is not None:
+        dec = decontaminate(docs, benchmark_docs, n=decontam_n,
+                            text_col=text_col)
+        add_flag("contaminated", dec.where(F.col("contaminated") == 1))
+
+    reasons = F.filter(
+        F.array(
+            *[
+                F.when(F.coalesce(F.col(c), F.lit(False)), F.lit(c))
+                for c in flag_cols
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    pre = flagged.select("doc_id", reasons.alias("reasons"))
+
+    if mixture_budgets is not None:
+        survivors = docs.join(
+            pre.where(F.size("reasons") == 0).select("doc_id"), "doc_id"
+        )
+        in_budget = mixture_sample(
+            survivors,
+            mixture_group_col,
+            mixture_budgets,
+            default_budget=mixture_default_budget,
+            text_col=text_col,
+        ).select("doc_id")
+        pre = pre.join(
+            in_budget.withColumn("_in_budget", F.lit(True)), "doc_id", "left"
+        ).select(
+            "doc_id",
+            F.when(
+                (F.size("reasons") == 0)
+                & ~F.coalesce(F.col("_in_budget"), F.lit(False)),
+                F.array_append("reasons", F.lit("over_budget")),
+            )
+            .otherwise(F.col("reasons"))
+            .alias("reasons"),
+        )
+
+    decisions = pre.select(
+        "doc_id",
+        (F.size("reasons") == 0).alias("keep"),
+        "reasons",
+    )
+    report = (
+        decisions.select(F.explode("reasons").alias("reason"))
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .unionByName(
+            decisions.agg(
+                F.count(F.lit(1)).alias("n_docs")
+            ).select(F.lit("total").alias("reason"), "n_docs")
+        )
+        .unionByName(
+            decisions.where("keep").agg(
+                F.count(F.lit(1)).alias("n_docs")
+            ).select(F.lit("kept").alias("reason"), "n_docs")
+        )
+    )
+    return decisions, report
+
+
 def decontaminate(
     train_docs: DataFrame,
     benchmark_docs: DataFrame,

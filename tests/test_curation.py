@@ -387,3 +387,85 @@ def test_mixture_sample_zero_budget_and_tiny_budget(spark):
     ).collect()
     assert {r.source for r in out} == {"a"}
     assert len(out) == 1 and out[0].n_tokens == 5 and out[0].cum_tokens == 5
+
+
+def test_curate_corpus_reason_codes_and_report(spark):
+    """Every tagger fires on its planted doc and ONLY that doc (plus the
+    budget mixer on the survivor set); the report is consistent with the
+    decisions."""
+    from pyspark.sql import Row
+
+    from gliner_spark.operators.curation import curate_corpus
+
+    good = "the quick brown fox jumps over the lazy dog and runs away home"
+    rows = [
+        Row(doc_id=1, source="a", text=good + " one extra sentence here"),
+        Row(doc_id=2, source="a", text=good + " a different good document"),
+        # 3 is an exact copy of 1 (exact_dup loser; also a near-dup loser)
+        Row(doc_id=3, source="a", text=good + " one extra sentence here"),
+        # 4 is a near-copy of 2 (near_dup loser only)
+        Row(doc_id=4, source="a",
+            text=good + " a different good document indeed"),
+        # 5: punctuation garbage (quality 0.41 < 0.5)
+        Row(doc_id=5, source="a", text="! ? . ! ? . ! ? ."),
+        # 6: one bigram repeated (repetitive; also low unique_ratio)
+        Row(doc_id=6, source="a", text="spam ham " * 30),
+        # 7: German (bad_lang under allowed={'en'})
+        Row(doc_id=7, source="a",
+            text="der hund und die katze sind nicht mit dem mann im haus"),
+        # 8: shares a 5-gram with the benchmark (contaminated)
+        Row(doc_id=8, source="a",
+            text="leaked secret benchmark answer string appears in this doc"),
+        # 9: clean but in the zero-budget source (over_budget)
+        Row(doc_id=9, source="b",
+            text="a perfectly clean document that cannot fit any budget"),
+    ]
+    bench = [Row(doc_id=100, source="x",
+                 text="the leaked secret benchmark answer string")]
+    decisions, report = curate_corpus(
+        spark.createDataFrame(rows),
+        min_quality=0.5,
+        allowed_langs={"en", "und"},
+        benchmark_docs=spark.createDataFrame(bench),
+        decontam_n=5,
+        near_dup_threshold=0.7,
+        mixture_budgets={"a": 10_000},
+        mixture_default_budget=0,
+    )
+    got = {r.doc_id: (r.keep, set(r.reasons)) for r in decisions.collect()}
+    assert got[1] == (True, set())
+    assert got[2] == (True, set())
+    assert "exact_dup" in got[3][1] and not got[3][0]
+    assert "near_dup" in got[4][1] and not got[4][0]
+    assert "low_quality" in got[5][1]
+    assert "repetitive" in got[6][1]
+    assert got[7] == (False, {"bad_lang"})
+    assert got[8] == (False, {"contaminated"})
+    assert got[9] == (False, {"over_budget"})
+    rep = {r.reason: r.n_docs for r in report.collect()}
+    assert rep["total"] == 9 and rep["kept"] == 2
+    assert rep["over_budget"] == 1 and rep["exact_dup"] == 1
+    # reasons histogram matches decisions exactly
+    from collections import Counter
+
+    c = Counter(x for _, (_, rs) in got.items() for x in rs)
+    assert all(rep[k] == v for k, v in c.items())
+
+
+def test_curate_corpus_no_optional_stages(spark):
+    """With no lang/benchmark/budget config only the four core taggers
+    run, and a clean corpus passes untouched."""
+    from pyspark.sql import Row
+
+    from gliner_spark.operators.curation import curate_corpus
+
+    rows = [
+        Row(doc_id=i, source="a",
+            text=f"document number {i} talks about topic {i * 7} in "
+                 f"plain english words with enough length to pass")
+        for i in range(6)
+    ]
+    decisions, report = curate_corpus(spark.createDataFrame(rows))
+    assert all(r.keep and r.reasons == [] for r in decisions.collect())
+    rep = {r.reason: r.n_docs for r in report.collect()}
+    assert rep == {"total": 6, "kept": 6}
