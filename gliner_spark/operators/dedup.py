@@ -188,6 +188,18 @@ def build_minhash_index(
         n_file_buckets,
         f"{path}/sigs" if path else None,
     )
+    # one-row parameter record: the probe MUST sign its shard with the
+    # same (shingle_n, n_perms, n_bands) or candidates are silently
+    # wrong — so the probe reads them from here instead of trusting its
+    # caller
+    meta = docs.sparkSession.createDataFrame(
+        [(shingle_n, n_perms, n_bands)],
+        "shingle_n int, n_perms int, n_bands int",
+    )
+    writer = meta.coalesce(1).write.mode("overwrite")
+    if path:
+        writer = writer.option("path", f"{path}/meta")
+    writer.saveAsTable(f"{table_prefix}_meta")
 
 
 def near_dup_against_index(
@@ -195,9 +207,6 @@ def near_dup_against_index(
     table_prefix: str,
     new_docs: DataFrame,
     text_col: str = "text",
-    shingle_n: int = 3,
-    n_perms: int = 64,
-    n_bands: int = 16,
     threshold: float = 0.7,
 ) -> DataFrame:
     """Probe a persisted MinHash index (build_minhash_index) with a new
@@ -206,9 +215,11 @@ def near_dup_against_index(
     in-batch (minhash_near_duplicates) and streaming
     (streaming/neardedup) cover the other two arrival patterns.
 
-    shingle_n / n_perms / n_bands MUST match the build call — the new
-    shard's signatures and band keys are the same pure map expressions,
-    so stream/batch/index bit-parity holds by shared code.
+    shingle_n / n_perms / n_bands are read from the index's one-row
+    `{prefix}_meta` table (recorded at build), so the shard is always
+    signed with the parameters the corpus was signed with — the same
+    pure map expressions, bit-parity by shared code, mismatch
+    impossible by construction.
 
     est_jaccard is the signature agreement fraction — the standard
     unbiased MinHash estimator (Broder 1997), stderr ≈
@@ -216,6 +227,8 @@ def near_dup_against_index(
     stores signatures, not shingle sets. Callers needing exact Jaccard
     re-verify the (tiny) survivor pairs against raw text; the estimator
     is what makes the index 100 TB-sized."""
+    m = spark.read.table(f"{table_prefix}_meta").head()
+    shingle_n, n_perms, n_bands = m.shingle_n, m.n_perms, m.n_bands
     sh = doc_shingles(new_docs, text_col, shingle_n)
     sigs = minhash_sigs(sh, "doc_id", n_perms)
     banded = sigs.select(

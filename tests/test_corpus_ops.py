@@ -1367,6 +1367,7 @@ def test_minhash_index_probe_finds_planted_dups(spark, docs, tmp_path_factory):
     finally:
         spark.sql("drop table if exists mhx_buckets")
         spark.sql("drop table if exists mhx_sigs")
+        spark.sql("drop table if exists mhx_meta")
 
 
 def test_minhash_index_probe_corpus_side_exchange_free(
@@ -1421,6 +1422,7 @@ def test_minhash_index_probe_corpus_side_exchange_free(
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.sql("drop table if exists mhp_buckets")
         spark.sql("drop table if exists mhp_sigs")
+        spark.sql("drop table if exists mhp_meta")
 
 
 def test_assign_nearest_matches_literal_nearest_centroid(spark, embeddings):
