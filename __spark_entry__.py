@@ -220,6 +220,12 @@ def _q_repetition_stats(spark, sf_dir):
     return repetition_stats(_docs(spark, sf_dir))
 
 
+# planted boilerplate for the substring_dedup 'lines' leg — words chosen
+# OUTSIDE the synthetic-doc vocabulary so no organic line can collide
+_LINE_BOILER_HEAD = "subscribe to our newsletter for updates"
+_LINE_BOILER_FOOT = "copyright acme corp all rights reserved"
+
+
 def _q_substring_dedup(spark, sf_dir):
     """Substring-dedup UMBRELLA (two oracle-checked legs over the same
     planted corpus — every doc_id % 7 == 0 doc re-enters as its first
@@ -237,10 +243,19 @@ def _q_substring_dedup(spark, sf_dir):
                     merges into one maximal cut interval — x1=tok_start,
                     x2=tok_end, x3=merged window count.
 
+     leg='lines'    cross-document line dedup (drop_common_lines,
+                    RefinedWeb-style boilerplate removal) over a corpus
+                    where every doc_id % 3 == 0 doc gets a shared header
+                    line and every doc_id % 5 == 0 doc a shared footer
+                    line planted — those lines hit min_df and vanish
+                    from every doc; x1=n_lines, x2=n_dropped,
+                    x3=length of the rewritten text.
+
     Truncation length uses integer-div on both engines (Spark `div`,
     DuckDB `//`) — float-div + cast ROUNDS in DuckDB but TRUNCATES in
     Spark. All value columns cast to bigint on both engines."""
     from gliner_spark.operators.dedup import (
+        drop_common_lines,
         repeated_ngram_spans,
         substring_duplicates,
     )
@@ -267,7 +282,23 @@ def _q_substring_dedup(spark, sf_dir):
         F.col("tok_end").cast("bigint").alias("x2"),
         F.col("n_windows").cast("bigint").alias("x3"),
     )
-    return contain.unionByName(repeat)
+    lcorpus = docs.select(
+        "doc_id",
+        F.concat_ws(  # concat_ws skips NULLs on both engines
+            "\n",
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_LINE_BOILER_HEAD)),
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(_LINE_BOILER_FOOT)),
+        ).alias("text"),
+    )
+    lines = drop_common_lines(lcorpus, min_df=2).select(
+        F.lit("lines").alias("leg"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_lines").cast("bigint").alias("x1"),
+        F.col("n_dropped").cast("bigint").alias("x2"),
+        F.length("text").cast("bigint").alias("x3"),
+    )
+    return contain.unionByName(repeat).unionByName(lines)
 
 
 def _q_quality(spark, sf_dir):
@@ -1991,10 +2022,40 @@ def oracle_sql() -> dict[str, str]:
                      min(pos)::bigint as x1,
                      (max(pos) + 15)::bigint as x2,
                      count(*)::bigint as x3
-              from rep_isl2 group by doc_id, island)
+              from rep_isl2 group by doc_id, island),
+            lcorpus as (
+              select doc_id,
+                     concat_ws(chr(10),
+                       case when doc_id % 3 = 0
+                            then '{_LINE_BOILER_HEAD}' end,
+                       text,
+                       case when doc_id % 5 = 0
+                            then '{_LINE_BOILER_FOOT}' end) as text
+              from documents),
+            lexp as (
+              select doc_id, u.l as line, trim(u.l) as norm
+              from lcorpus, unnest(string_split(text, chr(10))) as u(l)),
+            ldrop as (
+              select norm from lexp where norm <> ''
+              group by norm having count(distinct doc_id) >= 2),
+            lflag as (
+              select e.doc_id, e.line, e.norm,
+                     (e.norm = '' or d.norm is null) as keep
+              from lexp e left join ldrop d on e.norm = d.norm),
+            lines_leg as (
+              select 'lines' as leg, doc_id::bigint as doc_id,
+                     (count(*) filter (where norm <> ''))::bigint as x1,
+                     (count(*) filter (where norm <> '' and not keep)
+                       )::bigint as x2,
+                     (coalesce(sum(length(line)) filter (where keep), 0)
+                      + greatest(count(*) filter (where keep) - 1, 0)
+                       )::bigint as x3
+              from lflag group by doc_id)
             select * from contain_leg
             union all
             select * from repeat_leg
+            union all
+            select * from lines_leg
         """,
         "quality_scores": quality_sql,
         "quality_deciles": f"""

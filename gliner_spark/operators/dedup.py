@@ -880,6 +880,120 @@ def repeated_ngram_spans(
     ).select("doc_id", "tok_start", "tok_end", "n_windows")
 
 
+# ------------------------------------------------- cross-doc line dedup
+
+
+def drop_common_lines(
+    docs: DataFrame,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strategy: str = "broadcast",
+) -> DataFrame:
+    """Cross-document line-level dedup (the RefinedWeb/FineWeb
+    boilerplate filter; Penedo et al. 2023): a line whose trim-normalized
+    content appears in >= `min_df` DISTINCT documents is removed from
+    EVERY document (boilerplate-removal semantics — navigation chrome,
+    cookie banners, copyright footers — not keep-one-survivor). Lines
+    that trim to '' are structure, not content: never counted, never
+    dropped. The reference repo has no dedup (SURVEY §2 end-note).
+
+    Returns `docs` with `text_col` rewritten to the kept lines
+    (original, untrimmed, '\\n'-joined, order preserved) plus
+    (n_lines, n_dropped) — n_lines counts non-empty-trim lines.
+
+    Plan shape (strategy='broadcast', the 100 TB default):
+      pass 1  per-doc array_distinct of trimmed lines MAP-SIDE, explode,
+              then ONE map-side-combining count on xxhash64(line) —
+              count(*) == count(distinct doc) because the doc already
+              deduped its own lines, so no two-phase distinct aggregate
+              ships full (doc, line) multisets;
+      pass 2  the qualifying hashes fold into ONE sorted-array row
+              (no driver collect) that rides a broadcast crossJoin; the
+              rewrite is a pure map over the corpus — zero shuffle on
+              the big side. array_contains is a linear probe, so this
+              wants a drop set that fits a broadcast row (boilerplate
+              sets are tiny relative to any corpus); for a pathological
+              drop set use strategy='join'.
+    strategy='join': explode lines with position, left-join the drop
+    hashes on the int64 key, regroup ordered per doc — two shuffles of
+    the exploded corpus, but no per-line linear probe. Both strategies
+    are value-identical (parity-pinned in tests).
+
+    Hashing is only a shuffle/probe-key compaction, same stance as
+    repeated_ngram_spans: an xxhash64 collision could merge two distinct
+    lines, vanishingly unlikely and accepted at scale.
+    """
+    other = [c for c in docs.columns if c != text_col]
+    parts = F.split(F.col(text_col), "\n")
+    norm_lines = F.filter(
+        F.transform(parts, lambda l: F.trim(l)), lambda t: t != F.lit("")
+    )
+    per_doc = docs.select(
+        F.explode(F.array_distinct(norm_lines)).alias("_norm")
+    )
+    drop_hashes = (
+        per_doc.groupBy(F.xxhash64("_norm").alias("_h"))
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") >= min_df)
+    )
+
+    def line_kept(drop_col: Column):
+        return lambda l: (F.trim(l) == F.lit("")) | ~F.array_contains(
+            drop_col, F.xxhash64(F.trim(l))
+        )
+
+    if strategy == "broadcast":
+        drop_row = drop_hashes.agg(
+            F.coalesce(
+                F.sort_array(F.collect_set("_h")),
+                F.expr("array()").cast("array<bigint>"),
+            ).alias("_drop")
+        )
+        kept = F.filter(parts, line_kept(F.col("_drop")))
+        return docs.crossJoin(F.broadcast(drop_row)).select(
+            *other,
+            F.array_join(kept, "\n").alias(text_col),
+            F.size(norm_lines).alias("n_lines"),
+            (
+                F.size(norm_lines)
+                - F.size(F.filter(kept, lambda l: F.trim(l) != F.lit("")))
+            ).alias("n_dropped"),
+        )
+    if strategy != "join":
+        raise ValueError(f"unknown strategy: {strategy!r}")
+    exploded = docs.select(
+        id_col, F.posexplode(parts).alias("_pos", "_line")
+    ).withColumn("_norm", F.trim("_line"))
+    flagged = exploded.join(
+        drop_hashes.select(F.col("_h"), F.lit(True).alias("_d")),
+        F.xxhash64("_norm") == F.col("_h"),
+        "left",
+    ).withColumn(
+        "_keep", (F.col("_norm") == "") | F.col("_d").isNull()
+    )
+    stats = flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_keep"), F.struct("_pos", "_line"))
+                    )
+                ),
+                lambda s: s.getField("_line"),
+            ),
+            "\n",
+        ).alias("_text"),
+        F.count(F.when(F.col("_norm") != "", True)).alias("n_lines"),
+        F.count(
+            F.when((F.col("_norm") != "") & ~F.col("_keep"), True)
+        ).alias("n_dropped"),
+    )
+    return docs.drop(text_col).join(stats, id_col).select(
+        *other, F.col("_text").alias(text_col), "n_lines", "n_dropped"
+    )
+
+
 # ---------------------------------------------------------- semantic dedup
 
 

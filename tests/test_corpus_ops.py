@@ -1083,6 +1083,80 @@ def test_repeated_ngram_spans_clean_corpus_empty(spark):
     assert repeated_ngram_spans(spark.createDataFrame(rows), k=10).count() == 0
 
 
+# ------------------------------------------------- cross-doc line dedup
+
+
+def _line_dedup_oracle(rows, min_df):
+    """Python restatement of drop_common_lines' contract: a non-empty
+    trimmed line appearing in >= min_df distinct docs is removed from
+    every doc; empty-trim lines are kept verbatim; order preserved."""
+    from collections import Counter
+
+    df = Counter()
+    for _, text in rows:
+        df.update({ln.strip() for ln in text.split("\n") if ln.strip()})
+    drop = {ln for ln, c in df.items() if c >= min_df}
+    out = {}
+    for doc_id, text in rows:
+        parts = text.split("\n")
+        kept = [l for l in parts if not l.strip() or l.strip() not in drop]
+        n_lines = sum(1 for l in parts if l.strip())
+        n_kept = sum(1 for l in kept if l.strip())
+        out[doc_id] = ("\n".join(kept), n_lines, n_lines - n_kept)
+    return out
+
+
+def test_drop_common_lines_vs_oracle_both_strategies(spark):
+    from gliner_spark.operators.dedup import drop_common_lines
+
+    boiler = "subscribe to our newsletter"
+    foot = "copyright acme corp"
+    rows = [
+        (1, f"{boiler}\nalpha body one\n{foot}"),
+        (2, f"{boiler}\nbeta body two"),
+        (3, f"gamma body three\n{foot}"),
+        (4, f"  {boiler} \n\ndelta body four\n   "),  # trim-match + empties
+        (5, f"{boiler}\n{boiler}"),                   # within-doc repeat
+        (6, ""),                                      # empty doc
+        (7, "unique seven only"),
+    ]
+    want = _line_dedup_oracle(rows, min_df=2)
+    docs = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    for strategy in ("broadcast", "join"):
+        got = {
+            r.doc_id: (r.text, r.n_lines, r.n_dropped)
+            for r in drop_common_lines(
+                docs, min_df=2, strategy=strategy
+            ).collect()
+        }
+        assert got == want, strategy
+
+
+def test_drop_common_lines_min_df_and_clean_corpus(spark):
+    from gliner_spark.operators.dedup import drop_common_lines
+
+    rows = [(i, f"unique head {i}\nshared tail") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    # min_df above the actual df: nothing dropped, text unchanged
+    out = drop_common_lines(docs, min_df=4).collect()
+    assert all(r.n_dropped == 0 for r in out)
+    assert {r.text for r in out} == {t for _, t in rows}
+    # min_df met: the shared line goes from every doc
+    out2 = {r.doc_id: r.text for r in drop_common_lines(docs, min_df=3).collect()}
+    assert out2 == {i: f"unique head {i}" for i in range(3)}
+
+
+def test_drop_common_lines_preserves_extra_columns(spark):
+    from gliner_spark.operators.dedup import drop_common_lines
+
+    docs = spark.createDataFrame(
+        [(1, "x", "b\na"), (2, "y", "b\nc")],
+        "doc_id: bigint, tag: string, text: string",
+    )
+    out = {r.doc_id: (r.tag, r.text) for r in drop_common_lines(docs).collect()}
+    assert out == {1: ("x", "a"), 2: ("y", "c")}
+
+
 # ------------------------------------------------------ product quantization
 
 
