@@ -1440,11 +1440,16 @@ def _q_sequence_pack(spark, sf_dir):
       identical (n_tokens desc, doc_id) order — a genuinely sequential
       algorithm value-checked cross-engine.
     * leg='stats' — packing_stats per shard: idx=n_bins, a=n_docs,
-      b=total_tokens, c=round(fill_ratio·1e6) as bigint."""
+      b=total_tokens, c=round(fill_ratio·1e6) as bigint.
+    * leg='shuffle' — shuffle_export, deterministic global shuffle +
+      shard assignment for training export (all-integer md5 math, so
+      the assignment is bit-identical cross-engine): idx=seq within
+      shard, a=shuffle_key, b=c=0."""
     from gliner_spark.operators.packing import (
         bin_pack,
         chunk_pack,
         packing_stats,
+        shuffle_export,
     )
 
     docs = _docs(spark, sf_dir)
@@ -1478,7 +1483,21 @@ def _q_sequence_pack(spark, sf_dir):
         F.col("total_tokens").alias("b"),
         F.round(F.col("fill_ratio") * 1e6).cast("bigint").alias("c"),
     )
-    return chunk_leg.unionByName(bin_leg).unionByName(stats_leg)
+    sh = shuffle_export(docs, n_shards=n_shards, seed=1)
+    shuffle_leg = sh.select(
+        F.lit("shuffle").alias("leg"),
+        "doc_id",
+        "shard",
+        F.col("seq").alias("idx"),
+        F.col("shuffle_key").alias("a"),
+        F.lit(0).cast("bigint").alias("b"),
+        F.lit(0).cast("bigint").alias("c"),
+    )
+    return (
+        chunk_leg.unionByName(bin_leg)
+        .unionByName(stats_leg)
+        .unionByName(shuffle_leg)
+    )
 
 
 def _q_turn_cooccur(spark, sf_dir):
@@ -2623,13 +2642,27 @@ def oracle_sql() -> dict[str, str]:
                      count(*) as a, sum(n)::bigint as b,
                      round(round(sum(least(n, 64))::bigint::double
                        / ((max(bin_idx) + 1) * 64), 6) * 1e6)::bigint as c
-              from rec group by shard)
+              from rec group by shard),
+            sh as (
+              select doc_id,
+                     ('0x' || substr(md5('1:' || doc_id), 1, 8))::bigint
+                       as k
+              from documents),
+            shuffle_leg as (
+              select 'shuffle' as leg, doc_id,
+                     (k * 8) // 4294967296 as shard,
+                     row_number() over (
+                       partition by (k * 8) // 4294967296
+                       order by k, doc_id) as idx,
+                     k as a, 0 as b, 0 as c
+              from sh)
             select leg, doc_id::bigint as doc_id, shard::bigint as shard,
                    idx::bigint as idx, a::bigint as a, b::bigint as b,
                    c::bigint as c
             from (select * from chunk_leg
                   union all select * from bin_leg
-                  union all select * from stats_leg)
+                  union all select * from stats_leg
+                  union all select * from shuffle_leg)
         """,
         "edge_agg": """
             with t as (

@@ -41,7 +41,7 @@ from pyspark.sql.window import Window
 
 from ..functions.text import token_count
 
-__all__ = ["chunk_pack", "bin_pack", "packing_stats"]
+__all__ = ["chunk_pack", "bin_pack", "packing_stats", "shuffle_export"]
 
 
 def _with_shard_and_tokens(
@@ -205,4 +205,55 @@ def packing_stats(packed: DataFrame, max_len: int) -> DataFrame:
                 F.col("packed_tokens") / (F.col("n_bins") * lng), 6
             ).alias("fill_ratio"),
         )
+    )
+
+
+def shuffle_export(
+    docs: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the export step
+    after packing/curation, where the corpus must ship as N shard files
+    whose concatenation reads as a uniformly shuffled stream (training
+    dataloaders consume shards sequentially; any residual corpus order
+    — crawl order, domain order — becomes curriculum bias).
+
+    All-INTEGER math so the assignment is bit-identical across Spark /
+    DuckDB / Python (the md5-uniform stance of curation
+    stratified_sample, minus even the float division):
+
+      key   = first 8 md5 hex digits of '<seed>:<id>' as int64
+              (uniform on [0, 2^32); seed gives epoch reshuffles)
+      shard = (key * n_shards) div 2^32  — size-balanced in expectation
+      seq   = rank of (key, id) within the shard
+
+    → (doc_id, shard, seq, shuffle_key). The only wide op is the
+    per-shard rank — ONE hash exchange on `shard` feeding a streaming
+    row_number, exactly the repartition + sortWithinPartitions shape a
+    partitioned shard write wants (compose with
+    `df.repartition("shard").sortWithinPartitions("seq").write
+    .partitionBy("shard")`). Deliberately NO global orderBy: a total
+    sort is a range exchange over the whole corpus, and shard-local
+    order is all a dataloader needs.
+    """
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    keyed = docs.select(F.col(id_col).alias("doc_id"), key.alias("shuffle_key"))
+    # pure int64 div: key < 2^32 and any sane n_shards keeps the product
+    # far below 2^63 (ANSI mode would throw on overflow, not wrap)
+    shard = F.expr(f"(shuffle_key * {int(n_shards)}) div {1 << 32}")
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return (
+        keyed.withColumn("shard", shard)
+        .withColumn("seq", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "shard", "seq", "shuffle_key")
     )

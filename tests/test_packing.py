@@ -156,3 +156,68 @@ def test_chunk_pack_single_shuffle_plan(spark, docs):
     partitioning for the window); no extra shuffle for the explode."""
     plan = chunk_pack(docs, L, SHARDS)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ------------------------------------------------------- shuffle export
+
+
+def _shuffle_oracle(ids, n_shards, seed):
+    """Pure-python restatement of shuffle_export's integer md5 math."""
+    import hashlib
+
+    keyed = [
+        (int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8], 16), i)
+        for i in ids
+    ]
+    out = {}
+    by_shard = {}
+    for k, i in sorted(keyed):
+        s = (k * n_shards) >> 32
+        by_shard.setdefault(s, []).append((k, i))
+    for s, members in by_shard.items():
+        for seq, (k, i) in enumerate(sorted(members), start=1):
+            out[i] = (s, seq, k)
+    return out
+
+
+def test_shuffle_export_vs_python_oracle(spark, docs):
+    from gliner_spark.operators.packing import shuffle_export
+
+    got = {
+        r.doc_id: (r.shard, r.seq, r.shuffle_key)
+        for r in shuffle_export(docs, n_shards=SHARDS, seed=3).collect()
+    }
+    assert got == _shuffle_oracle(range(120), SHARDS, 3)
+
+
+def test_shuffle_export_balance_and_reshuffle(spark, docs):
+    from gliner_spark.operators.packing import shuffle_export
+
+    out = shuffle_export(docs, n_shards=SHARDS, seed=0)
+    sizes = {r.shard: r.n for r in out.groupBy("shard").count()
+             .withColumnRenamed("count", "n").collect()}
+    assert set(sizes) == set(range(SHARDS))       # every shard populated
+    assert max(sizes.values()) < 2 * (120 / SHARDS)  # no gross skew
+    # seq is a dense 1..n_s rank within each shard
+    per = out.groupBy("shard").agg(
+        F.min("seq").alias("lo"), F.max("seq").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()
+    assert all(r.lo == 1 and r.hi == r.n for r in per)
+    # a different seed is a genuinely different permutation
+    other = shuffle_export(docs, n_shards=SHARDS, seed=1)
+    joined = out.alias("a").join(other.alias("b"), "doc_id").where(
+        (F.col("a.shard") == F.col("b.shard"))
+        & (F.col("a.seq") == F.col("b.seq"))
+    )
+    assert joined.count() < 120
+
+
+def test_shuffle_export_single_exchange_plan(spark, docs):
+    from gliner_spark.operators.packing import shuffle_export
+
+    plan = (
+        shuffle_export(docs, n_shards=SHARDS)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
