@@ -215,6 +215,27 @@ def build_queries(spark, sf_dir: str, n_convs: int, parts: int):
         b = bin_pack(docs, max_len=512, n_shards=64).count()
         return a + b
 
+    def q_line_dedup():
+        from gliner_spark.operators.dedup import drop_common_lines
+
+        # plant boilerplate so the drop set is non-trivial (same shape
+        # as the oracle leg: shared header/footer lines)
+        corpus = docs.select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                F.when(F.col("doc_id") % 3 == 0, F.lit("shared header")),
+                F.col("text"),
+                F.when(F.col("doc_id") % 5 == 0, F.lit("shared footer")),
+            ).alias("text"),
+        )
+        return drop_common_lines(corpus, min_df=2).count()
+
+    def q_shuffle_export():
+        from gliner_spark.operators.packing import shuffle_export
+
+        return shuffle_export(docs, n_shards=64, seed=1).count()
+
     def q_lm_perplexity():
         from gliner_spark.operators.lm import (
             score_perplexity,
@@ -243,6 +264,8 @@ def build_queries(spark, sf_dir: str, n_convs: int, parts: int):
         "decontaminate": q_decontaminate,
         "bm25": q_bm25,
         "sequence_pack": q_sequence_pack,
+        "line_dedup": q_line_dedup,
+        "shuffle_export": q_shuffle_export,
         "lm_perplexity": q_lm_perplexity,
     }
 

@@ -363,6 +363,12 @@ def curate_corpus(
     mixture pass runs LAST over the docs that survived everything else
     (budgets must count only tokens that can actually ship).
 
+    Line-level boilerplate removal (`dedup.drop_common_lines`) is a
+    text REWRITE, not a doc tag, so it deliberately stays out of the
+    mixer: run it as a pre-pass and feed the cleaned corpus in here —
+    quality/repetition taggers then score the text that would actually
+    ship.
+
     Tagger-parallel (not sequential-stage) semantics on purpose: at
     100 TB each tagger is one pass over the same materialized corpus
     (cache/checkpoint `docs` to share the scan), and taggers compose by
