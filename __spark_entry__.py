@@ -301,10 +301,24 @@ def _q_substring_dedup(spark, sf_dir):
     return contain.unionByName(repeat).unionByName(lines)
 
 
-def _q_quality(spark, sf_dir):
-    from gliner_spark.operators.textstats import quality_scores
+# blocklist for the quality query's C4-style banned-term leg — words
+# chosen INSIDE the synthetic-doc vocabulary so hits are non-trivial
+_BLOCKLIST_TERMS = ("slow", "hash", "merge")
 
-    return quality_scores(_docs(spark, sf_dir))
+
+def _q_quality(spark, sf_dir):
+    """quality_scores ⋈ blocklist_stats (one row per doc): the Gopher/
+    C4-style heuristic quality signals plus banned-term tagging."""
+    from gliner_spark.operators.textstats import (
+        blocklist_stats,
+        quality_scores,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bl = blocklist_stats(docs, _BLOCKLIST_TERMS).select(
+        "doc_id", "n_hits", "n_distinct_hits", "hit_frac"
+    )
+    return quality_scores(docs).join(bl, "doc_id")
 
 
 def _q_language_id(spark, sf_dir):
@@ -1797,6 +1811,7 @@ _STOPWORDS = (
 
 def oracle_sql() -> dict[str, str]:
     sw_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    bl_list = ", ".join(f"'{w}'" for w in sorted(_BLOCKLIST_TERMS))
     lang_markers = {
         "de": ["der", "die", "und", "ist", "nicht"],
         "en": ["the", "and", "of", "is", "that"],
@@ -2076,7 +2091,27 @@ def oracle_sql() -> dict[str, str]:
             union all
             select * from lines_leg
         """,
-        "quality_scores": quality_sql,
+        "quality_scores": f"""
+            with q as ({quality_sql}),
+            bl as (
+              select doc_id,
+                     list_transform({_TOKS_SQL}, x -> lower(x)) as lt
+              from documents),
+            b as (
+              select doc_id,
+                     len(list_filter(lt, x ->
+                       list_contains([{bl_list}], x))) as n_hits,
+                     len(list_distinct(list_filter(lt, x ->
+                       list_contains([{bl_list}], x)))) as n_distinct_hits,
+                     case when len(lt) > 0 then
+                       round(len(list_filter(lt, x ->
+                         list_contains([{bl_list}], x)))::double
+                           / len(lt), 6)
+                     else 0.0 end as hit_frac
+              from bl)
+            select q.*, b.n_hits, b.n_distinct_hits, b.hit_frac
+            from q join b using (doc_id)
+        """,
         "quality_deciles": f"""
             with q as ({quality_sql})
             select doc_id, quality,

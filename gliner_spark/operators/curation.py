@@ -351,6 +351,8 @@ def curate_corpus(
     benchmark_docs: DataFrame | None = None,
     decontam_n: int = 13,
     near_dup_threshold: float = 0.8,
+    blocklist_terms=None,
+    max_blocklist_frac: float = 0.0,
     mixture_budgets: dict[str, int] | None = None,
     mixture_group_col: str = "source",
     mixture_default_budget: int = 0,
@@ -358,7 +360,7 @@ def curate_corpus(
     """One-call corpus curation — the Dolma mixer shape: every filter
     runs as an independent parallel TAGGER over the same corpus (exact
     dedup, transitive near-dedup, quality, repetition, language,
-    benchmark decontamination), then one mixer combines the tags into a
+    blocklist, benchmark decontamination), then one mixer combines the tags into a
     keep/drop decision with reason codes, and the optional token-budget
     mixture pass runs LAST over the docs that survived everything else
     (budgets must count only tokens that can actually ship).
@@ -386,7 +388,12 @@ def curate_corpus(
                  no per-stage count jobs
     """
     from .dedup import exact_duplicates, near_dedup_survivors
-    from .textstats import language_id, quality_scores, repetition_stats
+    from .textstats import (
+        blocklist_stats,
+        language_id,
+        quality_scores,
+        repetition_stats,
+    )
 
     ids = docs.select("doc_id")
     flag_cols: list[str] = []
@@ -434,6 +441,17 @@ def curate_corpus(
         add_flag(
             "bad_lang",
             langs.where(~F.col("pred_lang").isin(*sorted(allowed_langs))),
+        )
+
+    if blocklist_terms is not None:
+        bl = blocklist_stats(docs, blocklist_terms, text_col)
+        # max_blocklist_frac=0.0 is the C4 rule: ANY banned term drops
+        add_flag(
+            "blocklisted",
+            bl.where(
+                (F.col("n_hits") > 0)
+                & (F.col("hit_frac") > max_blocklist_frac)
+            ),
         )
 
     if benchmark_docs is not None:

@@ -118,6 +118,55 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def blocklist_stats(
+    docs: DataFrame,
+    terms,
+    text_col: str = "text",
+    max_literal_terms: int = 64,
+) -> DataFrame:
+    """C4/FineWeb-style banned-term tagging: per-doc occurrence count,
+    distinct-term hit count, and hit fraction against a lowercased
+    blocklist. C4 dropped any page containing a banned word; modern
+    pipelines keep the FRACTION as a taggable signal — this emits the
+    signal and leaves the threshold to the curation mixer.
+
+    Pure map stage, zero shuffle. Small lists ride as an array literal
+    (the ≤64-leaf rule); larger lists ride as a ONE-ROW broadcast-joined
+    column so a big literal is never re-evaluated per element access
+    (the broadcast-tensor rule). The probe is array_contains per token —
+    linear in |terms|, the right trade for wordlist-sized blocklists
+    (hundreds); a 100k-term list wants a broadcast semi-join on exploded
+    tokens instead (the `curation.decontaminate` shape).
+    """
+    lower_terms = sorted({t.lower() for t in terms})
+    toks = F.transform(tokens(F.col(text_col)), F.lower)
+    n_tok = F.size(toks)
+    src = docs
+    if len(lower_terms) <= max_literal_terms:
+        blockset = F.array(*[F.lit(t) for t in lower_terms])
+    else:
+        one = docs.sparkSession.createDataFrame(
+            [(lower_terms,)], "_blockset: array<string>"
+        )
+        src = docs.crossJoin(F.broadcast(one))
+        blockset = F.col("_blockset")
+    hits = F.filter(toks, lambda t: F.array_contains(blockset, t))
+    n_hits = F.size(hits)
+    return src.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_hits.alias("n_hits"),
+        # array_intersect dedups its output, so this IS the distinct count
+        F.size(F.array_intersect(toks, blockset)).alias("n_distinct_hits"),
+        F.round(
+            F.when(n_tok > 0, n_hits.cast("double") / n_tok).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("hit_frac"),
+    )
+
+
 # BPE-ish pre-tokenizer regex (GPT-2 shape, made RE2/Java-safe: the
 # original's `\s+(?!\S)` lookahead is dropped and whitespace runs are
 # simply not counted): contractions | space?+letters | space?+digits |

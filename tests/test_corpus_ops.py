@@ -239,6 +239,43 @@ def test_quality_scores_bounds(spark, docs):
         assert 0.0 <= r.punct_ratio <= 1.0
 
 
+def test_blocklist_stats_vs_python(spark):
+    import re
+
+    from gliner_spark.operators.textstats import blocklist_stats
+
+    terms = ["Bad", "awful"]  # mixed case in: lowercased inside
+    rows = [
+        (1, "this is bad truly BAD and awful stuff"),
+        (2, "perfectly fine text here"),
+        (3, "bad-ish compound but bad alone too"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    pat = re.compile(r"\w+(?:[-_]\w+)*|\S")  # mirrors functions.text.tokens
+    block = {t.lower() for t in terms}
+
+    def oracle(text):
+        toks = [t.lower() for t in pat.findall(text)]
+        hits = [t for t in toks if t in block]
+        frac = round(len(hits) / len(toks), 6) if toks else 0.0
+        return (len(toks), len(hits), len(set(hits)), frac)
+
+    want = {i: oracle(t) for i, t in rows}
+    got = {
+        r.doc_id: (r.n_tokens, r.n_hits, r.n_distinct_hits, r.hit_frac)
+        for r in blocklist_stats(docs, terms).collect()
+    }
+    assert got == want
+    # the >64-term one-row-broadcast path is value-identical
+    big = terms + [f"zzfiller{i}" for i in range(70)]
+    got_b = {
+        r.doc_id: (r.n_tokens, r.n_hits, r.n_distinct_hits, r.hit_frac)
+        for r in blocklist_stats(docs, big).collect()
+    }
+    assert got_b == want
+
+
 def test_language_id_accuracy(spark, docs):
     """Marker heuristic should beat chance on the synthetic corpus."""
     from gliner_spark.operators.textstats import language_id

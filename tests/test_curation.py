@@ -419,6 +419,9 @@ def test_curate_corpus_reason_codes_and_report(spark):
         # 9: clean but in the zero-budget source (over_budget)
         Row(doc_id=9, source="b",
             text="a perfectly clean document that cannot fit any budget"),
+        # 10: contains a banned term (blocklisted)
+        Row(doc_id=10, source="a",
+            text=good + " but it also mentions the forbidden gizmo term"),
     ]
     bench = [Row(doc_id=100, source="x",
                  text="the leaked secret benchmark answer string")]
@@ -429,6 +432,7 @@ def test_curate_corpus_reason_codes_and_report(spark):
         benchmark_docs=spark.createDataFrame(bench),
         decontam_n=5,
         near_dup_threshold=0.7,
+        blocklist_terms=["gizmo", "unused"],
         mixture_budgets={"a": 10_000},
         mixture_default_budget=0,
     )
@@ -442,8 +446,9 @@ def test_curate_corpus_reason_codes_and_report(spark):
     assert got[7] == (False, {"bad_lang"})
     assert got[8] == (False, {"contaminated"})
     assert got[9] == (False, {"over_budget"})
+    assert got[10] == (False, {"blocklisted"})
     rep = {r.reason: r.n_docs for r in report.collect()}
-    assert rep["total"] == 9 and rep["kept"] == 2
+    assert rep["total"] == 10 and rep["kept"] == 2
     assert rep["over_budget"] == 1 and rep["exact_dup"] == 1
     # reasons histogram matches decisions exactly
     from collections import Counter
