@@ -1458,9 +1458,14 @@ def _q_sequence_pack(spark, sf_dir):
     * leg='shuffle' — shuffle_export, deterministic global shuffle +
       shard assignment for training export (all-integer md5 math, so
       the assignment is bit-identical cross-engine): idx=seq within
-      shard, a=shuffle_key, b=c=0."""
+      shard, a=shuffle_key, b=c=0.
+    * leg='rag' — chunk_documents, per-document fixed-window chunking
+      with overlap (chunks never cross doc boundaries; chunk=48,
+      overlap=8): shard=-1, idx=chunk_idx, a=tok_start, b=tok_end,
+      c=n_chunk_tokens."""
     from gliner_spark.operators.packing import (
         bin_pack,
+        chunk_documents,
         chunk_pack,
         packing_stats,
         shuffle_export,
@@ -1507,10 +1512,22 @@ def _q_sequence_pack(spark, sf_dir):
         F.lit(0).cast("bigint").alias("b"),
         F.lit(0).cast("bigint").alias("c"),
     )
+    rag_leg = chunk_documents(
+        docs, chunk_tokens=48, overlap=8, with_text=False
+    ).select(
+        F.lit("rag").alias("leg"),
+        "doc_id",
+        F.lit(-1).cast("bigint").alias("shard"),
+        F.col("chunk_idx").alias("idx"),
+        F.col("tok_start").alias("a"),
+        F.col("tok_end").alias("b"),
+        F.col("n_chunk_tokens").alias("c"),
+    )
     return (
         chunk_leg.unionByName(bin_leg)
         .unionByName(stats_leg)
         .unionByName(shuffle_leg)
+        .unionByName(rag_leg)
     )
 
 
@@ -2690,14 +2707,25 @@ def oracle_sql() -> dict[str, str]:
                        partition by (k * 8) // 4294967296
                        order by k, doc_id) as idx,
                      k as a, 0 as b, 0 as c
-              from sh)
+              from sh),
+            rag_d as (
+              select doc_id, len({_TOKS_SQL}) as n from documents
+              where len({_TOKS_SQL}) > 0),
+            rag_leg as (
+              select 'rag' as leg, doc_id, -1 as shard, u.i as idx,
+                     u.i * 40 as a,
+                     least(u.i * 40 + 48, n) as b,
+                     least(u.i * 40 + 48, n) - u.i * 40 as c
+              from rag_d, unnest(generate_series(0,
+                   greatest(1, (n - 8 + 39) // 40) - 1)) as u(i))
             select leg, doc_id::bigint as doc_id, shard::bigint as shard,
                    idx::bigint as idx, a::bigint as a, b::bigint as b,
                    c::bigint as c
             from (select * from chunk_leg
                   union all select * from bin_leg
                   union all select * from stats_leg
-                  union all select * from shuffle_leg)
+                  union all select * from shuffle_leg
+                  union all select * from rag_leg)
         """,
         "edge_agg": """
             with t as (

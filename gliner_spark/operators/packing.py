@@ -39,9 +39,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from ..functions.text import token_count
+from ..functions.text import token_count, tokens
 
-__all__ = ["chunk_pack", "bin_pack", "packing_stats", "shuffle_export"]
+__all__ = [
+    "chunk_pack",
+    "bin_pack",
+    "packing_stats",
+    "shuffle_export",
+    "chunk_documents",
+]
 
 
 def _with_shard_and_tokens(
@@ -257,3 +263,63 @@ def shuffle_export(
         .withColumn("seq", F.row_number().over(w).cast("bigint"))
         .select("doc_id", "shard", "seq", "shuffle_key")
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+    text_col: str = "text",
+    with_text: bool = True,
+) -> DataFrame:
+    """Per-document fixed-size token chunking with overlap — the RAG /
+    retrieval-ingest shape, complementary to `chunk_pack`: chunks NEVER
+    cross document boundaries (chunk_pack concatenates docs into a
+    stream; retrieval wants each chunk attributable to one source doc).
+
+    stride = chunk_tokens - overlap; chunk i covers token interval
+    [i*stride, min(i*stride + chunk_tokens, n)) and
+    n_chunks = max(1, ceil((n - overlap) / stride)) — pure integer math
+    so the layout replays exactly in SQL/python. Zero-token docs emit
+    nothing; a doc shorter than chunk_tokens is one whole chunk.
+
+    Pure map stage (tokens → index sequence → explode), zero shuffle;
+    guarded `when(n > 0, ...)` around the index sequence per the
+    auto-negating-step rule. chunk_text (optional) is the space-joined
+    token slice — the normalized retrieval payload.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    base = docs.select(
+        F.col("doc_id"), toks.alias("_toks"), F.size(toks).alias("_n")
+    ).where(F.col("_n") > 0)
+    n_chunks = F.greatest(
+        F.lit(1), F.expr(f"(_n - {overlap} + {stride - 1}) div {stride}")
+    )
+    exploded = base.select(
+        "doc_id",
+        "_toks",
+        "_n",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * stride
+    end = F.least(start + chunk_tokens, F.col("_n"))
+    out = exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        start.cast("bigint").alias("tok_start"),
+        end.cast("bigint").alias("tok_end"),
+        (end - start).cast("bigint").alias("n_chunk_tokens"),
+        *(
+            [
+                F.concat_ws(
+                    " ", F.slice("_toks", start + 1, end - start)
+                ).alias("chunk_text")
+            ]
+            if with_text
+            else []
+        ),
+    )
+    return out

@@ -221,3 +221,59 @@ def test_shuffle_export_single_exchange_plan(spark, docs):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# --------------------------------------------------------- rag chunking
+
+
+def test_chunk_documents_vs_python(spark, docs):
+    from gliner_spark.operators.packing import chunk_documents
+
+    C, O = 7, 2
+    S = C - O
+
+    def oracle(n):
+        if n == 0:
+            return []
+        k = max(1, -(-(n - O) // S))
+        return [(i, i * S, min(i * S + C, n)) for i in range(k)]
+
+    got = {}
+    for r in chunk_documents(docs, chunk_tokens=C, overlap=O).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_idx, r.tok_start, r.tok_end)
+        )
+    for i, n in [(i, (i * 7) % 41) for i in range(120)]:
+        assert sorted(got.get(i, [])) == oracle(n), (i, n)
+
+
+def test_chunk_documents_coverage_and_text(spark, docs):
+    """Every token of every doc is covered; consecutive chunks overlap by
+    exactly `overlap` except a possibly-shorter tail; chunk_text is the
+    token slice."""
+    from gliner_spark.operators.packing import chunk_documents
+
+    out = chunk_documents(docs, chunk_tokens=10, overlap=3)
+    rows = sorted(
+        ((r.doc_id, r.chunk_idx, r.tok_start, r.tok_end, r.chunk_text)
+         for r in out.collect())
+    )
+    by_doc = {}
+    for d, i, s, e, t in rows:
+        by_doc.setdefault(d, []).append((i, s, e, t))
+    for d, chunks in by_doc.items():
+        n = (d * 7) % 41
+        assert chunks[0][1] == 0 and chunks[-1][2] == n  # full coverage
+        for (i1, s1, e1, _), (i2, s2, e2, _) in zip(chunks, chunks[1:]):
+            assert i2 == i1 + 1 and s2 == e1 - 3  # stride = chunk - overlap
+        for _, s, e, t in chunks:
+            assert t == " ".join(f"w{j}" for j in range(s, e))
+
+
+def test_chunk_documents_rejects_bad_overlap(spark, docs):
+    import pytest as _pytest
+
+    from gliner_spark.operators.packing import chunk_documents
+
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=8, overlap=8)
