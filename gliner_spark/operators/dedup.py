@@ -938,11 +938,6 @@ def drop_common_lines(
         .where(F.col("_df") >= min_df)
     )
 
-    def line_kept(drop_col: Column):
-        return lambda l: (F.trim(l) == F.lit("")) | ~F.array_contains(
-            drop_col, F.xxhash64(F.trim(l))
-        )
-
     if strategy == "broadcast":
         drop_row = drop_hashes.agg(
             F.coalesce(
@@ -950,7 +945,11 @@ def drop_common_lines(
                 F.expr("array()").cast("array<bigint>"),
             ).alias("_drop")
         )
-        kept = F.filter(parts, line_kept(F.col("_drop")))
+        kept = F.filter(
+            parts,
+            lambda l: (F.trim(l) == F.lit(""))
+            | ~F.array_contains(F.col("_drop"), F.xxhash64(F.trim(l))),
+        )
         return docs.crossJoin(F.broadcast(drop_row)).select(
             *other,
             F.array_join(kept, "\n").alias(text_col),

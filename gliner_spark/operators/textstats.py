@@ -130,34 +130,49 @@ def blocklist_stats(
     pipelines keep the FRACTION as a taggable signal — this emits the
     signal and leaves the threshold to the curation mixer.
 
-    Pure map stage, zero shuffle. Small lists ride as an array literal
-    (the ≤64-leaf rule); larger lists ride as a ONE-ROW broadcast-joined
-    column so a big literal is never re-evaluated per element access
-    (the broadcast-tensor rule). The probe is array_contains per token —
-    linear in |terms|, the right trade for wordlist-sized blocklists
-    (hundreds); a 100k-term list wants a broadcast semi-join on exploded
-    tokens instead (the `curation.decontaminate` shape).
+    Pure map stage, zero shuffle. Both sides of the probe are
+    xxhash64-compacted: int64 array_contains beat the string probe 2.6×
+    at 1M docs × 200 terms (25–28 s → ~10 s, identical counts) — the
+    same hash-as-key stance as repeated_ngram_spans (a collision could
+    miscount one token, vanishingly unlikely and accepted at scale).
+    Small lists fold to a literal bigint array at plan time (the
+    ≤64-leaf rule); larger lists ride as a ONE-ROW broadcast-joined
+    column, hashed inside the broadcast row, so a big literal is never
+    re-evaluated per element access (the broadcast-tensor rule). The
+    probe is still linear in |terms| — right for wordlist-sized
+    blocklists (hundreds); a 100k-term list wants a broadcast semi-join
+    on exploded tokens instead (the `curation.decontaminate` shape).
     """
     lower_terms = sorted({t.lower() for t in terms})
-    toks = F.transform(tokens(F.col(text_col)), F.lower)
-    n_tok = F.size(toks)
+    if not lower_terms:
+        raise ValueError("blocklist_stats: empty term list")
+    htoks = F.transform(
+        tokens(F.col(text_col)), lambda t: F.xxhash64(F.lower(t))
+    )
+    n_tok = F.size(htoks)
     src = docs
     if len(lower_terms) <= max_literal_terms:
-        blockset = F.array(*[F.lit(t) for t in lower_terms])
+        # xxhash64 of a literal is foldable → a constant bigint array
+        blockset = F.array(*[F.xxhash64(F.lit(t)) for t in lower_terms])
     else:
         one = docs.sparkSession.createDataFrame(
-            [(lower_terms,)], "_blockset: array<string>"
+            [(lower_terms,)], "_bl_terms: array<string>"
+        ).select(
+            F.sort_array(
+                F.transform("_bl_terms", lambda t: F.xxhash64(t))
+            ).alias("_blockset")
         )
         src = docs.crossJoin(F.broadcast(one))
         blockset = F.col("_blockset")
-    hits = F.filter(toks, lambda t: F.array_contains(blockset, t))
-    n_hits = F.size(hits)
+    n_hits = F.size(
+        F.filter(htoks, lambda h: F.array_contains(blockset, h))
+    )
     return src.select(
         "doc_id",
         n_tok.alias("n_tokens"),
         n_hits.alias("n_hits"),
         # array_intersect dedups its output, so this IS the distinct count
-        F.size(F.array_intersect(toks, blockset)).alias("n_distinct_hits"),
+        F.size(F.array_intersect(htoks, blockset)).alias("n_distinct_hits"),
         F.round(
             F.when(n_tok > 0, n_hits.cast("double") / n_tok).otherwise(
                 F.lit(0.0)
