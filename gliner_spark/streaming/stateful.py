@@ -24,6 +24,7 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -87,4 +88,101 @@ def running_entity_stats(entities: DataFrame) -> DataFrame:
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+# ------------------------------------------------ token-budget admission
+
+BUDGET_STATE_SCHEMA = T.StructType(
+    [T.StructField("cum_tokens", T.LongType(), False)]
+)
+
+BUDGET_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("group", T.StringType(), False),
+        T.StructField("n_tokens", T.LongType(), False),
+        T.StructField("cum_tokens", T.LongType(), False),
+    ]
+)
+
+
+def stream_budget_admit(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    default_budget: int = 0,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming twin of `curation.mixture_sample`: admit documents into
+    a per-domain token budget as they ARRIVE, with the running total as
+    grouped state — the live-ingest side of Pile/Dolma domain mixing
+    (cut the feed off the moment a domain's budget fills, instead of
+    over-collecting and resampling in batch).
+
+    Admission rule is the batch rule exactly: a doc is admitted iff the
+    group's running total BEFORE it is under budget — the crossing doc
+    ships, so a domain with any docs makes progress even when its budget
+    is below its shortest doc. Within a micro-batch docs are walked in
+    the same deterministic (md5-uniform, id) order as the batch op, so
+    one availableNow batch reproduces `mixture_sample`'s survivor set
+    bit-for-bit (parity-pinned in tests); across batches, arrival order
+    decides — a stream cannot see future documents, which IS the
+    semantic difference between the two, stated rather than hidden.
+
+    State per group is ONE int64 (the admitted-token total): bounded by
+    construction, no eviction needed. The admit mask inside a batch is a
+    vectorized monotone-prefix cumsum, not a per-row loop.
+    """
+    budget_map = {str(k): int(v) for k, v in budgets.items()}
+    dflt = int(default_budget)
+    u = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("double") / F.lit(float(1 << 32))
+    from ..functions.text import token_count
+
+    prepped = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(group_col).cast("string").alias("group"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        u.alias("_u"),
+    )
+
+    def admit(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        group = key[0]
+        budget = budget_map.get(group, dflt)
+        cum = state.get[0] if state.exists else 0
+        # concat the group's chunks so the (u, id) walk covers the WHOLE
+        # micro-batch (a per-chunk sort would order arbitrarily-split
+        # chunks independently); the group holds (id, counts) metadata
+        # only, never text — the bin_pack stance
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["_u", "doc_id"]).reset_index(drop=True)
+        inc = pdf["n_tokens"].cumsum()
+        # exclusive prefix + carried total < budget (monotone mask)
+        mask = (inc - pdf["n_tokens"] + cum) < budget
+        kept = pdf[mask]
+        if len(kept):
+            yield pd.DataFrame(
+                {
+                    "doc_id": kept["doc_id"],
+                    "group": group,
+                    "n_tokens": kept["n_tokens"],
+                    "cum_tokens": inc[mask] + cum,
+                }
+            )
+            cum = int((inc[mask] + cum).iloc[-1])
+        state.update((cum,))
+
+    return prepped.groupBy("group").applyInPandasWithState(
+        admit,
+        BUDGET_OUTPUT_SCHEMA,
+        BUDGET_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
     )

@@ -295,3 +295,98 @@ def test_stream_sessionize_matches_batch(spark, tmp_path_factory):
         ).collect()
     }
     assert got == exp and len(got) == 9  # 3 users x 3 bursts
+
+
+def test_stream_budget_admit_single_batch_matches_mixture_sample(
+    spark, tmp_path_factory
+):
+    """One availableNow batch over the whole corpus == the batch
+    mixture_sample survivor set (same md5-uniform walk, same crossing
+    rule), bit-for-bit including cum_tokens."""
+    from gliner_spark.operators.curation import mixture_sample
+    from gliner_spark.streaming.stateful import stream_budget_admit
+
+    land = str(tmp_path_factory.mktemp("ba_land"))
+    ckpt = str(tmp_path_factory.mktemp("ba_ckpt"))
+    rows = [
+        (i, "web" if i % 3 else "code",
+         " ".join(f"t{i}x{j}" for j in range((i * 5) % 17 + 1)))
+        for i in range(60)
+    ]
+    budgets = {"web": 120, "code": 40}
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(land)
+
+    want = {
+        (r["doc_id"], r["source"], r.n_tokens, r.cum_tokens)
+        for r in mixture_sample(
+            docs, "source", budgets, default_budget=0
+        ).collect()
+    }
+
+    stream = spark.readStream.schema(
+        "doc_id long, source string, text string"
+    ).parquet(land)
+    q = (
+        stream_budget_admit(stream, budgets)
+        .writeStream.format("memory")
+        .queryName("ba_sink")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_id, r.group, r.n_tokens, r.cum_tokens)
+        for r in spark.sql("select * from ba_sink").collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_stream_budget_admit_carries_state_across_batches(
+    spark, tmp_path_factory
+):
+    """The admitted-token total survives micro-batch boundaries: batch 2
+    only admits up to the remaining budget (crossing doc ships), then
+    nothing more ever admits."""
+    from gliner_spark.streaming.stateful import stream_budget_admit
+
+    land = str(tmp_path_factory.mktemp("bc_land"))
+    ckpt = str(tmp_path_factory.mktemp("bc_ckpt"))
+    five = "a b c d e"
+
+    def write_batch(ids):
+        spark.createDataFrame(
+            [(i, "web", five) for i in ids],
+            "doc_id long, source string, text string",
+        ).coalesce(1).write.mode("append").parquet(land)
+
+    write_batch([1, 2])   # 10 tokens
+    write_batch([3, 4])   # crossing doc ships -> one of these admits
+    write_batch([5, 6])   # budget long crossed -> nothing
+
+    stream = spark.readStream.schema(
+        "doc_id long, source string, text string"
+    ).option("maxFilesPerTrigger", 1).parquet(land)
+    q = (
+        stream_budget_admit(stream, {"web": 12})
+        .writeStream.format("memory")
+        .queryName("bc_sink")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.doc_id, r.cum_tokens)
+        for r in spark.sql("select * from bc_sink").collect()
+    )
+    # batch 1 admits both (cum 5, 10); batch 2 admits exactly ONE doc
+    # (10 < 12 -> crossing doc ships, cum 15); batch 3 admits none
+    assert len(got) == 3
+    assert {c for _, c in got} == {5, 10, 15}
+    assert {d for d, _ in got} <= {1, 2, 3, 4}
