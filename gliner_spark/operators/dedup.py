@@ -883,6 +883,114 @@ def repeated_ngram_spans(
 # ------------------------------------------------- cross-doc line dedup
 
 
+def line_doc_frequency(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(_h, _df): document frequency of every trim-normalized non-empty
+    line, keyed by xxhash64. The per-doc `array_distinct` happens
+    MAP-SIDE before the explode, so a plain count(*) equals
+    count(distinct doc) without a two-phase distinct aggregate — one
+    map-side-combining shuffle of (hash, count) pairs."""
+    parts = F.split(F.col(text_col), "\n")
+    norm_lines = F.filter(
+        F.transform(parts, lambda l: F.trim(l)), lambda t: t != F.lit("")
+    )
+    return (
+        docs.select(F.explode(F.array_distinct(norm_lines)).alias("_norm"))
+        .groupBy(F.xxhash64("_norm").alias("_h"))
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+
+
+def _drop_lines_broadcast(
+    docs: DataFrame, drop_hashes: DataFrame, text_col: str
+) -> DataFrame:
+    """Rewrite `docs` removing every line whose trim-hash appears in
+    `drop_hashes` (a (_h, …) DataFrame): the hashes fold into ONE
+    sorted-array row (no driver collect) that rides a broadcast
+    crossJoin, so the rewrite is a pure map — zero shuffle on the
+    corpus side."""
+    other = [c for c in docs.columns if c != text_col]
+    parts = F.split(F.col(text_col), "\n")
+    norm_lines = F.filter(
+        F.transform(parts, lambda l: F.trim(l)), lambda t: t != F.lit("")
+    )
+    drop_row = drop_hashes.agg(
+        F.coalesce(
+            F.sort_array(F.collect_set("_h")),
+            F.expr("array()").cast("array<bigint>"),
+        ).alias("_drop")
+    )
+    kept = F.filter(
+        parts,
+        lambda l: (F.trim(l) == F.lit(""))
+        | ~F.array_contains(F.col("_drop"), F.xxhash64(F.trim(l))),
+    )
+    return docs.crossJoin(F.broadcast(drop_row)).select(
+        *other,
+        F.array_join(kept, "\n").alias(text_col),
+        F.size(norm_lines).alias("n_lines"),
+        (
+            F.size(norm_lines)
+            - F.size(F.filter(kept, lambda l: F.trim(l) != F.lit("")))
+        ).alias("n_dropped"),
+    )
+
+
+def build_line_index(
+    docs: DataFrame,
+    table_prefix: str,
+    path: str | None = None,
+    text_col: str = "text",
+    n_file_buckets: int = 32,
+) -> None:
+    """Persist the corpus's line document-frequency table ONCE — the
+    line-dedup twin of `build_minhash_index`: at 100 TB the corpus is
+    line-counted exactly once and every later ingest shard probes the
+    table instead of re-reading the corpus.
+
+      {prefix}_linedf (_h, _df)  bucketed + sorted on _h
+
+    The probe join therefore runs WITHOUT an Exchange on the corpus
+    side — only the new shard (small by construction of incremental
+    ingest) shuffles to the bucket layout. To fold a cleaned shard into
+    the index later, union its `line_doc_frequency` with the table and
+    re-aggregate (the df column is additive across disjoint doc sets).
+    """
+    from ..sources.catalog import write_bucketed
+
+    write_bucketed(
+        line_doc_frequency(docs, text_col),
+        f"{table_prefix}_linedf",
+        ["_h"],
+        n_file_buckets,
+        path=path,
+    )
+
+
+def drop_common_lines_against_index(
+    spark,
+    shard: DataFrame,
+    table_prefix: str,
+    min_df: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Clean a NEW ingest shard against a persisted corpus line-df table:
+    total df = corpus df + the shard's own df (additive over disjoint
+    doc sets), so the result equals batch `drop_common_lines` over
+    corpus ∪ shard restricted to shard docs — parity-pinned in tests.
+
+    Plan: the shard's (hash, count) aggregate joins the bucketed table
+    (corpus side scans in bucket layout, no Exchange), qualifying hashes
+    fold to one broadcast row, and the shard rewrite is a pure map."""
+    corpus_df = spark.table(f"{table_prefix}_linedf").select(
+        "_h", F.col("_df").alias("_corpus_df")
+    )
+    shard_df = line_doc_frequency(shard, text_col)
+    total = shard_df.join(corpus_df, "_h", "left").where(
+        F.col("_df") + F.coalesce(F.col("_corpus_df"), F.lit(0)) >= min_df
+    )
+    return _drop_lines_broadcast(shard, total, text_col)
+
+
 def drop_common_lines(
     docs: DataFrame,
     min_df: int = 2,
@@ -924,45 +1032,18 @@ def drop_common_lines(
     repeated_ngram_spans: an xxhash64 collision could merge two distinct
     lines, vanishingly unlikely and accepted at scale.
     """
-    other = [c for c in docs.columns if c != text_col]
-    parts = F.split(F.col(text_col), "\n")
-    norm_lines = F.filter(
-        F.transform(parts, lambda l: F.trim(l)), lambda t: t != F.lit("")
+    drop_hashes = line_doc_frequency(docs, text_col).where(
+        F.col("_df") >= min_df
     )
-    per_doc = docs.select(
-        F.explode(F.array_distinct(norm_lines)).alias("_norm")
-    )
-    drop_hashes = (
-        per_doc.groupBy(F.xxhash64("_norm").alias("_h"))
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .where(F.col("_df") >= min_df)
-    )
-
     if strategy == "broadcast":
-        drop_row = drop_hashes.agg(
-            F.coalesce(
-                F.sort_array(F.collect_set("_h")),
-                F.expr("array()").cast("array<bigint>"),
-            ).alias("_drop")
-        )
-        kept = F.filter(
-            parts,
-            lambda l: (F.trim(l) == F.lit(""))
-            | ~F.array_contains(F.col("_drop"), F.xxhash64(F.trim(l))),
-        )
-        return docs.crossJoin(F.broadcast(drop_row)).select(
-            *other,
-            F.array_join(kept, "\n").alias(text_col),
-            F.size(norm_lines).alias("n_lines"),
-            (
-                F.size(norm_lines)
-                - F.size(F.filter(kept, lambda l: F.trim(l) != F.lit("")))
-            ).alias("n_dropped"),
-        )
+        return _drop_lines_broadcast(docs, drop_hashes, text_col)
     if strategy != "join":
         raise ValueError(f"unknown strategy: {strategy!r}")
+    other = [c for c in docs.columns if c != text_col]
     exploded = docs.select(
-        id_col, F.posexplode(parts).alias("_pos", "_line")
+        id_col, F.posexplode(F.split(F.col(text_col), "\n")).alias(
+            "_pos", "_line"
+        )
     ).withColumn("_norm", F.trim("_line"))
     flagged = exploded.join(
         drop_hashes.select(F.col("_h"), F.lit(True).alias("_d")),

@@ -1183,6 +1183,54 @@ def test_drop_common_lines_min_df_and_clean_corpus(spark):
     assert out2 == {i: f"unique head {i}" for i in range(3)}
 
 
+def test_line_index_probe_matches_batch(spark, tmp_path_factory):
+    """Incremental invariant: cleaning a new shard against the persisted
+    corpus line-df table == batch drop_common_lines over corpus ∪ shard,
+    restricted to shard docs — including the cross-set case where a line
+    is rare in the corpus AND rare in the shard but common combined."""
+    from gliner_spark.operators.dedup import (
+        build_line_index,
+        drop_common_lines,
+        drop_common_lines_against_index,
+    )
+
+    base = str(tmp_path_factory.mktemp("line_idx"))
+    corpus_rows = [
+        (1, "boiler\nalpha one"),
+        (2, "boiler\nbeta two"),
+        (3, "rare line\ngamma three"),   # df=1 in corpus
+    ]
+    shard_rows = [
+        (10, "boiler\ndelta ten"),            # corpus-common line
+        (11, "rare line\nepsilon eleven"),    # common only combined (1+1)
+        (12, "shardline\nzeta twelve"),
+        (13, "shardline\neta thirteen"),      # shard-internal df=2
+        (14, "unique fourteen"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id: bigint, text: string")
+    shard = spark.createDataFrame(shard_rows, "doc_id: bigint, text: string")
+    try:
+        build_line_index(corpus, "ldx", path=base)
+        got = {
+            r.doc_id: (r.text, r.n_lines, r.n_dropped)
+            for r in drop_common_lines_against_index(
+                spark, shard, "ldx", min_df=2
+            ).collect()
+        }
+        batch = {
+            r.doc_id: (r.text, r.n_lines, r.n_dropped)
+            for r in drop_common_lines(
+                corpus.unionByName(shard), min_df=2
+            ).collect()
+            if r.doc_id >= 10
+        }
+        assert got == batch
+        assert got[11][0] == "epsilon eleven"   # combined-df drop fired
+        assert got[13][0] == "eta thirteen"     # shard-internal drop fired
+    finally:
+        spark.sql("drop table if exists ldx_linedf")
+
+
 def test_drop_common_lines_preserves_extra_columns(spark):
     from gliner_spark.operators.dedup import drop_common_lines
 
