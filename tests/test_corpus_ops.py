@@ -1231,6 +1231,48 @@ def test_line_index_probe_matches_batch(spark, tmp_path_factory):
         spark.sql("drop table if exists ldx_linedf")
 
 
+def test_line_index_probe_corpus_side_exchange_free(
+    spark, docs, tmp_path_factory
+):
+    """The probe's df join reads the bucketed corpus table without an
+    Exchange; the only shuffles hang off the shard side."""
+    from gliner_spark.operators.dedup import (
+        build_line_index,
+        drop_common_lines_against_index,
+    )
+
+    base = str(tmp_path_factory.mktemp("line_idx2"))
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the test sees the at-scale SMJ shape
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        build_line_index(docs.limit(40), "ldp", path=base)
+        out = drop_common_lines_against_index(spark, docs.limit(5), "ldp")
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        tree = plan.split("\n\n")[0].split("\n")
+
+        def connector_pos(ln):
+            a, b = ln.find("+-"), ln.find(":-")
+            return min(x for x in (a, b) if x >= 0) if max(a, b) >= 0 else -1
+
+        (i,) = [n for n, ln in enumerate(tree) if "ldp_linedf" in ln]
+        depth = connector_pos(tree[i])
+        for ln in reversed(tree[:i]):
+            pos = connector_pos(ln)
+            if 0 <= pos < depth:
+                assert "Exchange" not in ln, (ln, tree)
+                depth = pos
+                if "Join" in ln:
+                    break
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("drop table if exists ldp_linedf")
+
+
 def test_drop_common_lines_preserves_extra_columns(spark):
     from gliner_spark.operators.dedup import drop_common_lines
 
