@@ -392,8 +392,12 @@ def _q_stratified_sample(spark, sf_dir):
       value=running token total incl. the doc (exact integer in a
       double). The oracle replays the NAIVE single-window spec, so the
       operator's two-pass bucket decomposition is value-checked against
-      the definition it optimizes."""
+      the definition it optimizes.
+    * leg='divergence' — corpus_divergence(all docs, lang='en' docs):
+      Jensen-Shannon drift over the SAME 1024 md5 gram buckets as the
+      dsir leg; doc_id=-1, key ∈ {kl_am, kl_bm, js}, rounded 6dp."""
     from gliner_spark.operators.curation import (
+        corpus_divergence,
         dsir_sample,
         mixture_sample,
         stratified_sample,
@@ -427,7 +431,17 @@ def _q_stratified_sample(spark, sf_dir):
         F.col("source").alias("key"),
         F.col("cum_tokens").cast("double").alias("value"),
     )
-    return strat.unionByName(dsir).unionByName(mixture)
+    div = corpus_divergence(
+        docs, docs.where("lang = 'en'"), n_buckets=1024
+    ).selectExpr(
+        "'divergence' as leg",
+        "cast(-1 as bigint) as doc_id",
+        "stack(3, 'kl_am', kl_am, 'kl_bm', kl_bm, 'js', js)"
+        " as (key, value)",
+    )
+    return (
+        strat.unionByName(dsir).unionByName(mixture).unionByName(div)
+    )
 
 
 def _q_decontaminate(spark, sf_dir):
@@ -2212,9 +2226,34 @@ def oracle_sql() -> dict[str, str]:
               from mc
               where cb < case source when 'src0' then 700
                                      when 'src1' then 150
-                                     else 400 end)
+                                     else 400 end),
+            -- divergence leg: JS over the SAME md5 buckets as dsir
+            -- (reuses CTE b); add-one smoothing over the full 1024-
+            -- bucket universe, a = all docs, b = lang='en' docs
+            dva as (select bk, count(*) as c from b group by bk),
+            dvb as (select bk, count(*) as c from b where lang = 'en'
+                    group by bk),
+            dvu as (select range as bk from range(1024)),
+            dvp as (select
+                      (coalesce(dva.c, 0) + 1)::double
+                        / ((select count(*) from b) + 1024) as pa,
+                      (coalesce(dvb.c, 0) + 1)::double
+                        / ((select count(*) from b where lang = 'en')
+                           + 1024) as pb
+                    from dvu left join dva using (bk)
+                             left join dvb using (bk)),
+            dvv as (select sum(pa * ln(pa / ((pa + pb) / 2))) as kl_am,
+                           sum(pb * ln(pb / ((pa + pb) / 2))) as kl_bm
+                    from dvp),
+            divergence as (
+              select 'divergence' as leg, (-1)::bigint as doc_id,
+                     k as "key", round(v, 6) as value
+              from (select 'kl_am' as k, kl_am as v from dvv
+                    union all select 'kl_bm', kl_bm from dvv
+                    union all select 'js', (kl_am + kl_bm) / 2 from dvv))
             select * from strat union all select * from dsir
             union all select * from mixture
+            union all select * from divergence
         """,
         "language_id": f"""
             with t as (select doc_id, text, {_TOKS_SQL} as toks

@@ -638,6 +638,73 @@ def dsir_weights(
     return with_lr.select(id_col, w.alias("log_weight"))
 
 
+def corpus_divergence(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+) -> DataFrame:
+    """Distribution drift between two corpora — the check a pipeline
+    runs between crawl snapshots, or between a domain and the mixture
+    it feeds (did the data change under us?): Jensen-Shannon divergence
+    over the SAME hashed unigram+bigram bucket distributions DSIR uses
+    (portable md5 buckets, add-one smoothing), so the drift measure and
+    the importance sampler see the same feature space.
+
+      JS(a, b) = ½·KL(p̂_a ‖ m) + ½·KL(p̂_b ‖ m),  m = (p̂_a + p̂_b)/2
+
+    0 = identical gram distributions; ln 2 ≈ 0.693 = disjoint.
+
+    Scale shape: identical to dsir_weights — each corpus collapses to a
+    ≤ n_buckets-row groupBy-count (the only collects, corpus-size
+    independent); the divergence is driver math on 2·n_buckets doubles.
+    Returns a ONE-ROW DataFrame (kl_am, kl_bm, js, n_grams_a,
+    n_grams_b), floats rounded to 6dp."""
+    import math
+
+    from ..functions.text import tokens, word_ngrams
+
+    toks = tokens(F.lower(F.col(text_col)))
+    grams = F.concat(toks, word_ngrams(toks, 2))
+    bucket = _dsir_bucket_sql("g", n_buckets)
+
+    def dist(df) -> list[int]:
+        rows = (
+            df.select(F.explode(grams).alias("g"))
+            .selectExpr(f"{bucket} as b")
+            .groupBy("b")
+            .count()
+            .collect()
+        )
+        counts = [0] * n_buckets
+        for r in rows:
+            counts[r["b"]] = r["count"]
+        return counts
+
+    ca, cb = dist(docs_a), dist(docs_b)
+    ta, tb = sum(ca) + n_buckets, sum(cb) + n_buckets
+    kl_am = kl_bm = 0.0
+    for i in range(n_buckets):
+        pa, pb = (ca[i] + 1) / ta, (cb[i] + 1) / tb
+        m = (pa + pb) / 2
+        kl_am += pa * math.log(pa / m)
+        kl_bm += pb * math.log(pb / m)
+    spark = docs_a.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                round(kl_am, 6),
+                round(kl_bm, 6),
+                round((kl_am + kl_bm) / 2, 6),
+                sum(ca),
+                sum(cb),
+            )
+        ],
+        "kl_am double, kl_bm double, js double, "
+        "n_grams_a long, n_grams_b long",
+    )
+
+
 def dsir_sample(
     raw_docs: DataFrame,
     target_docs: DataFrame,

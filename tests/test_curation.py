@@ -474,3 +474,57 @@ def test_curate_corpus_no_optional_stages(spark):
     assert all(r.keep and r.reasons == [] for r in decisions.collect())
     rep = {r.reason: r.n_docs for r in report.collect()}
     assert rep == {"total": 6, "kept": 6}
+
+
+def test_corpus_divergence_math_and_bounds(spark):
+    """Identical corpora give exactly 0; heavily disjoint vocabularies
+    push JS toward ln 2; values match a pure-python restatement."""
+    import math
+    import re
+
+    from pyspark.sql import Row
+
+    from gliner_spark.operators.curation import corpus_divergence
+
+    a_rows = [Row(doc_id=i,
+                  text=" ".join(f"al{j}" for j in range(10)) + f" {i % 3}")
+              for i in range(100)]
+    b_rows = [Row(doc_id=i,
+                  text=" ".join(f"ze{j}" for j in range(10)) + f" {i % 3}")
+              for i in range(100)]
+    a = spark.createDataFrame(a_rows)
+    b = spark.createDataFrame(b_rows)
+
+    same = corpus_divergence(a, a, n_buckets=256).collect()[0]
+    assert same.js == 0.0 and same.kl_am == 0.0
+
+    far = corpus_divergence(a, b, n_buckets=256).collect()[0]
+    assert 0.3 < far.js <= math.log(2) + 1e-9
+
+    # pure-python restatement (same md5 bucket, same smoothing)
+    import hashlib
+
+    pat = re.compile(r"\w+(?:[-_]\w+)*|\S")
+
+    def buckets(rows, n):
+        counts = [0] * n
+        for r in rows:
+            ts = pat.findall(r.text.lower())
+            grams = ts + [f"{x} {y}" for x, y in zip(ts, ts[1:])]
+            for g in grams:
+                counts[int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+                       % n] += 1
+        return counts
+
+    ca, cb = buckets(a_rows, 256), buckets(b_rows, 256)
+    ta, tb = sum(ca) + 256, sum(cb) + 256
+    kl_am = kl_bm = 0.0
+    for i in range(256):
+        pa, pb = (ca[i] + 1) / ta, (cb[i] + 1) / tb
+        m = (pa + pb) / 2
+        kl_am += pa * math.log(pa / m)
+        kl_bm += pb * math.log(pb / m)
+    assert far.kl_am == round(kl_am, 6)
+    assert far.kl_bm == round(kl_bm, 6)
+    assert far.js == round((kl_am + kl_bm) / 2, 6)
+    assert far.n_grams_a == sum(ca) and far.n_grams_b == sum(cb)
