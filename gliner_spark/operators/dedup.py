@@ -900,6 +900,31 @@ def line_doc_frequency(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def common_lines_report(
+    docs: DataFrame, top_k: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """The min_df picker for `drop_common_lines`: the corpus's most
+    document-frequent lines WITH their text (`line_doc_frequency` keeps
+    only hashes). → (line, df, n_chars), df-desc, top_k rows.
+
+    Same map-side array_distinct + one combining aggregate; grouping is
+    on the line hash with min(line) as the representative (exact modulo
+    an xxhash64 collision, the usual stance), and the top-k lands as
+    TakeOrderedAndProject — no global sort."""
+    parts = F.split(F.col(text_col), "\n")
+    norm_lines = F.filter(
+        F.transform(parts, lambda l: F.trim(l)), lambda t: t != F.lit("")
+    )
+    return (
+        docs.select(F.explode(F.array_distinct(norm_lines)).alias("_norm"))
+        .groupBy(F.xxhash64("_norm").alias("_h"))
+        .agg(F.count(F.lit(1)).alias("df"), F.min("_norm").alias("line"))
+        .orderBy(F.desc("df"), "line")
+        .limit(top_k)
+        .select("line", "df", F.length("line").alias("n_chars"))
+    )
+
+
 def _drop_lines_broadcast(
     docs: DataFrame, drop_hashes: DataFrame, text_col: str
 ) -> DataFrame:

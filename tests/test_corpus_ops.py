@@ -1654,3 +1654,18 @@ def test_assign_nearest_matches_literal_nearest_centroid(spark, embeddings):
         for r in assign_nearest(e, cents, "x").collect()
     }
     assert lit == bc
+
+
+def test_common_lines_report(spark):
+    from gliner_spark.operators.dedup import common_lines_report
+
+    rows = [(i, "boiler\n" + (f"foot\n" if i % 2 == 0 else "") + f"body {i}")
+            for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    got = [(r.line, r.df) for r in common_lines_report(docs, top_k=2).collect()]
+    assert got == [("boiler", 10), ("foot", 5)]
+    full = common_lines_report(docs, top_k=100).collect()
+    assert {r.line for r in full} == {"boiler", "foot"} | {
+        f"body {i}" for i in range(10)
+    }
+    assert all(r.n_chars == len(r.line) for r in full)
