@@ -499,7 +499,14 @@ def curate_corpus(
         (F.size("reasons") == 0).alias("keep"),
         "reasons",
     )
-    report = (
+    return decisions, attrition_report(decisions)
+
+
+def attrition_report(decisions: DataFrame) -> DataFrame:
+    """(reason, n_docs) histogram over a decisions table plus 'total'
+    and 'kept' rows — derivable from persisted decisions, so a resumed
+    pipeline rebuilds it without re-running any tagger."""
+    return (
         decisions.select(F.explode("reasons").alias("reason"))
         .groupBy("reason")
         .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -514,7 +521,6 @@ def curate_corpus(
             ).select(F.lit("kept").alias("reason"), "n_docs")
         )
     )
-    return decisions, report
 
 
 def decontaminate(

@@ -281,7 +281,14 @@ def minhash_near_duplicates(
     the band self-join quadratically."""
     from .linking import lsh_bucket_pairs
 
-    sh = doc_shingles(docs, text_col, shingle_n)
+    # empty shingle sets cannot be near-dups of anything (their Jaccard
+    # with any doc is 0/undefined), but they ALL share the padded
+    # signature, bucket together, and divide 0/0 in the verify (ANSI
+    # throws) — surfaced by line-dedup'd corpora where a doc's every
+    # line was boilerplate. Drop them before banding.
+    sh = doc_shingles(docs, text_col, shingle_n).where(
+        F.size("shingles") > 0
+    )
     sigs = minhash_sigs(sh, "doc_id", n_perms)
     banded = sigs.select(
         "doc_id",
@@ -1021,7 +1028,8 @@ def drop_common_lines(
     min_df: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
-    strategy: str = "broadcast",
+    strategy: str = "auto",
+    auto_broadcast_max: int = 8192,
 ) -> DataFrame:
     """Cross-document line-level dedup (the RefinedWeb/FineWeb
     boilerplate filter; Penedo et al. 2023): a line whose trim-normalized
@@ -1053,6 +1061,15 @@ def drop_common_lines(
     the exploded corpus, but no per-line linear probe. Both strategies
     are value-identical (parity-pinned in tests).
 
+    strategy='auto' (default) materializes the drop set (localCheckpoint
+    — it is the small output of an aggregate, paid once) and picks:
+    broadcast when it holds ≤ `auto_broadcast_max` hashes, join
+    otherwise. The pathological case is real, not hypothetical: a
+    corpus with 20k planted exact-duplicate docs put every copied line
+    at df=2 — an 81k-entry drop set whose linear probe was ~500
+    billion comparisons; auto caught it and the join path ran in
+    seconds.
+
     Hashing is only a shuffle/probe-key compaction, same stance as
     repeated_ngram_spans: an xxhash64 collision could merge two distinct
     lines, vanishingly unlikely and accepted at scale.
@@ -1060,6 +1077,13 @@ def drop_common_lines(
     drop_hashes = line_doc_frequency(docs, text_col).where(
         F.col("_df") >= min_df
     )
+    if strategy == "auto":
+        drop_hashes = drop_hashes.localCheckpoint()
+        strategy = (
+            "broadcast"
+            if drop_hashes.count() <= auto_broadcast_max
+            else "join"
+        )
     if strategy == "broadcast":
         return _drop_lines_broadcast(docs, drop_hashes, text_col)
     if strategy != "join":

@@ -528,3 +528,74 @@ def test_corpus_divergence_math_and_bounds(spark):
     assert far.kl_bm == round(kl_bm, 6)
     assert far.js == round((kl_am + kl_bm) / 2, 6)
     assert far.n_grams_a == sum(ca) and far.n_grams_b == sum(cb)
+
+
+def test_minhash_near_duplicates_tolerates_empty_docs(spark):
+    """Empty/boilerplate-only docs share the padded MinHash signature;
+    they must neither pair with each other nor 0/0 the Jaccard verify
+    (ANSI throws) — the line-dedup'd corpus shape."""
+    from pyspark.sql import Row
+
+    from gliner_spark.operators.dedup import minhash_near_duplicates
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base + " tail"),
+        Row(doc_id=3, text=""),
+        Row(doc_id=4, text=""),
+        Row(doc_id=5, text="   "),
+    ]
+    out = minhash_near_duplicates(
+        spark.createDataFrame(rows), jaccard_threshold=0.5
+    ).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in out}
+    assert (1, 2) in pairs
+    assert all(a not in (3, 4, 5) and b not in (3, 4, 5) for a, b in pairs)
+
+
+def test_curation_pipeline_end_to_end_and_resume(spark, tmp_path_factory):
+    from gliner_spark.curation_pipeline import (
+        run_curation_pipeline,
+        synth_corpus,
+    )
+
+    out = str(tmp_path_factory.mktemp("cur_pipe"))
+    docs = synth_corpus(spark, 600)
+    bench = docs.where("doc_id % 199 = 0").select("doc_id", "text")
+    kwargs = dict(
+        input_token="t:600",
+        blocklist_terms=("w100", "w200"),
+        benchmark_docs=bench,
+        benchmark_token="t:600:mod199",
+        mixture_budgets={"src0": 10**9},
+        mixture_default_budget=10**9,
+        n_shards=4,
+        max_len=128,
+    )
+    res = run_curation_pipeline(spark, docs, out, **kwargs)
+    rep = {r["reason"]: r["n_docs"] for r in res.report.collect()}
+    assert rep["total"] == 612  # 600 + 12 planted exact copies
+    assert rep.get("exact_dup", 0) >= 12
+    assert res.shards.count() == rep["kept"]
+    assert res.packed.count() > 0
+    # boilerplate really came out in stage 1
+    assert res.cleaned.where(
+        "text like '%subscribe to our newsletter%'"
+    ).count() == 0
+    # resume: identical rerun adds no lineage rows and reuses outputs
+    n_lineage = res.runner.lineage().count()
+    res2 = run_curation_pipeline(spark, docs, out, **kwargs)
+    assert res2.runner.lineage().count() == n_lineage
+    assert res2.decisions.count() == rep["total"]
+    # config change reruns ONLY downstream of decisions (docs_clean reused)
+    res3 = run_curation_pipeline(
+        spark, docs, out, **{**kwargs, "min_quality": 0.4}
+    )
+    lin = {
+        (r.stage, r.fingerprint)
+        for r in res3.runner.lineage().collect()
+    }
+    stages = [s for s, _ in lin]
+    assert stages.count("docs_clean") == 1      # untouched by the flip
+    assert stages.count("decisions") == 2       # re-ran under the new fp
