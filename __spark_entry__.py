@@ -1031,15 +1031,23 @@ def _q_multimodal_features(spark, sf_dir):
     DuckDB oracle value-checks the BMP stride/bottom-up walk AND the PNG
     CRC/inflate/unfilter pipeline (the PNG encoder cycles all five
     scanline filter types, so every unfilter branch is on the checked
-    path)."""
+    path).
+
+    r4c: and kind='video_avi' rows — per-asset statistics through the
+    REAL RIFF/AVI container parse (multimodal.video_stats/decode_avi):
+    frame f of asset i encodes _synth_pixels(i·131 + f), so the oracle
+    value-checks the chunk walk AND frame order (motion_sum is
+    order-sensitive: a swapped/dropped frame shifts it)."""
     from gliner_spark.operators.multimodal import (
         audio_stats,
         extract_features,
         image_stats,
         synth_assets,
+        synth_avi_assets,
         synth_bmp_assets,
         synth_png_assets,
         synth_wav_assets,
+        video_stats,
     )
 
     _ensure_shipped(spark)
@@ -1101,7 +1109,28 @@ def _q_multimodal_features(spark, sf_dir):
                 ).alias("dim", "value"),
             )
         )
-    return out
+    vid = video_stats(
+        synth_avi_assets(spark, 50, n_frames=4, width=8, height=6, fps=10)
+    )
+    vid_long = vid.select(
+        "asset_id",
+        F.lit("video_avi").alias("kind"),
+        (F.lit(3 * 4) * F.col("width") * F.col("height"))
+        .cast("int")
+        .alias("n_bytes"),
+        F.posexplode(
+            F.array(
+                F.col("n_frames").cast("double"),
+                F.col("width").cast("double"),
+                F.col("height").cast("double"),
+                F.col("fps").cast("double"),
+                F.col("sum_rgb").cast("double"),
+                F.round("mean_rgb", 6),
+                F.col("motion_sum").cast("double"),
+            )
+        ).alias("dim", "value"),
+    )
+    return out.unionByName(vid_long)
 
 
 def _synth_mentions(spark, sf_dir):
@@ -2676,6 +2705,46 @@ def oracle_sql() -> dict[str, str]:
                 (4, s.sum_b::double),
                 (5, round((s.sum_r + s.sum_g + s.sum_b) / 144.0, 6)),
                 (6, s.min_rgb), (7, s.max_rgb)
+              ) as u(dim, value))
+            union all
+            -- video_avi tier: regenerate the per-frame pixel pattern
+            -- (frame f of asset i uses id' = i*131 + f) and recompute
+            -- the sums plus the ORDER-SENSITIVE motion sum the Spark
+            -- side derives from the REAL RIFF/AVI chunk walk
+            select asset_id, 'video_avi' as kind, 576 as n_bytes,
+                   dim, value
+            from (
+              with vassets as (select range as asset_id from range(50)),
+              vpx as (
+                select asset_id, f, x, y,
+                       ((2654435761 * (asset_id * 131 + f) + 4074) % 256
+                        + 17 * x + 29 * y) % 256 as r,
+                       ((2654435761 * (asset_id * 131 + f) + 4074) % 256
+                        + 31 * x + 7 * y + 101) % 256 as g,
+                       ((2654435761 * (asset_id * 131 + f) + 4074) % 256
+                        + 5 * x + 53 * y + 191) % 256 as b
+                from vassets,
+                     unnest(generate_series(0, 3)) as uf(f),
+                     unnest(generate_series(0, 7)) as ux(x),
+                     unnest(generate_series(0, 5)) as uy(y)),
+              vsum as (
+                select asset_id, sum(r + g + b)::bigint as sum_rgb
+                from vpx group by 1),
+              vmot as (
+                select a.asset_id,
+                       sum(abs(a.r - p.r) + abs(a.g - p.g)
+                           + abs(a.b - p.b))::bigint as motion_sum
+                from vpx a join vpx p
+                  on p.asset_id = a.asset_id and p.f = a.f - 1
+                 and p.x = a.x and p.y = a.y
+                group by 1)
+              select s.asset_id, u.dim, u.value
+              from vsum s join vmot m using (asset_id)
+              cross join lateral (values
+                (0, 4.0), (1, 8.0), (2, 6.0), (3, 10.0),
+                (4, s.sum_rgb::double),
+                (5, round(s.sum_rgb / 576.0, 6)),
+                (6, m.motion_sum::double)
               ) as u(dim, value))
         """,
         "sequence_pack": f"""

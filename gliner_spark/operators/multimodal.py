@@ -806,6 +806,216 @@ def resize_images(
     )
 
 
+# --------------------------------------------------------------- AVI codec
+# numpy-only RIFF/AVI with uncompressed 'DIB ' frames: the VIDEO analog
+# of the BMP/WAV paths — a real container parse (RIFF chunk walk,
+# avih/strf headers, ordered '00db' frame chunks, each frame a
+# bottom-up BGR stride-padded pixel array exactly like the BMP body).
+# Compressed codecs (h264/vp9) keep the NotImplementedError marker
+# (the PyAV integration point, decoder="real").
+
+
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """(n, h, w, 3) uint8 RGB → minimal RIFF/AVI bytes (hdrl with
+    avih + one 'vids'/'DIB ' stream, movi list of '00db' frames)."""
+    import struct
+
+    n, h, w, _ = frames.shape
+    stride = (w * 3 + 3) & ~3
+    frame_size = stride * h
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def lst(subtype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", subtype + body)
+
+    avih = struct.pack(
+        "<14I",
+        # µs/frame, bytes/s, padding, flags (no idx1 list → no HASINDEX)
+        1_000_000 // fps, frame_size * fps, 0, 0,
+        n, 0, 1, frame_size, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4h",
+        b"vids", b"DIB ", 0, 0, 0, 0,
+        1, fps, 0, n, frame_size, 0, 0,
+        0, 0, int(w), int(h),
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 2835, 2835, 0, 0
+    )
+
+    def frame_bytes(px: np.ndarray) -> bytes:
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)
+        return rows.tobytes()
+
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00db", frame_bytes(f)) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(buf: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/AVI bytes → ((n, h, w, 3) uint8 RGB frames, fps). Walks the
+    chunk tree (LIST recursion, odd-size padding), reads dimensions and
+    frame timing from avih, validates 24-bit uncompressed via strf, and
+    unpacks every '00db'/'00dc' DIB frame (bottom-up BGR, stride 4);
+    rejects other layouts loudly."""
+    import struct
+
+    buf = bytes(buf)
+    if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload (missing RIFF/AVI magic)")
+    hdr: dict = {}
+    payloads: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            tag = buf[pos : pos + 4]
+            size = struct.unpack_from("<I", buf, pos + 4)[0]
+            body = pos + 8
+            if tag == b"LIST":
+                walk(body + 4, body + size)
+            elif tag == b"avih":
+                (usec, _, _, _, n, _, _, _, w, h) = struct.unpack_from(
+                    "<10I", buf, body
+                )
+                hdr.update(usec=usec, n=n, w=w, h=h)
+            elif tag == b"strf":
+                _hsz, _w, _h, _pl, bpp, comp = struct.unpack_from(
+                    "<IiiHHI", buf, body
+                )
+                if bpp != 24 or comp != 0:
+                    raise ValueError(
+                        f"only 24-bit uncompressed AVI supported "
+                        f"(bpp={bpp}, compression={comp})"
+                    )
+            elif tag in (b"00db", b"00dc"):
+                payloads.append(buf[body : body + size])
+            pos = body + size + (size & 1)
+
+    walk(12, len(buf))
+    if "w" not in hdr:
+        raise ValueError("AVI missing avih header")
+    w, h = hdr["w"], hdr["h"]
+    stride = (w * 3 + 3) & ~3
+    frames = np.empty((len(payloads), h, w, 3), dtype=np.uint8)
+    for i, p in enumerate(payloads):
+        arr = np.frombuffer(p, dtype=np.uint8, count=stride * h).reshape(
+            h, stride
+        )
+        frames[i] = arr[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]
+    fps = round(1_000_000 / hdr["usec"]) if hdr["usec"] else 0
+    return frames, fps
+
+
+def synth_avi_assets(
+    spark: SparkSession, n: int, n_frames: int = 4,
+    width: int = 8, height: int = 6, fps: int = 10, seed: int = 42,
+) -> DataFrame:
+    """n real AVI video assets (kind='video'): frame f of asset i is
+    `_synth_pixels(i * 131 + f, …)` — the same arithmetic pattern the
+    BMP/PNG oracles replay, shifted per frame so frame ORDER is
+    value-checked (a swapped or dropped frame shifts the motion sum)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "kind": ["video"] * len(ids),
+                    "data": [
+                        encode_avi(
+                            np.stack(
+                                [
+                                    _synth_pixels(
+                                        i * 131 + f, width, height, seed
+                                    )
+                                    for f in range(n_frames)
+                                ]
+                            ),
+                            fps,
+                        )
+                        for i in ids
+                    ],
+                    "meta": [
+                        {
+                            "codec": "avi",
+                            "w": str(width),
+                            "h": str(height),
+                            "frames": str(n_frames),
+                        }
+                    ]
+                    * len(ids),
+                }
+            )
+
+    return spark.range(n).mapInPandas(gen, ASSET_SCHEMA)
+
+
+VIDEO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("fps", T.IntegerType(), False),
+        T.StructField("sum_rgb", T.LongType(), False),
+        T.StructField("mean_rgb", T.DoubleType(), False),
+        T.StructField("motion_sum", T.LongType(), False),
+    ]
+)
+
+
+def video_stats(assets: DataFrame, decoder: str = "avi") -> DataFrame:
+    """video assets → per-asset statistics through the REAL AVI parse:
+    frame count/dims/fps from the headers, exact integer pixel sum over
+    all frames, and motion_sum = Σ_f Σ_px |frame_f − frame_{f−1}| —
+    order-sensitive, so a swapped/dropped/duplicated frame is caught by
+    the oracle, not just a bad pixel walk."""
+    if decoder == "real":
+        raise NotImplementedError(
+            "compressed-video decoders (PyAV) are not installed in this "
+            "container; use decoder='avi'"
+        )
+    if decoder != "avi":
+        raise ValueError(f"unknown video decoder: {decoder!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vids = pdf[pdf["kind"] == "video"]
+            if vids.empty:
+                continue
+            out = {k: [] for k in VIDEO_STATS_SCHEMA.names}
+            for aid, buf in zip(vids["asset_id"], vids["data"]):
+                frames, fps = decode_avi(buf)
+                fi = frames.astype(np.int64)
+                n, h, w, _ = fi.shape
+                out["asset_id"].append(int(aid))
+                out["n_frames"].append(n)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["fps"].append(fps)
+                out["sum_rgb"].append(int(fi.sum()))
+                out["mean_rgb"].append(float(fi.sum()) / fi.size)
+                out["motion_sum"].append(
+                    int(np.abs(fi[1:] - fi[:-1]).sum()) if n > 1 else 0
+                )
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "kind", "data").mapInPandas(
+        run, VIDEO_STATS_SCHEMA
+    )
+
+
 def frame_sample_plan(assets: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling PLAN: expands per-asset frame indices natively
     (metadata-driven; the decode of each sampled frame is the stubbed
