@@ -385,6 +385,35 @@ def build_ivf_index(
     return cents
 
 
+def append_to_ivf_index(embeddings: DataFrame, path: str) -> None:
+    """Incremental ingest into a persisted IVF index: assign the NEW
+    vectors to the EXISTING centroids (read from the sidecar — the
+    quantizer is immutable after build, the FAISS add() contract) and
+    append them under their cell partitions. No shuffle beyond the
+    co-locating repartition of the new shard; existing cells are never
+    rewritten or re-read. Probes see old + new rows transparently
+    (partition append is how a lakehouse ingests — the Iceberg
+    equivalent is an append snapshot on the bucketed table).
+
+    Periodic rebuild is still the curator's job: if the data
+    distribution drifts far from the frozen centroids, recall decays —
+    measure with `corpus_divergence` between the index's training
+    corpus and the appended stream, and rebuild past a threshold."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_centroids.json")) as f:
+        cents = json.load(f)
+    new = (
+        assign_nearest(embeddings.select("vec_id", _unit()), cents, "unit")
+        .withColumnRenamed("cluster", "cell")
+        .drop("dist2")
+    )
+    new.repartition(F.col("cell")).write.mode("append").partitionBy(
+        "cell"
+    ).parquet(path)
+
+
 def knn_ivf_indexed(
     spark,
     index_path: str,

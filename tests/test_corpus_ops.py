@@ -1727,3 +1727,52 @@ def test_multimodal_avi_real_decode_e2e(spark):
     m1 = int(np.abs(fr[1:].astype(int) - fr[:-1].astype(int)).sum())
     m2 = int(np.abs(swapped[1:].astype(int) - swapped[:-1].astype(int)).sum())
     assert m1 != m2
+
+
+def test_ivf_index_append_matches_bruteforce(
+    spark, embeddings, tmp_path_factory
+):
+    """append_to_ivf_index: new vectors assigned to the FROZEN centroids
+    land under their cell partitions; a full-probe query over the
+    appended index equals brute force over corpus ∪ shard (full probe
+    makes IVF exact regardless of assignment), and a planted
+    new-vector query finds its exact self at n_probe=1 (it really lives
+    in its nearest cell)."""
+    from gliner_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        knn_bruteforce,
+        knn_ivf_indexed,
+    )
+
+    path = str(tmp_path_factory.mktemp("ivf_app")) + "/index"
+    corpus = embeddings.where("vec_id < 80").select("vec_id", "embedding")
+    shard = embeddings.where("vec_id >= 80").select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    build_ivf_index(corpus, path, n_cells=8, seed=5)
+    append_to_ivf_index(shard, path)
+
+    q = embeddings.where("vec_id in (1, 85)").select(
+        F.when(F.col("vec_id") >= 80, F.col("vec_id") + 10_000)
+        .otherwise(F.col("vec_id"))
+        .alias("query_id"),
+        "embedding",
+    )
+    got = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in knn_ivf_indexed(spark, path, q, k=5, n_probe=8).collect()
+    )
+    want = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in knn_bruteforce(
+            corpus.unionByName(shard), q, k=5
+        ).collect()
+    )
+    assert got == want and len(got) == 10
+    # the appended vector's own cell holds it: top-1 at n_probe=1
+    self_hit = [
+        (r.query_id, r.vec_id)
+        for r in knn_ivf_indexed(spark, path, q, k=1, n_probe=1).collect()
+    ]
+    assert (10085, 10085) in self_hit
