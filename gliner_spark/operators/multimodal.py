@@ -1016,6 +1016,53 @@ def video_stats(assets: DataFrame, decoder: str = "avi") -> DataFrame:
     )
 
 
+def resize_video(
+    assets: DataFrame, width: int = 224, height: int = 224,
+    decoder: str = "avi",
+) -> DataFrame:
+    """Per-frame video resize as a mapInPandas stage: REAL decode
+    (decode_avi) → nearest-neighbor resample of every frame (the same
+    nn_resize rule as images) → re-encode at the target size, fps and
+    frame count preserved. decoder="real" is the PyAV integration point
+    (NotImplemented here)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if decoder == "real":
+            raise NotImplementedError(
+                "PyAV is not installed in this container; use "
+                "decoder='avi'"
+            )
+        if decoder != "avi":
+            raise ValueError(f"unknown video decoder: {decoder!r}")
+        for pdf in batches:
+            vids = pdf[pdf["kind"] == "video"]
+            if vids.empty:
+                continue
+            out_payloads = []
+            for buf in vids["data"]:
+                frames, fps = decode_avi(buf)
+                out_payloads.append(
+                    encode_avi(
+                        np.stack(
+                            [nn_resize(f, width, height) for f in frames]
+                        ),
+                        fps or 1,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": vids["asset_id"].values,
+                    "width": np.full(len(vids), width, dtype=np.int32),
+                    "height": np.full(len(vids), height, dtype=np.int32),
+                    "data": out_payloads,
+                }
+            )
+
+    return assets.select("asset_id", "kind", "data").mapInPandas(
+        run, RESIZED_SCHEMA
+    )
+
+
 def frame_sample_plan(assets: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling PLAN: expands per-asset frame indices natively
     (metadata-driven; the decode of each sampled frame is the stubbed

@@ -1776,3 +1776,35 @@ def test_ivf_index_append_matches_bruteforce(
         for r in knn_ivf_indexed(spark, path, q, k=1, n_probe=1).collect()
     ]
     assert (10085, 10085) in self_hit
+
+
+def test_resize_video_real_pixels(spark):
+    """resize_video decodes, nn-resamples every frame, re-encodes: the
+    output parses back with the target dims, same frame count/fps, and
+    pixel values equal per-frame nn_resize of the originals."""
+    import numpy as np
+
+    from gliner_spark.operators.multimodal import (
+        _synth_pixels,
+        decode_avi,
+        nn_resize,
+        resize_video,
+        synth_avi_assets,
+    )
+
+    out = {
+        r.asset_id: (r.width, r.height, bytes(r.data))
+        for r in resize_video(
+            synth_avi_assets(spark, 4, n_frames=3, width=8, height=6),
+            width=4,
+            height=12,
+        ).collect()
+    }
+    assert len(out) == 4
+    for aid, (w, h, buf) in out.items():
+        assert (w, h) == (4, 12)
+        frames, fps = decode_avi(buf)
+        assert fps == 10 and frames.shape == (3, 12, 4, 3)
+        for f in range(3):
+            want = nn_resize(_synth_pixels(aid * 131 + f, 8, 6, 42), 4, 12)
+            assert np.array_equal(frames[f], want)
