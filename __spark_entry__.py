@@ -1305,10 +1305,16 @@ def _q_multimodal_resize(spark, sf_dir):
     r4b: plus an 'image_png' tier — the same resize through the PNG
     codec (CRC-verified chunk walk, zlib inflate, five-filter unfilter,
     re-encode); PNG-decoded pixels equal BMP-decoded pixels by
-    construction, which test_corpus_ops pins directly."""
+    construction, which test_corpus_ops pins directly.
+
+    r4c: plus a 'video' tier — per-frame resize through the RIFF/AVI
+    chunk walk (decode_avi/resize_video), pixel-exactness pinned in
+    test_corpus_ops::test_resize_video_real_pixels."""
     from gliner_spark.operators.multimodal import (
         resample_audio,
         resize_images,
+        resize_video,
+        synth_avi_assets,
         synth_bmp_assets,
         synth_png_assets,
         synth_wav_assets,
@@ -1355,7 +1361,18 @@ def _q_multimodal_resize(spark, sf_dir):
         F.col("n_samples").alias("out_b"),
         F.md5("data").alias("payload_md5"),
     )
-    return img.unionByName(wav)
+    vid = resize_video(
+        synth_avi_assets(spark, 50, n_frames=4, width=8, height=6),
+        width=16,
+        height=12,
+    ).select(
+        F.lit("video").alias("tier"),
+        "asset_id",
+        F.col("width").alias("out_a"),
+        F.col("height").alias("out_b"),
+        F.md5("data").alias("payload_md5"),
+    )
+    return img.unionByName(wav).unionByName(vid)
 
 
 def _q_constrained_labels(spark, sf_dir):

@@ -353,6 +353,8 @@ def curate_corpus(
     near_dup_threshold: float = 0.8,
     blocklist_terms=None,
     max_blocklist_frac: float = 0.0,
+    classifier_weights=None,
+    min_classifier_prob: float = 0.5,
     mixture_budgets: dict[str, int] | None = None,
     mixture_group_col: str = "source",
     mixture_default_budget: int = 0,
@@ -360,7 +362,8 @@ def curate_corpus(
     """One-call corpus curation — the Dolma mixer shape: every filter
     runs as an independent parallel TAGGER over the same corpus (exact
     dedup, transitive near-dedup, quality, repetition, language,
-    blocklist, benchmark decontamination), then one mixer combines the tags into a
+    blocklist, learned-classifier score, benchmark decontamination),
+    then one mixer combines the tags into a
     keep/drop decision with reason codes, and the optional token-budget
     mixture pass runs LAST over the docs that survived everything else
     (budgets must count only tokens that can actually ship).
@@ -441,6 +444,15 @@ def curate_corpus(
         add_flag(
             "bad_lang",
             langs.where(~F.col("pred_lang").isin(*sorted(allowed_langs))),
+        )
+
+    if classifier_weights is not None:
+        from .classifier import score_quality
+
+        scq = score_quality(docs, classifier_weights, text_col)
+        add_flag(
+            "low_classifier_score",
+            scq.where(F.col("quality_prob") < min_classifier_prob),
         )
 
     if blocklist_terms is not None:

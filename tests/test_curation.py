@@ -422,9 +422,23 @@ def test_curate_corpus_reason_codes_and_report(spark):
         # 10: contains a banned term (blocklisted)
         Row(doc_id=10, source="a",
             text=good + " but it also mentions the forbidden gizmo term"),
+        # 11: spam-vocabulary doc the learned classifier must reject
+        Row(doc_id=11, source="a",
+            text="buy cheap pills now click winner prize deal wow "
+                 "free offer buy cheap pills now click winner prize"),
     ]
     bench = [Row(doc_id=100, source="x",
                  text="the leaked secret benchmark answer string")]
+    from gliner_spark.operators.classifier import train_quality_classifier
+
+    clf_pos = spark.createDataFrame(
+        [Row(doc_id=i, text=good + f" sample {i}") for i in range(8)])
+    clf_neg = spark.createDataFrame(
+        [Row(doc_id=i,
+             text="buy cheap pills now click winner prize deal wow "
+                  f"free offer {i}") for i in range(8)])
+    weights = train_quality_classifier(
+        clf_pos, clf_neg, n_buckets=4096, iters=12, lr=0.5)
     decisions, report = curate_corpus(
         spark.createDataFrame(rows),
         min_quality=0.5,
@@ -433,6 +447,8 @@ def test_curate_corpus_reason_codes_and_report(spark):
         decontam_n=5,
         near_dup_threshold=0.7,
         blocklist_terms=["gizmo", "unused"],
+        classifier_weights=weights,
+        min_classifier_prob=0.3,
         mixture_budgets={"a": 10_000},
         mixture_default_budget=0,
     )
@@ -447,8 +463,10 @@ def test_curate_corpus_reason_codes_and_report(spark):
     assert got[8] == (False, {"contaminated"})
     assert got[9] == (False, {"over_budget"})
     assert got[10] == (False, {"blocklisted"})
+    assert "low_classifier_score" in got[11][1] and not got[11][0]
+    assert all("low_classifier_score" not in got[i][1] for i in (1, 2))
     rep = {r.reason: r.n_docs for r in report.collect()}
-    assert rep["total"] == 10 and rep["kept"] == 2
+    assert rep["total"] == 11 and rep["kept"] == 2
     assert rep["over_budget"] == 1 and rep["exact_dup"] == 1
     # reasons histogram matches decisions exactly
     from collections import Counter
