@@ -1457,7 +1457,13 @@ def _q_curation_profile(spark, sf_dir):
       specific; accuracy is pytest-pinned vs exact counts).
     * leg='confidence' — k-fold assignment + gold-span confidence under
       the token scorer (hash-scorer values; span-score math pytest-
-      pinned to the token decoder)."""
+      pinned to the token decoder).
+    * leg='bpe' — corpus-trained BPE tokenizer (operators/bpe.py):
+      one merge_rank row per learned merge (training = one combining
+      word-count aggregate + bounded head collect + driver merge loop)
+      plus the distributed encode's corpus totals (rows-only: the merge
+      list is driver-side python output; trainer math and Spark↔python
+      encode parity are pytest-pinned in test_bpe.py)."""
     cs_long = (
         _q_corpus_summary(spark, sf_dir)
         .selectExpr(
@@ -1496,7 +1502,42 @@ def _q_curation_profile(spark, sf_dir):
         )
         .select(F.lit("confidence").alias("leg"), "key", "metric", "value")
     )
-    return cs_long.unionByName(cf_long)
+    from gliner_spark.operators.bpe import bpe_encode, train_bpe
+
+    docs = _docs(spark, sf_dir)
+    model = train_bpe(docs, n_merges=24, max_words=4000)
+    merge_rows = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(model.merges)],
+        "rank long, a string, b string",
+    ).select(
+        F.lit("bpe").alias("leg"),
+        F.concat_ws("+", "a", "b").alias("key"),
+        F.lit("merge_rank").alias("metric"),
+        F.col("rank").cast("double").alias("value"),
+    )
+    enc_stats = (
+        bpe_encode(docs, model)
+        .agg(
+            F.sum("n_pretokens").alias("pre"),
+            F.sum("n_tokens").alias("tok"),
+        )
+        .selectExpr(
+            "stack(2, "
+            "'total_pretokens', cast(pre as double), "
+            "'total_tokens_learned', cast(tok as double)) as (metric, value)"
+        )
+        .select(
+            F.lit("bpe").alias("leg"),
+            F.lit("all").alias("key"),
+            "metric",
+            "value",
+        )
+    )
+    return (
+        cs_long.unionByName(cf_long)
+        .unionByName(merge_rows)
+        .unionByName(enc_stats)
+    )
 
 
 def _q_sequence_pack(spark, sf_dir):
