@@ -179,3 +179,42 @@ def test_simhash_bits_is_pure_map_stage(spark):
     plan = _plan(simhash_bits(docs))
     assert plan.find("Exchange") < 0, plan
     assert plan.find("Aggregate") < 0, plan
+
+
+def test_bpe_encode_is_pure_map_stage(spark):
+    """The learned-BPE encode is a single narrow mapInPandas projection:
+    the merge list rides the closure, so there is no join, no aggregate,
+    and no exchange — the shape that scales as a map at any corpus size."""
+    from gliner_spark.operators.bpe import BPEModel, bpe_encode
+
+    docs = spark.createDataFrame(
+        [(0, "the theme"), (1, "low lower")], ["doc_id", "text"]
+    )
+    plan = _plan(bpe_encode(docs, BPEModel([("t", "h")], ["t", "h", "e"])))
+    assert plan.find("Exchange") < 0, plan
+    assert plan.find("HashAggregate") < 0, plan
+
+
+def test_bpe_training_count_has_partial_aggregation(spark):
+    """BPE training's word count must plan a map-side partial aggregate
+    before its single exchange (the only shuffle in training)."""
+    from gliner_spark.operators.bpe import BPE_ISH_PATTERN
+
+    docs = spark.createDataFrame(
+        [(0, "the theme"), (1, "low lower")], ["doc_id", "text"]
+    )
+    counts = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.col("text"), F.lit(BPE_ISH_PATTERN), 0
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    plan = _plan(counts)
+    first_agg = plan.find("HashAggregate")
+    first_exchange = plan.find("Exchange")
+    assert 0 <= first_agg < first_exchange, plan
