@@ -327,10 +327,80 @@ def _q_language_id(spark, sf_dir):
     return language_id(_docs(spark, sf_dir))
 
 
-def _q_redact_pii(spark, sf_dir):
-    from gliner_spark.operators.textstats import redact_pii
+def _redact_pii_sql():
+    """DuckDB replay of redact_pii ⋈ clean_text: the same regex chain
+    for PII, and the identical strip→space-unify→translate→squeeze→NFC
+    chain for the cleaning leg (nfc_normalize is utf8proc — same Unicode
+    annex as python's unicodedata, values bit-identical). The translate
+    TO string is composed from chr(39)/'"' to dodge SQL quote escaping."""
+    from gliner_spark.operators.textstats import (
+        CONTROL_CHARS,
+        PUNCT_FOLD_FROM,
+        UNICODE_SPACES,
+    )
 
-    return redact_pii(_docs(spark, sf_dir))
+    fold_to = "chr(39)||chr(39)||chr(39)||'\"\"\"---'"
+    return f"""
+        with r as (
+          select doc_id,
+                 regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                   '<EMAIL>', 'g'),
+                   '(\\+?\\d{{1,2}}[-. ]?)?(\\(\\d{{3}}\\)|\\d{{3}})[-. ]?\\d{{3}}[-. ]?\\d{{4}}',
+                   '<PHONE>', 'g'),
+                   '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b',
+                   '<IP>', 'g') as redacted_text
+          from documents),
+        d as (
+          select doc_id,
+                 '{_DIRTY_PREFIX}' || chr(7) || ' ' || text as t
+          from documents),
+        n as (
+          select doc_id,
+                 length(t)::bigint as n_chars_raw,
+                 nfc_normalize(trim(regexp_replace(
+                   translate(
+                     regexp_replace(
+                       regexp_replace(t, '{CONTROL_CHARS}', '', 'g'),
+                       '{UNICODE_SPACES}', ' ', 'g'),
+                     '{PUNCT_FOLD_FROM}', {fold_to}),
+                   '\\s+', ' ', 'g'))) as norm_text
+          from d)
+        select r.doc_id, redacted_text,
+               len(string_split(redacted_text, '<EMAIL>')) - 1
+                 as n_emails,
+               len(string_split(redacted_text, '<PHONE>')) - 1
+                 as n_phones,
+               len(string_split(redacted_text, '<IP>')) - 1 as n_ips,
+               norm_text, n_chars_raw,
+               length(norm_text)::bigint as n_chars_norm
+        from r join n using (doc_id)
+    """
+
+
+# Deterministic dirty header for the clean_text leg of redact_pii:
+# decomposed e + combining acute, NBSP, curly quotes, em-dash, BEL —
+# the ASCII synthetic corpus otherwise exercises none of the folds.
+# BMP-only so Spark's UTF-16 length == DuckDB's codepoint length.
+_DIRTY_PREFIX = "Cafe\u0301\u00a0\u201cq\u201d\u2014"
+
+
+def _q_redact_pii(spark, sf_dir):
+    """PII scrub ⋈ unicode cleaning (r4: clean_text joined in — the
+    C4/ftfy normalization stage). Each doc's text is prefixed with
+    _DIRTY_PREFIX + BEL so every folding rule fires; DuckDB replays the
+    identical regexp/translate chain and its utf8proc-backed
+    nfc_normalize value-checks the pandas-udf NFC composition."""
+    from gliner_spark.operators.textstats import clean_text, redact_pii
+
+    docs = _docs(spark, sf_dir)
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(_DIRTY_PREFIX + "\x07 "), F.col("text")
+        ).alias("text"),
+    )
+    return redact_pii(docs).join(clean_text(dirty), "doc_id")
 
 
 def _q_corpus_summary(spark, sf_dir):
@@ -2429,25 +2499,7 @@ def oracle_sql() -> dict[str, str]:
                                  / df), 6) as score
             from ranked where rk <= 5
         """,
-        "redact_pii": r"""
-            with r as (
-              select doc_id,
-                     regexp_replace(regexp_replace(regexp_replace(text,
-                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-                       '<EMAIL>', 'g'),
-                       '(\+?\d{1,2}[-. ]?)?(\(\d{3}\)|\d{3})[-. ]?\d{3}[-. ]?\d{4}',
-                       '<PHONE>', 'g'),
-                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
-                       '<IP>', 'g') as redacted_text
-              from documents)
-            select doc_id, redacted_text,
-                   len(string_split(redacted_text, '<EMAIL>')) - 1
-                     as n_emails,
-                   len(string_split(redacted_text, '<PHONE>')) - 1
-                     as n_phones,
-                   len(string_split(redacted_text, '<IP>')) - 1 as n_ips
-            from r
-        """,
+        "redact_pii": _redact_pii_sql(),
         "ngram_jaccard": f"""
             with toks as (
               select doc_id,

@@ -6,6 +6,8 @@ shuffle, so they pipeline with the parquet scan at any scale.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints (PEP 563)
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -424,4 +426,73 @@ def tfidf_top_terms(
                 F.col("tf") * F.log(F.lit(float(n)) / F.col("df")), 6
             ).alias("score"),
         )
+    )
+
+
+# ------------------------------------------------- unicode normalization
+
+# Character classes shared verbatim by the Spark (Java regex) path, the
+# DuckDB (RE2) oracle, and the python oracle in tests — ASCII-escape and
+# literal-char syntax all three engines read identically. Control chars
+# are C0 minus \t\n\r, plus DEL; the space set is what a web crawl
+# actually carries (NBSP, ogham, en/em/thin/zero-width spaces, BOM,
+# ideographic space).
+CONTROL_CHARS = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+UNICODE_SPACES = (
+    "[\u00a0\u1680\u2000-\u200b\u202f\u205f\u3000\ufeff]"
+)
+PUNCT_FOLD_FROM = "\u2018\u2019\u201a\u201c\u201d\u201e\u2013\u2014\u2212"
+PUNCT_FOLD_TO = "'''\"\"\"---"
+
+
+def clean_text(
+    docs: DataFrame, text_col: str = "text", nfc: bool = True
+) -> DataFrame:
+    """C4/ftfy-style unicode cleaning — the normalization stage a crawl
+    corpus passes through before any dedup, LM scoring, or tokenization
+    (mojibake spaces and curly punctuation otherwise split the hash
+    space of every downstream exact/near-dup operator):
+
+      1. strip C0/DEL control characters,
+      2. unify unicode spaces to ASCII space,
+      3. fold curly quotes / long dashes / minus to ASCII (translate),
+      4. squeeze whitespace runs + trim,
+      5. NFC-compose combining marks (optional) — the one step with no
+         JVM builtin: a vectorized Arrow pandas_udf over unicodedata.
+         DuckDB's utf8proc-backed nfc_normalize oracles it in the
+         `redact_pii` driver query; both implement the same Unicode
+         standard annex, so values are bit-identical.
+
+    Steps 1-4 are native regexp_replace/translate — with nfc=False the
+    whole operator is a pure whole-stage-codegen map. Output:
+    (doc_id, norm_text, n_chars_raw, n_chars_norm); lengths count
+    codepoints on both engines (the BMP-only fold set keeps Java's
+    UTF-16 length equal to DuckDB's codepoint length)."""
+    s = F.col(text_col)
+    raw_len = F.length(s)
+    s = F.regexp_replace(s, CONTROL_CHARS, "")
+    s = F.regexp_replace(s, UNICODE_SPACES, " ")
+    s = F.translate(s, PUNCT_FOLD_FROM, PUNCT_FOLD_TO)
+    s = F.trim(F.regexp_replace(s, r"\s+", " "))
+    if nfc:
+        import unicodedata
+
+        @F.pandas_udf("string")
+        def _nfc(col: pd.Series) -> pd.Series:
+            return col.map(
+                lambda t: None
+                if t is None
+                else unicodedata.normalize("NFC", t)
+            )
+
+        s = _nfc(s)
+    return docs.select(
+        "doc_id",
+        s.alias("norm_text"),
+        raw_len.alias("n_chars_raw"),
+    ).select(
+        "doc_id",
+        "norm_text",
+        "n_chars_raw",
+        F.length("norm_text").alias("n_chars_norm"),
     )
