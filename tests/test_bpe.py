@@ -167,3 +167,52 @@ def test_empty_and_null_text(spark):
     # pretokens "ok", " ok", " ok" → ["ok"], [" ", "ok"], [" ", "ok"]
     assert rows[2]["n_pretokens"] == 3
     assert rows[2]["n_tokens"] == 5
+
+
+# ------------------------------------------------- property-based (pure python)
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_words = st.text(alphabet="abcdef ", min_size=1, max_size=12).map(
+    lambda s: s.replace(" ", "") or "a"
+)
+_dicts = st.lists(
+    st.tuples(_words, st.integers(min_value=1, max_value=9)),
+    min_size=1,
+    max_size=12,
+).map(lambda ws: list({w: f for w, f in ws}.items()))
+
+
+@settings(max_examples=60, deadline=None)
+@given(_dicts, st.integers(min_value=0, max_value=12))
+def test_prop_merges_preserve_text_and_shrink(wf, n_merges):
+    merges = _train_merges(wf, n_merges, min_pair_count=2)
+    cache = {}
+    for w, _ in wf:
+        toks = _apply_merges(w, merges, cache)
+        assert "".join(toks) == w          # lossless
+        assert 1 <= len(toks) <= len(w)    # never grows
+        assert all(t for t in toks)        # no empty symbols
+
+
+@settings(max_examples=40, deadline=None)
+@given(_dicts)
+def test_prop_merge_prefix_and_determinism(wf):
+    m_small = _train_merges(wf, 3, min_pair_count=2)
+    m_big = _train_merges(wf, 10, min_pair_count=2)
+    assert m_big[: len(m_small)] == m_small
+    assert _train_merges(wf, 10, min_pair_count=2) == m_big
+
+
+@settings(max_examples=40, deadline=None)
+@given(_dicts)
+def test_prop_encode_idempotent_on_tokens(wf):
+    """Encoding a word, then encoding each produced token, changes
+    nothing — the token set is closed under the merge list."""
+    merges = _train_merges(wf, 8, min_pair_count=2)
+    cache = {}
+    for w, _ in wf:
+        toks = _apply_merges(w, merges, cache)
+        for t in toks:
+            assert _apply_merges(t, merges, {}) == [t]
