@@ -465,7 +465,12 @@ def _q_stratified_sample(spark, sf_dir):
       the definition it optimizes.
     * leg='divergence' — corpus_divergence(all docs, lang='en' docs):
       Jensen-Shannon drift over the SAME 1024 md5 gram buckets as the
-      dsir leg; doc_id=-1, key ∈ {kl_am, kl_bm, js}, rounded 6dp."""
+      dsir leg; doc_id=-1, key ∈ {kl_am, kl_bm, js}, rounded 6dp.
+    * leg='split' — leakage_safe_split over exact ngram-Jaccard
+      near-dup edges (same edge set as dedup_components): fold hashed
+      from the CC component representative so near-duplicates never
+      straddle folds; key=component_id, value=fold. DuckDB replays the
+      recursive-CTE closure + the md5 fold hash."""
     from gliner_spark.operators.curation import (
         corpus_divergence,
         dsir_sample,
@@ -509,8 +514,23 @@ def _q_stratified_sample(spark, sf_dir):
         "stack(3, 'kl_am', kl_am, 'kl_bm', kl_bm, 'js', js)"
         " as (key, value)",
     )
+    from gliner_spark.operators.curation import leakage_safe_split
+    from gliner_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.05).select(
+        "doc_a", "doc_b"
+    )
+    split = leakage_safe_split(docs, pairs, k=5, seed=42).select(
+        F.lit("split").alias("leg"),
+        "doc_id",
+        F.col("component_id").cast("string").alias("key"),
+        F.col("fold").cast("double").alias("value"),
+    )
     return (
-        strat.unionByName(dsir).unionByName(mixture).unionByName(div)
+        strat.unionByName(dsir)
+        .unionByName(mixture)
+        .unionByName(div)
+        .unionByName(split)
     )
 
 
@@ -2308,7 +2328,7 @@ def oracle_sql() -> dict[str, str]:
             from q
         """,
         "stratified_sample": f"""
-            with t as (select doc_id, text, {_TOKS_SQL} as toks
+            with recursive t as (select doc_id, text, {_TOKS_SQL} as toks
                        from documents),
             h as (select doc_id, text, {hit_cols} from t),
             p as (select doc_id, {pred_lang} as pred_lang from h),
@@ -2407,10 +2427,48 @@ def oracle_sql() -> dict[str, str]:
                      k as "key", round(v, 6) as value
               from (select 'kl_am' as k, kl_am as v from dvv
                     union all select 'kl_bm', kl_bm from dvv
-                    union all select 'js', (kl_am + kl_bm) / 2 from dvv))
+                    union all select 'js', (kl_am + kl_bm) / 2 from dvv)),
+            -- split leg: leakage-safe folds over exact ngram-Jaccard
+            -- near-dup components (same closure as dedup_components;
+            -- reuses CTE lt's token arrays)
+            sg as (
+              select distinct doc_id,
+                     ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] as gram
+              from lt, unnest(generate_series(1, len(ts) - 2)) as u(i)
+              where len(ts) >= 3),
+            ssz as (select doc_id, count(*) as n from sg group by 1),
+            sint as (
+              select a.doc_id as doc_a, b.doc_id as doc_b,
+                     count(*) as ni
+              from sg a join sg b using (gram)
+              where a.doc_id < b.doc_id group by 1, 2),
+            spairs as (
+              select doc_a, doc_b from sint
+              join ssz sa on sa.doc_id = doc_a
+              join ssz sb on sb.doc_id = doc_b
+              where ni::double / (sa.n + sb.n - ni) >= 0.05),
+            sedges as (
+              select doc_a as a, doc_b as b from spairs
+              union all
+              select doc_b as a, doc_a as b from spairs),
+            sreach(node, label) as (
+              select a, a from sedges
+              union
+              select e.a, r.label from sedges e
+              join sreach r on r.node = e.b),
+            scomp as (select node as doc_id, min(label) as component_id
+                      from sreach group by node),
+            split as (
+              select 'split' as leg, d.doc_id,
+                     coalesce(c.component_id, d.doc_id)::varchar as "key",
+                     ((('0x' || substr(md5('42:' ||
+                         coalesce(c.component_id, d.doc_id)::varchar),
+                         1, 8))::bigint % 5))::double as value
+              from documents d left join scomp c using (doc_id))
             select * from strat union all select * from dsir
             union all select * from mixture
             union all select * from divergence
+            union all select * from split
         """,
         "language_id": f"""
             with t as (select doc_id, text, {_TOKS_SQL} as toks

@@ -758,3 +758,71 @@ def dsir_sample(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    edges: DataFrame,
+    k: int = 5,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    edge_cols: tuple[str, str] = ("doc_a", "doc_b"),
+) -> DataFrame:
+    """Group-aware k-fold split that prevents near-duplicate LEAKAGE
+    across train/val/test: every document in one near-dup connected
+    component gets the SAME fold, because the fold is hashed from the
+    component representative (min id), never from the doc itself. A
+    doc-level split puts one copy of a near-dup pair in train and the
+    other in test — the classic eval-contamination failure a curation
+    pipeline must rule out (same concern decontaminate() addresses
+    against an EXTERNAL benchmark; this is the internal-split version).
+
+    edges: (doc_a, doc_b) near-dup pairs from any dedup operator
+    (ngram_jaccard_pairs, minhash_near_duplicates verified pairs,
+    semantic_duplicates, ...). Docs with no edge are singletons — their
+    own component.
+
+    Fold = md5-bucket of `seed:component_id` (the stratified_sample
+    uniform, md5 on purpose: bit-identical across Spark, DuckDB, and
+    Python, so the exact assignment is oracle-checkable and stable
+    across reruns).
+
+    Scale shape: CC is the O(log n) star-contraction operator over the
+    near-dup pair set (tiny relative to the corpus by construction);
+    joining the component map back is one hash join the singletons pass
+    through as a left-join miss; the fold hash is a pure map. Returns
+    docs + (component_id, fold)."""
+    from .linking import connected_components
+
+    if k < 2:
+        raise ValueError(f"k={k}: need at least 2 folds")
+    e = edges.select(
+        F.col(edge_cols[0]).alias("id_a"), F.col(edge_cols[1]).alias("id_b")
+    )
+    verts = (
+        e.select(F.col("id_a").alias("id"))
+        .union(e.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    comp = connected_components(verts, e).select(
+        F.col("id").alias(id_col), F.col("component")
+    )
+    out = docs.join(comp, id_col, "left")
+    rep = F.coalesce(F.col("component"), F.col(id_col))
+    fold = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(seed), rep.cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(k),
+    ).cast("int")
+    return out.select(
+        *docs.columns,
+        rep.alias("component_id"),
+        fold.alias("fold"),
+    )

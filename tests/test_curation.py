@@ -617,3 +617,79 @@ def test_curation_pipeline_end_to_end_and_resume(spark, tmp_path_factory):
     stages = [s for s, _ in lin]
     assert stages.count("docs_clean") == 1      # untouched by the flip
     assert stages.count("decisions") == 2       # re-ran under the new fp
+
+
+# ------------------------------------------------------ leakage_safe_split
+
+
+def test_leakage_safe_split_no_edge_straddles_folds(spark):
+    from gliner_spark.operators.curation import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+    )
+    # two chains (0-1-2-3) and (10-11), plus a pair (20, 21)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    out = leakage_safe_split(docs, edges, k=3)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 40
+    # transitive: the whole chain shares one fold and one component
+    assert len({rows[i]["fold"] for i in (0, 1, 2, 3)}) == 1
+    assert {rows[i]["component_id"] for i in (0, 1, 2, 3)} == {0}
+    assert rows[10]["fold"] == rows[11]["fold"]
+    assert rows[20]["fold"] == rows[21]["fold"]
+    # singletons are their own component
+    assert rows[7]["component_id"] == 7
+    assert all(0 <= r["fold"] < 3 for r in rows.values())
+
+
+def test_leakage_safe_split_matches_python_md5(spark):
+    import hashlib
+
+    from gliner_spark.operators.curation import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(64)], "doc_id long, text string"
+    )
+    edges = spark.createDataFrame([(2, 5)], "doc_a long, doc_b long")
+    out = {
+        r["doc_id"]: r["fold"]
+        for r in leakage_safe_split(docs, edges, k=5, seed=7).collect()
+    }
+
+    def py_fold(rep):
+        h = hashlib.md5(f"7:{rep}".encode()).hexdigest()
+        return int(h[:8], 16) % 5
+
+    for i in range(64):
+        rep = 2 if i in (2, 5) else i
+        assert out[i] == py_fold(rep), i
+
+
+def test_leakage_safe_split_balanced_and_deterministic(spark):
+    from gliner_spark.operators.curation import leakage_safe_split
+
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(3000)], "doc_id long, text string"
+    )
+    edges = spark.createDataFrame([], "doc_a long, doc_b long")
+    a = leakage_safe_split(docs, edges, k=5).groupBy("fold").count()
+    sizes = {r["fold"]: r["count"] for r in a.collect()}
+    assert set(sizes) == {0, 1, 2, 3, 4}
+    assert max(sizes.values()) / min(sizes.values()) < 1.3
+    b = {
+        r["doc_id"]: r["fold"]
+        for r in leakage_safe_split(docs, edges, k=5).collect()
+    }
+    c = {
+        r["doc_id"]: r["fold"]
+        for r in leakage_safe_split(docs, edges, k=5).collect()
+    }
+    assert b == c
+    with _pytest.raises(ValueError):
+        leakage_safe_split(docs, edges, k=1)
