@@ -1399,8 +1399,15 @@ def _q_multimodal_resize(spark, sf_dir):
 
     r4c: plus a 'video' tier — per-frame resize through the RIFF/AVI
     chunk walk (decode_avi/resize_video), pixel-exactness pinned in
-    test_corpus_ops::test_resize_video_real_pixels."""
+    test_corpus_ops::test_resize_video_real_pixels.
+
+    r4d: plus a 'phash' tier — perceptual average-hash over decoded BMP
+    pixels (image_phash_bits; out_a = popcount, payload_md5 over the
+    bit vector). Brightness-invariance and the banded hamming near-dup
+    join are pinned in test_corpus_ops (image_near_duplicates reuses
+    dedup.simhash_candidates)."""
     from gliner_spark.operators.multimodal import (
+        image_phash_bits,
         resample_audio,
         resize_images,
         resize_video,
@@ -1462,7 +1469,20 @@ def _q_multimodal_resize(spark, sf_dir):
         F.col("height").alias("out_b"),
         F.md5("data").alias("payload_md5"),
     )
-    return img.unionByName(wav).unionByName(vid)
+    ph = image_phash_bits(
+        synth_bmp_assets(spark, 80, width=16, height=12), "bmp"
+    ).select(
+        F.lit("phash").alias("tier"),
+        F.col("doc_id").alias("asset_id"),
+        F.aggregate("bits", F.lit(0), lambda a, b: a + b).alias("out_a"),
+        F.lit(8).alias("out_b"),
+        F.md5(
+            F.concat_ws(
+                ",", F.transform("bits", lambda b: b.cast("string"))
+            )
+        ).alias("payload_md5"),
+    )
+    return img.unionByName(wav).unionByName(vid).unionByName(ph)
 
 
 def _q_constrained_labels(spark, sf_dir):

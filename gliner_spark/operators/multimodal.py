@@ -1082,3 +1082,84 @@ def frame_sample_plan(assets: DataFrame, every_n: int = 10) -> DataFrame:
             ).alias("frame_idx"),
         )
     )
+
+
+# ----------------------------------------------------- perceptual hashing
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("bits", T.ArrayType(T.IntegerType()), False),
+    ]
+)
+
+
+def image_phash_bits(
+    assets: DataFrame, decoder: str = "bmp", hash_size: int = 8
+) -> DataFrame:
+    """Perceptual average-hash (the aHash of the pHash/aHash/dHash
+    family) over REAL decoded pixels: decode (BMP or PNG codec) →
+    nearest-neighbor resample to hash_size×hash_size → per-cell
+    grayscale mean → bit = cell > image mean. Output
+    (doc_id=asset_id, bits array<int>[hash_size²]) — the same bit-vector
+    contract as dedup.simhash_bits, so the banded hamming machinery
+    (dedup.simhash_candidates: pigeonhole n_bands = max_hamming+1,
+    cappable buckets) is reused UNCHANGED for image near-dup at corpus
+    scale.
+
+    aHash is exactly invariant to uniform brightness shifts
+    (cell > mean is shift-invariant; pinned in tests) and degrades
+    gracefully under local pixel noise (hamming grows with the altered
+    area). Pure map, zero shuffle. decoder="real" is the PIL
+    integration point (NotImplemented in this container)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if decoder == "real":
+            raise NotImplementedError(
+                "PIL is not installed in this container; use "
+                "decoder='bmp' or 'png'"
+            )
+        dec = {"bmp": decode_bmp, "png": decode_png}.get(decoder)
+        if dec is None:
+            raise ValueError(f"unknown image decoder: {decoder!r}")
+        for pdf in batches:
+            imgs = pdf[pdf["kind"] == "image"]
+            if imgs.empty:
+                continue
+            out_bits = []
+            for buf in imgs["data"]:
+                px = nn_resize(dec(bytes(buf)), hash_size, hash_size)
+                gray = px.astype(np.float64).mean(axis=2)
+                out_bits.append(
+                    (gray > gray.mean()).astype(np.int32).ravel().tolist()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": imgs["asset_id"].astype("int64").values,
+                    "bits": out_bits,
+                }
+            )
+
+    return assets.select("asset_id", "kind", "data").mapInPandas(
+        run, PHASH_SCHEMA
+    )
+
+
+def image_near_duplicates(
+    assets: DataFrame,
+    decoder: str = "bmp",
+    max_hamming: int = 6,
+    hash_size: int = 8,
+    n_bands: int | None = None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Image near-dup pairs (doc_a, doc_b, hamming ≤ max_hamming):
+    aHash bits → dedup.simhash_candidates banded hamming join — the
+    multimodal twin of text SimHash dedup (recall guarantee and
+    bucket-cap semantics documented there)."""
+    from .dedup import simhash_candidates
+
+    bits = image_phash_bits(assets, decoder, hash_size)
+    return simhash_candidates(
+        bits, max_hamming, hash_size * hash_size, n_bands, max_bucket_size
+    )

@@ -1808,3 +1808,112 @@ def test_resize_video_real_pixels(spark):
         for f in range(3):
             want = nn_resize(_synth_pixels(aid * 131 + f, 8, 6, 42), 4, 12)
             assert np.array_equal(frames[f], want)
+
+
+# ------------------------------------------------------ perceptual hashing
+
+
+def test_image_phash_bmp_png_pixel_parity(spark):
+    """BMP and PNG wrap the SAME _synth_pixels — their aHashes must be
+    bit-identical per asset (one more cross-container codec check)."""
+    from gliner_spark.operators.multimodal import (
+        image_phash_bits,
+        synth_bmp_assets,
+        synth_png_assets,
+    )
+
+    bmp = {
+        r["doc_id"]: list(r["bits"])
+        for r in image_phash_bits(
+            synth_bmp_assets(spark, 12, width=16, height=12), "bmp"
+        ).collect()
+    }
+    png = {
+        r["doc_id"]: list(r["bits"])
+        for r in image_phash_bits(
+            synth_png_assets(spark, 12, width=16, height=12), "png"
+        ).collect()
+    }
+    assert bmp == png and len(bmp) == 12
+    assert all(len(b) == 64 and set(b) <= {0, 1} for b in bmp.values())
+
+
+def test_image_phash_brightness_invariant_noise_tolerant(spark):
+    """aHash is exactly invariant to a uniform brightness shift and
+    moves only locally under a corner patch."""
+    import numpy as np
+    import pandas as pd
+
+    from gliner_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        encode_bmp,
+        image_phash_bits,
+    )
+
+    # smooth gradient, darkest at the top-left (those cells are 0-bits)
+    y, x = np.mgrid[0:24, 0:32]
+    base = np.clip(4 * x + 5 * y, 0, 200).astype(np.uint8)
+    base = np.stack([base] * 3, axis=-1)
+    brighter = base + 20  # headroom by construction: max 220
+    noised = base.copy()
+    noised[:6, :8] = 255  # top-left quarter-of-quarter patch
+    pdf = pd.DataFrame(
+        {
+            "asset_id": [0, 1, 2],
+            "kind": ["image"] * 3,
+            "data": [encode_bmp(v) for v in (base, brighter, noised)],
+            "meta": [{"codec": "bmp"}] * 3,
+        }
+    )
+    assets = spark.createDataFrame(pdf, ASSET_SCHEMA)
+    bits = {
+        r["doc_id"]: list(r["bits"])
+        for r in image_phash_bits(assets, "bmp").collect()
+    }
+    assert bits[0] == bits[1]  # brightness shift: hamming 0
+    ham = sum(a != b for a, b in zip(bits[0], bits[2]))
+    # the patch covers the darkest sampled cells -> they flip to 1;
+    # mean shift may move a few borderline cells, nothing more
+    assert 0 < ham <= 16
+
+
+def test_image_near_duplicates_finds_planted_pair(spark):
+    """A brightness-shifted copy is found at hamming 0; images with
+    genuinely different gradient directions do not all glue together
+    (the shared-gradient _synth_pixels family would — its assets are
+    near-shifts of one pattern, which is exactly what aHash ignores)."""
+    import numpy as np
+    import pandas as pd
+
+    from gliner_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        encode_bmp,
+        image_near_duplicates,
+    )
+
+    y, x = np.mgrid[0:24, 0:32]
+
+    def img(k, m):
+        g = ((x * k + y * m) % 211).astype(np.uint8)
+        return np.stack([g] * 3, axis=-1)
+
+    rows = [(i, encode_bmp(img(3 + 2 * i, 7 + 5 * i))) for i in range(20)]
+    base5 = np.clip(img(13, 32), 0, 200)
+    rows.append((100, encode_bmp((base5 + 15).astype(np.uint8))))
+    rows.append((101, encode_bmp(base5.astype(np.uint8))))
+    pdf = pd.DataFrame(
+        {
+            "asset_id": [r[0] for r in rows],
+            "kind": ["image"] * len(rows),
+            "data": [r[1] for r in rows],
+            "meta": [{"codec": "bmp"}] * len(rows),
+        }
+    )
+    assets = spark.createDataFrame(pdf, ASSET_SCHEMA)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in image_near_duplicates(assets, max_hamming=6).collect()
+    }
+    assert (100, 101) in pairs and pairs[(100, 101)] == 0
+    # far from all-pairs (231): only genuinely close patterns pair up
+    assert len(pairs) < 30
