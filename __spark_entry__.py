@@ -1405,8 +1405,14 @@ def _q_multimodal_resize(spark, sf_dir):
     pixels (image_phash_bits; out_a = popcount, payload_md5 over the
     bit vector). Brightness-invariance and the banded hamming near-dup
     join are pinned in test_corpus_ops (image_near_duplicates reuses
-    dedup.simhash_candidates)."""
+    dedup.simhash_candidates).
+
+    r4e: plus an 'audio_fp' tier — Haitsma-Kalker band-energy-derivative
+    fingerprint over decoded PCM (audio_fingerprint_bits; same popcount
+    + bit-vector md5 shape); amplitude-scale invariance pinned in
+    test_corpus_ops."""
     from gliner_spark.operators.multimodal import (
+        audio_fingerprint_bits,
         image_phash_bits,
         resample_audio,
         resize_images,
@@ -1482,7 +1488,25 @@ def _q_multimodal_resize(spark, sf_dir):
             )
         ).alias("payload_md5"),
     )
-    return img.unionByName(wav).unionByName(vid).unionByName(ph)
+    afp = audio_fingerprint_bits(
+        synth_wav_assets(spark, 80, n_samples=340), "wav"
+    ).select(
+        F.lit("audio_fp").alias("tier"),
+        F.col("doc_id").alias("asset_id"),
+        F.aggregate("bits", F.lit(0), lambda a, b: a + b).alias("out_a"),
+        F.lit(64).alias("out_b"),
+        F.md5(
+            F.concat_ws(
+                ",", F.transform("bits", lambda b: b.cast("string"))
+            )
+        ).alias("payload_md5"),
+    )
+    return (
+        img.unionByName(wav)
+        .unionByName(vid)
+        .unionByName(ph)
+        .unionByName(afp)
+    )
 
 
 def _q_constrained_labels(spark, sf_dir):

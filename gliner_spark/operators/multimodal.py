@@ -1163,3 +1163,102 @@ def image_near_duplicates(
     return simhash_candidates(
         bits, max_hamming, hash_size * hash_size, n_bands, max_bucket_size
     )
+
+
+def audio_fingerprint_bits(
+    assets: DataFrame,
+    decoder: str = "wav",
+    n_frames: int = 17,
+    n_bands: int = 5,
+) -> DataFrame:
+    """Haitsma–Kalker-style audio fingerprint over REAL decoded PCM
+    ("A Highly Robust Audio Fingerprinting System", ISMIR 2002 — public
+    algorithm): frame the waveform into n_frames windows, per-frame FFT
+    power folded into n_bands geometric frequency bands, and
+
+        bit(n, m) = 1  iff  (E[n,m] − E[n,m+1])
+                            − (E[n−1,m] − E[n−1,m+1]) > 0
+
+    (the published band-energy derivative sign). (n_frames−1)·
+    (n_bands−1) bits — the defaults give 64, the same (doc_id, bits)
+    contract as simhash_bits/image_phash_bits, so
+    `audio_near_duplicates` reuses dedup.simhash_candidates' banded
+    hamming join unchanged.
+
+    AMPLITUDE-SCALE-INVARIANT by construction: scaling the waveform by
+    c scales every band energy by c², so every difference keeps its
+    sign (pinned in tests with an exact ×2 int16 scaling). Pure map,
+    zero shuffle. decoder="real" is the librosa integration point."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if decoder == "real":
+            raise NotImplementedError(
+                "librosa is not installed in this container; use "
+                "decoder='wav'"
+            )
+        if decoder != "wav":
+            raise ValueError(f"unknown audio decoder: {decoder!r}")
+        for pdf in batches:
+            auds = pdf[pdf["kind"] == "audio"]
+            if auds.empty:
+                continue
+            out_bits = []
+            for buf in auds["data"]:
+                samples, _sr = decode_wav(bytes(buf))
+                s = samples.astype(np.float64)
+                frame_len = max(len(s) // n_frames, 2)
+                frames = s[: frame_len * n_frames].reshape(
+                    n_frames, frame_len
+                )
+                spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+                nbins = spec.shape[1] - 1  # skip DC
+                edges = np.unique(
+                    np.geomspace(1, nbins, n_bands + 1).astype(int)
+                )
+                while len(edges) < n_bands + 1:  # tiny frames: pad edges
+                    edges = np.append(edges, edges[-1] + 1)
+                e = np.stack(
+                    [
+                        spec[:, edges[b]: max(edges[b + 1], edges[b] + 1)]
+                        .sum(axis=1)
+                        for b in range(n_bands)
+                    ],
+                    axis=1,
+                )  # (n_frames, n_bands)
+                d = e[:, :-1] - e[:, 1:]  # band differences
+                bits = (d[1:] - d[:-1] > 0).astype(np.int32).ravel()
+                out_bits.append(bits.tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": auds["asset_id"].astype("int64").values,
+                    "bits": out_bits,
+                }
+            )
+
+    return assets.select("asset_id", "kind", "data").mapInPandas(
+        run, PHASH_SCHEMA
+    )
+
+
+def audio_near_duplicates(
+    assets: DataFrame,
+    decoder: str = "wav",
+    max_hamming: int = 6,
+    n_frames: int = 17,
+    n_bands: int = 5,
+    band_count: int | None = None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Audio near-dup pairs (doc_a, doc_b, hamming ≤ max_hamming):
+    HK fingerprint bits → dedup.simhash_candidates banded hamming join
+    (recall guarantee / bucket-cap semantics documented there)."""
+    from .dedup import simhash_candidates
+
+    bits = audio_fingerprint_bits(assets, decoder, n_frames, n_bands)
+    return simhash_candidates(
+        bits,
+        max_hamming,
+        (n_frames - 1) * (n_bands - 1),
+        band_count,
+        max_bucket_size,
+    )

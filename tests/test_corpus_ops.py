@@ -1917,3 +1917,81 @@ def test_image_near_duplicates_finds_planted_pair(spark):
     assert (100, 101) in pairs and pairs[(100, 101)] == 0
     # far from all-pairs (231): only genuinely close patterns pair up
     assert len(pairs) < 30
+
+
+def test_audio_fingerprint_scale_invariant_and_deterministic(spark):
+    """The HK fingerprint keeps every bit under an exact x2 amplitude
+    scaling (band energies scale uniformly); distinct waveforms hash
+    differently; 64 bits by default."""
+    import numpy as np
+    import pandas as pd
+
+    from gliner_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        audio_fingerprint_bits,
+        encode_wav,
+    )
+
+    rng_i = np.arange(512, dtype=np.int64)
+    base = (((2654435761 * 9 + 40503 * rng_i + 4111) % 65536) - 32768)
+    base = (base // 4).astype(np.int16)  # headroom for exact x2
+    scaled = (base.astype(np.int32) * 2).astype(np.int16)
+    other = (((2654435761 * 3 + 17 * rng_i * rng_i + 7) % 65536) - 32768
+             ).astype(np.int16)
+    pdf = pd.DataFrame(
+        {
+            "asset_id": [0, 1, 2],
+            "kind": ["audio"] * 3,
+            "data": [encode_wav(v, 8000) for v in (base, scaled, other)],
+            "meta": [{"codec": "wav"}] * 3,
+        }
+    )
+    assets = spark.createDataFrame(pdf, ASSET_SCHEMA)
+    bits = {
+        r["doc_id"]: list(r["bits"])
+        for r in audio_fingerprint_bits(assets).collect()
+    }
+    assert len(bits[0]) == 64 and set(bits[0]) <= {0, 1}
+    assert bits[0] == bits[1]  # exact amplitude-scale invariance
+    assert bits[0] != bits[2]
+    again = {
+        r["doc_id"]: list(r["bits"])
+        for r in audio_fingerprint_bits(assets).collect()
+    }
+    assert again == bits
+
+
+def test_audio_near_duplicates_finds_planted_scaled_copy(spark):
+    import numpy as np
+    import pandas as pd
+
+    from gliner_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        audio_near_duplicates,
+        encode_wav,
+    )
+
+    rng_i = np.arange(512, dtype=np.int64)
+    rows = []
+    for aid in range(12):
+        s = (((2654435761 * aid + (31 + 7 * aid) * rng_i * rng_i + 13)
+              % 65536) - 32768).astype(np.int16)
+        rows.append((aid, s))
+    tw = (rows[4][1] // 4).astype(np.int16)
+    rows.append((100, tw))
+    rows.append((101, (tw.astype(np.int32) * 3).astype(np.int16)))
+    pdf = pd.DataFrame(
+        {
+            "asset_id": [r[0] for r in rows],
+            "kind": ["audio"] * len(rows),
+            "data": [encode_wav(r[1], 8000) for r in rows],
+            "meta": [{"codec": "wav"}] * len(rows),
+        }
+    )
+    assets = spark.createDataFrame(pdf, ASSET_SCHEMA)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in audio_near_duplicates(assets, max_hamming=4).collect()
+    }
+    assert (100, 101) in pairs and pairs[(100, 101)] == 0
+    assert len(pairs) < 20
