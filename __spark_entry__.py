@@ -1407,13 +1407,16 @@ def _q_multimodal_resize(spark, sf_dir):
     join are pinned in test_corpus_ops (image_near_duplicates reuses
     dedup.simhash_candidates).
 
-    r4e: plus an 'audio_fp' tier — Haitsma-Kalker band-energy-derivative
-    fingerprint over decoded PCM (audio_fingerprint_bits; same popcount
-    + bit-vector md5 shape); amplitude-scale invariance pinned in
-    test_corpus_ops."""
+    r4e: plus 'audio_fp' and 'video_fp' tiers — Haitsma-Kalker
+    band-energy-derivative fingerprint over decoded PCM
+    (audio_fingerprint_bits) and the majority-folded per-frame aHash
+    over decoded AVI frames (video_phash_bits); same popcount +
+    bit-vector md5 shape. Amplitude-scale / frame-reorder invariances
+    pinned in test_corpus_ops."""
     from gliner_spark.operators.multimodal import (
         audio_fingerprint_bits,
         image_phash_bits,
+        video_phash_bits,
         resample_audio,
         resize_images,
         resize_video,
@@ -1501,11 +1504,25 @@ def _q_multimodal_resize(spark, sf_dir):
             )
         ).alias("payload_md5"),
     )
+    vfp = video_phash_bits(
+        synth_avi_assets(spark, 50, n_frames=4, width=8, height=6), "avi"
+    ).select(
+        F.lit("video_fp").alias("tier"),
+        F.col("doc_id").alias("asset_id"),
+        F.aggregate("bits", F.lit(0), lambda a, b: a + b).alias("out_a"),
+        F.lit(8).alias("out_b"),
+        F.md5(
+            F.concat_ws(
+                ",", F.transform("bits", lambda b: b.cast("string"))
+            )
+        ).alias("payload_md5"),
+    )
     return (
         img.unionByName(wav)
         .unionByName(vid)
         .unionByName(ph)
         .unionByName(afp)
+        .unionByName(vfp)
     )
 
 

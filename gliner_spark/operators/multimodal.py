@@ -1262,3 +1262,68 @@ def audio_near_duplicates(
         band_count,
         max_bucket_size,
     )
+
+
+def video_phash_bits(
+    assets: DataFrame, decoder: str = "avi", hash_size: int = 8
+) -> DataFrame:
+    """Video perceptual signature: per-frame aHash (same rule as
+    image_phash_bits) folded by BIT-MAJORITY across frames — one
+    hash_size² bit vector per video. Majority folding makes the
+    signature robust to frame drops/reordering and inherits the
+    per-frame brightness invariance; the (doc_id, bits) contract again
+    feeds dedup.simhash_candidates unchanged
+    (`video_near_duplicates`). Pure map, zero shuffle.
+    decoder="real" is the PyAV integration point."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if decoder == "real":
+            raise NotImplementedError(
+                "PyAV is not installed in this container; use "
+                "decoder='avi'"
+            )
+        if decoder != "avi":
+            raise ValueError(f"unknown video decoder: {decoder!r}")
+        for pdf in batches:
+            vids = pdf[pdf["kind"] == "video"]
+            if vids.empty:
+                continue
+            out_bits = []
+            for buf in vids["data"]:
+                frames, _fps = decode_avi(bytes(buf))
+                votes = np.zeros(hash_size * hash_size, dtype=np.int64)
+                for f in frames:
+                    px = nn_resize(f, hash_size, hash_size)
+                    gray = px.astype(np.float64).mean(axis=2)
+                    votes += (gray > gray.mean()).astype(np.int64).ravel()
+                out_bits.append(
+                    (votes * 2 > len(frames)).astype(np.int32).tolist()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": vids["asset_id"].astype("int64").values,
+                    "bits": out_bits,
+                }
+            )
+
+    return assets.select("asset_id", "kind", "data").mapInPandas(
+        run, PHASH_SCHEMA
+    )
+
+
+def video_near_duplicates(
+    assets: DataFrame,
+    decoder: str = "avi",
+    max_hamming: int = 6,
+    hash_size: int = 8,
+    n_bands: int | None = None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Video near-dup pairs via the majority-folded per-frame aHash →
+    banded hamming join (same machinery as text/image/audio)."""
+    from .dedup import simhash_candidates
+
+    bits = video_phash_bits(assets, decoder, hash_size)
+    return simhash_candidates(
+        bits, max_hamming, hash_size * hash_size, n_bands, max_bucket_size
+    )

@@ -1995,3 +1995,53 @@ def test_audio_near_duplicates_finds_planted_scaled_copy(spark):
     }
     assert (100, 101) in pairs and pairs[(100, 101)] == 0
     assert len(pairs) < 20
+
+
+def test_video_phash_majority_and_planted_pair(spark):
+    """Majority-folded per-frame aHash: invariant to frame REORDERING
+    and to a uniform brightness shift; a planted shifted/reordered copy
+    is found at hamming 0 by the banded join."""
+    import numpy as np
+    import pandas as pd
+
+    from gliner_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        encode_avi,
+        video_near_duplicates,
+        video_phash_bits,
+    )
+
+    y, x = np.mgrid[0:12, 0:16]
+
+    def frame(k, m, off):
+        g = np.clip((x * k + y * m + off) % 211, 0, 200).astype(np.uint8)
+        return np.stack([g] * 3, axis=-1)
+
+    def video(k, m):
+        return np.stack([frame(k, m, 20 * f) for f in range(5)])
+
+    rows = [(i, video(2 + 3 * i, 5 + 7 * i)) for i in range(8)]
+    base = video(4, 9)
+    rows.append((100, base))
+    rows.append((101, (base[::-1] + 20)))  # reversed frames, brighter
+    pdf = pd.DataFrame(
+        {
+            "asset_id": [r[0] for r in rows],
+            "kind": ["video"] * len(rows),
+            "data": [encode_avi(r[1].astype(np.uint8)) for r in rows],
+            "meta": [{"codec": "avi"}] * len(rows),
+        }
+    )
+    assets = spark.createDataFrame(pdf, ASSET_SCHEMA)
+    bits = {
+        r["doc_id"]: list(r["bits"])
+        for r in video_phash_bits(assets).collect()
+    }
+    assert bits[100] == bits[101]
+    assert len(bits[100]) == 64
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in video_near_duplicates(assets, max_hamming=6).collect()
+    }
+    assert (100, 101) in pairs and pairs[(100, 101)] == 0
+    assert len(pairs) < 15
