@@ -236,6 +236,28 @@ def build_queries(spark, sf_dir: str, n_convs: int, parts: int):
 
         return shuffle_export(docs, n_shards=64, seed=1).count()
 
+    def q_bloom_dedup():
+        from gliner_spark.functions.text import normalized_text
+        from gliner_spark.operators.dedup import (
+            build_exact_bloom,
+            exact_dedup_against_bloom,
+        )
+
+        bloom = build_exact_bloom(docs)
+        # shard: half exact dups of the corpus, half novel texts
+        shard = docs.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.col("text")
+            ).otherwise(F.concat(F.col("text"), F.lit(" novel"))).alias(
+                "text"
+            ),
+        )
+        corpus_hashes = docs.select(
+            F.md5(normalized_text(F.col("text"))).alias("content_hash")
+        )
+        return exact_dedup_against_bloom(shard, corpus_hashes, bloom).count()
+
     def q_lm_perplexity():
         from gliner_spark.operators.lm import (
             score_perplexity,
@@ -266,6 +288,7 @@ def build_queries(spark, sf_dir: str, n_convs: int, parts: int):
         "sequence_pack": q_sequence_pack,
         "line_dedup": q_line_dedup,
         "shuffle_export": q_shuffle_export,
+        "bloom_dedup": q_bloom_dedup,
         "lm_perplexity": q_lm_perplexity,
     }
 

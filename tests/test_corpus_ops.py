@@ -52,6 +52,83 @@ def test_exact_duplicates(spark, docs):
     assert distinct_docs(dup).count() == 20
 
 
+def test_bloom_params_sizing():
+    from gliner_spark.operators.dedup import bloom_params
+
+    m, k = bloom_params(1_000_000, fpr=0.01)
+    assert m % 64 == 0
+    assert 9.0 <= m / 1_000_000 <= 10.5  # ~9.585 bits/item at 1%
+    assert 6 <= k <= 8  # ~6.64 optimal
+    m1, k1 = bloom_params(0)
+    assert m1 >= 64 and k1 >= 1
+
+
+def test_bloom_no_false_negatives_and_anti_join_parity(spark, docs):
+    from gliner_spark.operators.dedup import (
+        build_exact_bloom,
+        bloom_probe,
+        exact_dedup_against_bloom,
+    )
+    from gliner_spark.functions.text import normalized_text
+
+    corpus = docs.limit(30).cache()
+    dups = (
+        corpus.limit(15)
+        .withColumn("doc_id", F.col("doc_id") + 50_000)
+    )
+    novel = corpus.select(
+        (F.col("doc_id") + 90_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq-novel-suffix")).alias("text"),
+        *[c for c in corpus.columns if c not in ("doc_id", "text")],
+    )
+    shard = dups.unionByName(novel.select(dups.columns))
+    bloom = build_exact_bloom(corpus)
+
+    probed = {r.doc_id: r.maybe_dup for r in bloom_probe(shard, bloom).collect()}
+    # every true duplicate MUST probe true — false negatives impossible
+    for r in dups.select("doc_id").collect():
+        assert probed[r.doc_id] is True
+
+    got = {r.doc_id for r in exact_dedup_against_bloom(
+        shard,
+        corpus.select(F.md5(normalized_text(F.col("text"))).alias("content_hash")),
+        bloom,
+    ).collect()}
+    want = {
+        r.doc_id
+        for r in shard.withColumn(
+            "content_hash", F.md5(normalized_text(F.col("text")))
+        ).join(
+            corpus.select(
+                F.md5(normalized_text(F.col("text"))).alias("content_hash")
+            ),
+            "content_hash",
+            "left_anti",
+        ).collect()
+    }
+    assert got == want  # exact parity with the plain anti-join
+    assert got == {r.doc_id for r in novel.select("doc_id").collect()}
+
+
+def test_bloom_fpr_bounded(spark, docs):
+    from gliner_spark.operators.dedup import build_exact_bloom, bloom_probe
+
+    bloom = build_exact_bloom(docs, fpr=0.02)
+    n_probe = 5000
+    fresh = spark.range(n_probe).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("synthetic probe text nr "), F.col("id")).alias("text"),
+    )
+    hits = (
+        bloom_probe(fresh, bloom)
+        .where(F.col("maybe_dup"))
+        .count()
+    )
+    # none of these texts is in the corpus, so every hit is a false
+    # positive; allow 4x the target rate for sampling noise
+    assert hits / n_probe <= 0.08
+
+
 def test_minhash_near_duplicates_find_identical(spark, docs):
     from gliner_spark.operators.dedup import minhash_near_duplicates
 

@@ -218,3 +218,20 @@ def test_bpe_training_count_has_partial_aggregation(spark):
     first_agg = plan.find("HashAggregate")
     first_exchange = plan.find("Exchange")
     assert 0 <= first_agg < first_exchange, plan
+
+
+def test_bloom_probe_is_broadcast_only(spark):
+    """The bloom membership probe must be a narrow map over the shard:
+    the bitmap arrives via BroadcastExchange + BroadcastNestedLoopJoin
+    (one-row build side), and NOTHING shuffles — at 100 TB the probe
+    reads the shard once and writes the verdict column in place."""
+    from gliner_spark.operators.dedup import bloom_probe, build_exact_bloom
+
+    docs = spark.createDataFrame(
+        [(0, "alpha doc"), (1, "beta doc")], ["doc_id", "text"]
+    )
+    bloom = build_exact_bloom(docs, n_items=2)
+    plan = _plan(bloom_probe(docs, bloom))
+    assert "BroadcastExchange" in plan, plan
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles == 0, plan
