@@ -199,21 +199,19 @@ def lsh_bucket_pairs(
     )
 
 
-def candidate_pairs(
+def banded_signatures(
     with_sigs: DataFrame,
-    n_bands: int = 16,
-    rows_per_band: int = 4,
-    max_bucket_size: int | None = 1000,
+    n_bands: int,
+    rows_per_band: int,
+    id_col: str = "surface_id",
 ) -> DataFrame:
-    """LSH banding: equal band-slice hash in ANY band → candidate pair.
-
-    Returns (id_a, id_b) with id_a < id_b, distinct, via the bucketed
-    pair expansion (lsh_bucket_pairs). Every shuffled row is int64s —
-    band rows, bucket lists, and the pair distinct move 8-byte ids,
-    never surface strings.
-    """
-    banded = with_sigs.select(
-        "surface_id",
+    """(id, sig) → (id, band, band_hash): one xxhash64 per band over its
+    signature slice, exploded to a row per band. Pure map — the shared
+    band-key construction for in-batch pairing (candidate_pairs) and the
+    persisted-state probe (linking_incremental), so the two paths are
+    bit-identical by construction."""
+    return with_sigs.select(
+        id_col,
         F.posexplode(
             F.array(
                 *[
@@ -229,6 +227,22 @@ def candidate_pairs(
             )
         ).alias("band", "band_hash"),
     )
+
+
+def candidate_pairs(
+    with_sigs: DataFrame,
+    n_bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """LSH banding: equal band-slice hash in ANY band → candidate pair.
+
+    Returns (id_a, id_b) with id_a < id_b, distinct, via the bucketed
+    pair expansion (lsh_bucket_pairs). Every shuffled row is int64s —
+    band rows, bucket lists, and the pair distinct move 8-byte ids,
+    never surface strings.
+    """
+    banded = banded_signatures(with_sigs, n_bands, rows_per_band)
     return lsh_bucket_pairs(
         banded, "surface_id", ("band", "band_hash"), max_bucket_size
     )
