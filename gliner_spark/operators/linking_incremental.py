@@ -188,6 +188,9 @@ def canonicalize_increment(
     surface_col: str = "text",
     max_iter: int = 20,
     max_bucket_size: int | None = 1000,
+    out_prefix: str | None = None,
+    out_path: str | None = None,
+    n_file_buckets: int = 8,
 ) -> DataFrame:
     """Fold a shard of new mentions into persisted linking state and
     return the UPDATED full canonical map (batch-output schema).
@@ -198,9 +201,22 @@ def canonicalize_increment(
     (member fetch for touched components) — the only full-corpus reads
     are bucketed scans, never shuffles. See module docstring for the
     algorithm and its batch-parity argument.
+
+    With `out_prefix`, the UPDATED state is persisted too (generation
+    rotation — a NEW prefix, never in-place: Spark cannot safely
+    overwrite tables it is reading), so increments CHAIN: the next shard
+    probes `out_prefix` and sees this one folded in. Untouched rows copy
+    through as bucketed scans; bands append; only the touched scope is
+    recomputed — chained-parity is pinned in tests.
     """
     spark = new_mentions.sparkSession
     p = table_prefix
+    if out_prefix == table_prefix:
+        raise ValueError(
+            "out_prefix must differ from table_prefix: overwriting state "
+            "tables while reading them is undefined in Spark — rotate "
+            "generations (e.g. suffix a version number) instead"
+        )
     meta = spark.table(f"{p}_meta").collect()[0]
     n_perms, n_bands = meta["n_perms"], meta["n_bands"]
     shingle_n, seed = meta["shingle_n"], meta["seed"]
@@ -351,6 +367,9 @@ def canonicalize_increment(
         .withColumn("surface_id", F.xxhash64("surface"))
     )
     touched_stats = comb_surf.join(assign, "surface_id")
+    if out_prefix is not None:
+        # feeds the returned map AND three state writes — materialize once
+        touched_stats = touched_stats.localCheckpoint()
     canon2 = touched_stats.groupBy("final_comp").agg(*_CANON_AGGS())
     touched_rows = touched_stats.join(canon2, "final_comp").select(
         "surface",
@@ -375,4 +394,82 @@ def canonicalize_increment(
             "entity_mentions",
         )
     )
+
+    if out_prefix is not None:
+        q = out_prefix
+        write_bucketed(
+            state_surf.join(F.broadcast(touched), "component", "left_anti")
+            .select(
+                "surface_id", "surface", "component", "n_mentions", "ent_type"
+            )
+            .unionByName(
+                touched_stats.select(
+                    "surface_id",
+                    "surface",
+                    F.col("final_comp").alias("component"),
+                    "n_mentions",
+                    "ent_type",
+                )
+            ),
+            f"{q}_surfaces",
+            ["component"],
+            n_file_buckets,
+            f"{out_path}/surfaces" if out_path else None,
+        )
+        write_bucketed(
+            state_labels.join(F.broadcast(touched), "component", "left_anti")
+            .select("component", "surface", "label", "n")
+            .unionByName(
+                comb.withColumn("surface_id", F.xxhash64("surface"))
+                .join(assign, "surface_id")
+                .select(
+                    F.col("final_comp").alias("component"),
+                    "surface",
+                    "label",
+                    "n",
+                )
+            ),
+            f"{q}_labels",
+            ["component"],
+            n_file_buckets,
+            f"{out_path}/labels" if out_path else None,
+        )
+        write_bucketed(
+            state_bands.select("band", "band_hash", "surface_id").unionByName(
+                new_bands.select("band", "band_hash", "surface_id")
+            ),
+            f"{q}_bands",
+            ["band", "band_hash"],
+            n_file_buckets,
+            f"{out_path}/bands" if out_path else None,
+        )
+        write_bucketed(
+            state_canon.join(F.broadcast(touched), "component", "left_anti")
+            .select(
+                "component",
+                "canonical",
+                "entity_mentions",
+                "entity_type",
+                "entity_id",
+            )
+            .unionByName(
+                canon2.select(
+                    F.col("final_comp").alias("component"),
+                    "canonical",
+                    "entity_mentions",
+                    "entity_type",
+                ).withColumn("entity_id", F.xxhash64("canonical"))
+            ),
+            f"{q}_canon",
+            ["component"],
+            n_file_buckets,
+            f"{out_path}/canon" if out_path else None,
+        )
+        writer = (
+            spark.table(f"{p}_meta").coalesce(1).write.mode("overwrite")
+        )
+        if out_path:
+            writer = writer.option("path", f"{out_path}/meta")
+        writer.saveAsTable(f"{q}_meta")
+
     return untouched.unionByName(touched_rows)

@@ -144,6 +144,52 @@ def test_increment_degenerate_shards(spark, tmp_path_factory, shard_spec):
         _drop_state(spark, "lkd")
 
 
+def test_increments_chain_through_written_state(spark, tmp_path_factory):
+    """out_prefix persists the updated state (generation rotation), so a
+    second shard probing it sees the first folded in — two chained
+    increments equal one batch run over corpus ∪ shard1 ∪ shard2."""
+    corpus = _mentions(spark, CORPUS)
+    shard1 = _mentions(spark, SHARD)
+    # shard2 touches shard1's output: re-mentions the merged entity's
+    # bridge, near-dups the gen-1-new Kubernetes, and adds a novel one
+    shard2 = _mentions(
+        spark,
+        [
+            ("Alpha Beta Gamma", "organization", 3),
+            ("Kubernetes Inc", "organization", 1),
+            ("Grafana", "tool", 1),
+        ],
+    )
+    base = str(tmp_path_factory.mktemp("lkch"))
+    try:
+        build_linking_state(corpus, "lkg1", path=f"{base}/g1", **PARAMS)
+        with pytest.raises(ValueError, match="out_prefix"):
+            canonicalize_increment(shard1, "lkg1", out_prefix="lkg1")
+        canonicalize_increment(
+            shard1, "lkg1", max_bucket_size=None,
+            out_prefix="lkg2", out_path=f"{base}/g2",
+        ).count()
+        got = _rowset(
+            canonicalize_increment(shard2, "lkg2", max_bucket_size=None)
+        )
+        want = _rowset(
+            canonicalize(
+                corpus.unionByName(shard1).unionByName(shard2),
+                **_canon_kwargs(),
+            )
+        )
+        assert got == want
+        # written gen-2 map also equals batch over corpus ∪ shard1
+        got1 = _rowset(canonical_map_from_state(spark, "lkg2"))
+        want1 = _rowset(
+            canonicalize(corpus.unionByName(shard1), **_canon_kwargs())
+        )
+        assert got1 == want1
+    finally:
+        _drop_state(spark, "lkg1")
+        _drop_state(spark, "lkg2")
+
+
 def test_state_map_join_exchange_free(spark, tmp_path_factory):
     """The untouched-component pass-through is a bucketed-on-component
     join: neither state table reshuffles."""
