@@ -47,6 +47,35 @@ def word_ngrams(tok_col: Column, n: int) -> Column:
     )
 
 
+def hashed_word_ngrams(tok_col: Column, n: int) -> Column:
+    """int64 n-gram keys built as a zip_with CHAIN instead of a
+    transform-over-index-sequence: acc starts as the token array and
+    each step j zips it with the tokens shifted by j, hashing
+    (acc, next_token) — so gram i ends as the left-fold hash of tokens
+    i..i+n-1. A/B-measured ~6× faster than the per-gram
+    transform(sequence, i -> …slice(toks, i, n)…) shape at 300k docs
+    (1.5 s vs 10–13 s for trigram construction+distinct): the index
+    sequence materialization and per-gram slice were the cost, not the
+    hashing or the compares.
+
+    The chained hash is injective over the token tuple up to 64-bit
+    collisions (~1e-16 per doc), and downstream distinct/sort/run-fold
+    compare 8-byte ints instead of strings. zip_with pads the shorter
+    (shifted) side with nulls — those garbage tail entries are sliced
+    off, and the empty-below-n guard keeps the same shape as
+    word_ngrams."""
+    sz = F.size(tok_col)
+    if n == 1:
+        return F.transform(tok_col, lambda t: F.xxhash64(t))
+    acc = tok_col
+    for j in range(1, n):
+        shifted = F.slice(tok_col, j + 1, F.greatest(sz - j, F.lit(0)))
+        acc = F.zip_with(acc, shifted, lambda h, c: F.xxhash64(h, c))
+    return F.when(sz >= n, F.slice(acc, 1, sz - n + 1)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
 def normalized_text(col: Column) -> Column:
     """Dedup normalization: lowercase + collapse whitespace + trim."""
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
