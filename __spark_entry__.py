@@ -1274,9 +1274,27 @@ def _q_mention_cooccur(spark, sf_dir):
 
 
 def _q_edge_agg(spark, sf_dir):
-    """Graph edge materialization (build_edges hash agg), oracle-checked
-    over deterministic synthetic canonical triples derived from events."""
+    """Graph umbrella (leg, a, b, k, n, m, val) — r4 widened from the
+    plain edge aggregation to also drive the motif-find surface
+    (operators/motif.py, GraphFrames-style pattern → join compiler):
+
+      leg='edge'     build_edges hash agg over deterministic synthetic
+                     canonical triples (the original edge_agg):
+                     a=subj_id, b=obj_id, k=pred|subj|obj canonicals,
+                     n=n_evidence, m=n_convs, val=max score.
+      leg='wedge'    motif.find over a deterministic single-id-space
+                     event graph: per root vertex a, m = 2-hop paths
+                     "(a)-[]->(b); (b)-[]->(c)" and n = OPEN wedges
+                     "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)" — the
+                     negated term exercises the anti-join path.
+      leg='triangle' motif.triangle_counts (undirected, per corner):
+                     a=id, n=n_triangles.
+
+    The wedge/triangle graph is src=user_id%300, dst=(event_id*7+3)%300
+    (one shared vertex space so 2-hops and triangles exist); DuckDB
+    replays the same joins, incl. the negation as NOT EXISTS."""
     from gliner_spark.operators.graph import build_edges
+    from gliner_spark.operators.motif import find, triangle_counts
 
     ev = _events(spark, sf_dir)
     triples = ev.select(
@@ -1291,16 +1309,53 @@ def _q_edge_agg(spark, sf_dir):
         F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("conv_id"),
     )
     edges = build_edges(triples)
-    return edges.select(
-        "subj_id",
-        "subj_canonical",
-        "pred",
-        "obj_id",
-        "obj_canonical",
-        "n_evidence",
-        F.round("score", 6).alias("score"),
-        "n_convs",
+    edge_leg = edges.select(
+        F.lit("edge").alias("leg"),
+        F.col("subj_id").alias("a"),
+        F.col("obj_id").alias("b"),
+        F.concat_ws(
+            "|", "pred", "subj_canonical", "obj_canonical"
+        ).alias("k"),
+        F.col("n_evidence").cast("long").alias("n"),
+        F.col("n_convs").cast("long").alias("m"),
+        F.round("score", 6).alias("val"),
     )
+
+    g = ev.select(
+        F.pmod(F.col("user_id").cast("long"), F.lit(300)).alias("src"),
+        F.pmod(F.col("event_id").cast("long") * 7 + 3, F.lit(300)).alias(
+            "dst"
+        ),
+    ).distinct()
+    total = (
+        find(g, "(a)-[]->(b); (b)-[]->(c)")
+        .groupBy(F.col("a.id").alias("a"))
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    open_w = (
+        find(g, "(a)-[]->(b); (b)-[]->(c); !(a)-[]->(c)")
+        .groupBy(F.col("a.id").alias("a"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wedge_leg = total.join(open_w, "a", "left").select(
+        F.lit("wedge").alias("leg"),
+        "a",
+        F.lit(-1).cast("long").alias("b"),
+        F.lit("").alias("k"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        F.col("m").cast("long").alias("m"),
+        F.lit(0.0).alias("val"),
+    )
+    tri_leg = triangle_counts(g).select(
+        F.lit("triangle").alias("leg"),
+        F.col("id").alias("a"),
+        F.lit(-1).cast("long").alias("b"),
+        F.lit("").alias("k"),
+        F.col("n_triangles").cast("long").alias("n"),
+        F.lit(0).cast("long").alias("m"),
+        F.lit(0.0).alias("val"),
+    )
+    return edge_leg.unionByName(wedge_leg).unionByName(tri_leg)
 
 
 def _q_asof_enrich(spark, sf_dir):
@@ -3073,13 +3128,50 @@ def oracle_sql() -> dict[str, str]:
                      'o' || (event_id % 50) as obj_canonical,
                      round(value, 2) as score,
                      strftime(ts::date, '%Y-%m-%d') as conv_id
-              from events)
-            select subj_id, subj_canonical, pred, obj_id, obj_canonical,
-                   count(*) as n_evidence,
-                   round(max(score), 6) as score,
-                   count(distinct conv_id) as n_convs
-            from t
-            group by subj_id, subj_canonical, pred, obj_id, obj_canonical
+              from events),
+            edge_leg as (
+              select 'edge' as leg, subj_id as a, obj_id as b,
+                     pred || '|' || subj_canonical || '|' || obj_canonical
+                       as k,
+                     count(*)::bigint as n,
+                     count(distinct conv_id)::bigint as m,
+                     round(max(score), 6) as val
+              from t
+              group by subj_id, obj_id, pred, subj_canonical,
+                       obj_canonical),
+            g as (
+              select distinct (user_id % 300)::bigint as src,
+                              ((event_id * 7 + 3) % 300)::bigint as dst
+              from events),
+            wedge_leg as (
+              select 'wedge' as leg, ab.src as a, -1::bigint as b,
+                     '' as k,
+                     sum(case when not exists
+                           (select 1 from g ac
+                            where ac.src = ab.src and ac.dst = bc.dst)
+                         then 1 else 0 end)::bigint as n,
+                     count(*)::bigint as m,
+                     0.0 as val
+              from g ab join g bc on ab.dst = bc.src
+              group by ab.src),
+            u as (
+              select distinct least(src, dst) as a, greatest(src, dst) as b
+              from g where src <> dst),
+            tri as (
+              select ab.a as x, ab.b as y, bc.b as z
+              from u ab
+              join u bc on ab.b = bc.a
+              join u ac on ac.a = ab.a and ac.b = bc.b),
+            tri_leg as (
+              select 'triangle' as leg, v as a, -1::bigint as b, '' as k,
+                     count(*)::bigint as n, 0::bigint as m, 0.0 as val
+              from (select x as v from tri
+                    union all select y from tri
+                    union all select z from tri)
+              group by v)
+            select * from edge_leg
+            union all select * from wedge_leg
+            union all select * from tri_leg
         """,
         "shipping_priority": """
             select l_orderkey,
