@@ -550,15 +550,55 @@ def _q_decontaminate(spark, sf_dir):
 
 
 def _q_bm25_search(spark, sf_dir):
-    """BM25 top-10 (retrieval.bm25_rank) for a 3-term query including a
-    zero-df term (Robertson idf stays finite; tf=0 contributes 0).
-    Rank/order over the 6dp-rounded score with doc_id tie-break, so the
-    top-k set is deterministic across engines."""
-    from gliner_spark.operators.retrieval import bm25_rank
+    """Retrieval umbrella (leg, doc_id, score, rk) — r4 widened from the
+    plain BM25 ranking to the full hybrid-search surface:
 
-    return bm25_rank(
-        _docs(spark, sf_dir), ["spark", "window", "quantumfoo"], top_k=10
+      leg='bm25'   BM25 top-10 (retrieval.bm25_rank) for a 3-term query
+                   including a zero-df term (Robertson idf stays finite;
+                   tf=0 contributes 0) — the original bm25_search.
+      leg='dense'  exact cosine top-10 (similarity.knn_bruteforce) for
+                   the vec_id=0 corpus embedding as the query; vec_id
+                   doubles as doc_id (aligned id spaces in testdata).
+      leg='rrf'    reciprocal-rank fusion (retrieval.rrf_fuse, k0=60,
+                   Cormack et al. 2009) of the BM25 top-20 and dense
+                   top-20 candidate lists — the hybrid ranking.
+
+    Every leg ranks over its 6dp-rounded score with a doc_id tie-break,
+    so the top-k sets are deterministic across engines; the rrf sum has
+    ≤2 terms per doc, so its double is summation-order-free."""
+    from gliner_spark.operators.retrieval import bm25_rank, rrf_fuse
+    from gliner_spark.operators.similarity import knn_bruteforce
+
+    docs = _docs(spark, sf_dir)
+    emb = _embeddings(spark, sf_dir)
+    terms = ["spark", "window", "quantumfoo"]
+    bm20 = bm25_rank(docs, terms, top_k=20)
+    q = emb.where("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
     )
+    dense20 = knn_bruteforce(emb, q, k=20).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("cos").alias("score"),
+        F.col("rank").alias("rk"),
+    )
+    fused = rrf_fuse(
+        [bm20.select("doc_id", "rk"), dense20.select("doc_id", "rk")],
+        k0=60.0,
+        top_k=10,
+    )
+    bm_leg = bm20.where("rk <= 10").select(
+        F.lit("bm25").alias("leg"), "doc_id", "score", "rk"
+    )
+    dense_leg = dense20.where("rk <= 10").select(
+        F.lit("dense").alias("leg"), "doc_id", "score", "rk"
+    )
+    rrf_leg = fused.select(
+        F.lit("rrf").alias("leg"),
+        "doc_id",
+        F.col("rrf").alias("score"),
+        "rk",
+    )
+    return bm_leg.unionByName(dense_leg).unionByName(rrf_leg)
 
 
 def _q_pagerank_events(spark, sf_dir):
@@ -1289,11 +1329,18 @@ def _q_edge_agg(spark, sf_dir):
                      negated term exercises the anti-join path.
       leg='triangle' motif.triangle_counts (undirected, per corner):
                      a=id, n=n_triangles.
+      leg='path'     graph.bfs_distances (r4): multi-source BFS shortest
+                     hop counts from landmarks {0,1,2} within 3 hops over
+                     the same graph — a=landmark, b=id, n=hop. The
+                     driver-loop frontier expansion (first-reach ==
+                     shortest) vs DuckDB's recursive-CTE closure with
+                     min(hop).
 
-    The wedge/triangle graph is src=user_id%300, dst=(event_id*7+3)%300
-    (one shared vertex space so 2-hops and triangles exist); DuckDB
-    replays the same joins, incl. the negation as NOT EXISTS."""
-    from gliner_spark.operators.graph import build_edges
+    The wedge/triangle/path graph is src=user_id%300,
+    dst=(event_id*7+3)%300 (one shared vertex space so 2-hops and
+    triangles exist); DuckDB replays the same joins, incl. the negation
+    as NOT EXISTS."""
+    from gliner_spark.operators.graph import bfs_distances, build_edges
     from gliner_spark.operators.motif import find, triangle_counts
 
     ev = _events(spark, sf_dir)
@@ -1355,7 +1402,20 @@ def _q_edge_agg(spark, sf_dir):
         F.lit(0).cast("long").alias("m"),
         F.lit(0.0).alias("val"),
     )
-    return edge_leg.unionByName(wedge_leg).unionByName(tri_leg)
+    path_leg = bfs_distances(g, [0, 1, 2], max_hops=3).select(
+        F.lit("path").alias("leg"),
+        F.col("landmark").alias("a"),
+        F.col("id").alias("b"),
+        F.lit("").alias("k"),
+        F.col("hop").cast("long").alias("n"),
+        F.lit(0).cast("long").alias("m"),
+        F.lit(0.0).alias("val"),
+    )
+    return (
+        edge_leg.unionByName(wedge_leg)
+        .unionByName(tri_leg)
+        .unionByName(path_leg)
+    )
 
 
 def _q_asof_enrich(spark, sf_dir):
@@ -2646,11 +2706,42 @@ def oracle_sql() -> dict[str, str]:
                        / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
                    + ln(1 + (n_docs - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2
                        / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)) as raw
-              from pt, s)
-            select doc_id, round(raw, 6) as score,
-                   (row_number() over (
-                      order by round(raw, 6) desc, doc_id))::int as rk
-            from sc order by score desc, doc_id limit 10
+              from pt, s),
+            bm as (
+              select doc_id, round(raw, 6) as score,
+                     (row_number() over (
+                        order by round(raw, 6) desc, doc_id))::int as rk
+              from sc),
+            u as (
+              select vec_id,
+                     list_transform(embedding, x -> x::double /
+                       sqrt(list_sum(list_transform(embedding,
+                         y -> y::double * y::double)))) as unit
+              from embeddings),
+            qv as (select unit from u where vec_id = 0),
+            dn as (
+              select e.vec_id as doc_id,
+                     round(list_dot_product(e.unit, qv.unit), 6) as score,
+                     (row_number() over (
+                        order by round(list_dot_product(e.unit, qv.unit),
+                                       6) desc, e.vec_id))::int as rk
+              from u e, qv),
+            fused as (
+              select doc_id, round(sum(1.0 / (60 + rk)), 6) as score
+              from (select doc_id, rk from bm where rk <= 20
+                    union all
+                    select doc_id, rk from dn where rk <= 20)
+              group by doc_id),
+            rrf as (
+              select doc_id, score,
+                     (row_number() over (
+                        order by score desc, doc_id))::int as rk
+              from fused)
+            select 'bm25' as leg, doc_id, score, rk from bm where rk <= 10
+            union all
+            select 'dense' as leg, doc_id, score, rk from dn where rk <= 10
+            union all
+            select 'rrf' as leg, doc_id, score, rk from rrf where rk <= 10
         """,
         "tfidf_topterms": f"""
             with tf as (
@@ -3120,7 +3211,7 @@ def oracle_sql() -> dict[str, str]:
                   union all select * from rag_leg)
         """,
         "edge_agg": """
-            with t as (
+            with recursive t as (
               select user_id::bigint as subj_id,
                      'u' || user_id as subj_canonical,
                      event_type as pred,
@@ -3168,10 +3259,22 @@ def oracle_sql() -> dict[str, str]:
               from (select x as v from tri
                     union all select y from tri
                     union all select z from tri)
-              group by v)
+              group by v),
+            reach as (
+              select v::bigint as landmark, v::bigint as id, 0 as hop
+              from (values (0), (1), (2)) s(v)
+              union
+              select r.landmark, e.dst as id, r.hop + 1
+              from reach r join g e on e.src = r.id
+              where r.hop < 3),
+            path_leg as (
+              select 'path' as leg, landmark as a, id as b, '' as k,
+                     min(hop)::bigint as n, 0::bigint as m, 0.0 as val
+              from reach group by landmark, id)
             select * from edge_leg
             union all select * from wedge_leg
             union all select * from tri_leg
+            union all select * from path_leg
         """,
         "shipping_priority": """
             select l_orderkey,

@@ -154,6 +154,82 @@ def pagerank(
     return ranks.select(F.col("id").alias("entity_id"), "rank")
 
 
+def bfs_distances(
+    edges: DataFrame,
+    landmarks: DataFrame | list[int],
+    max_hops: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS shortest hop counts → (landmark, id, hop).
+
+    KG reachability: for each landmark entity, every vertex reachable
+    within `max_hops` directed hops and its shortest distance (the
+    GraphFrames `shortestPaths` landmark semantics; GLiNER itself has no
+    graph analytics — this serves neighborhood/reachability queries over
+    the materialized edge table, e.g. "everything within 3 hops of this
+    canonical entity").
+
+    Driver-controlled frontier expansion (Catalyst cannot iterate — the
+    same pattern as pagerank/connected components): each round joins the
+    CURRENT frontier one hop along edges (int64 equi-join on src),
+    anti-joins vertices already reached (first reach = shortest hop, so
+    no min-aggregate is ever needed), and localCheckpoints the new
+    frontier to cut lineage. Rounds are bounded by `max_hops` and stop
+    early when the frontier empties, so the loop is O(max_hops) joins
+    regardless of graph size, and per-round work is proportional to the
+    FRONTIER, not the reached set. At 100 TB the edge table is bucketed
+    on src so every round's probe joins Exchange-free on the big side;
+    the anti-join key (landmark, id) is the natural partitioning of the
+    accumulating distance table.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    if isinstance(landmarks, DataFrame):
+        lm = landmarks.select(
+            F.col(landmarks.columns[0]).cast("long").alias("landmark")
+        ).distinct()
+    else:
+        lm = edges.sparkSession.createDataFrame(
+            [(int(x),) for x in landmarks], "landmark long"
+        )
+    dist = lm.select(
+        "landmark",
+        F.col("landmark").alias("id"),
+        F.lit(0).cast("int").alias("hop"),
+    ).localCheckpoint()
+    frontier = dist
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier.id == e.src)
+            .select("landmark", F.col("dst").alias("id"))
+            .distinct()
+            .join(
+                dist.select("landmark", "id"),
+                ["landmark", "id"],
+                "left_anti",
+            )
+            .select(
+                "landmark", "id", F.lit(hop).cast("int").alias("hop")
+            )
+            # eager: materializes this round's frontier in one job; the
+            # isEmpty() below reads the checkpointed rows back cheaply
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        # unions of already-checkpointed frames: lineage stays shallow
+        dist = dist.union(nxt)
+        frontier = nxt
+    return dist
+
+
 def build_edges(canonical_triples: DataFrame) -> DataFrame:
     """Canonicalized triples (subj_id, subj_canonical, pred, obj_id,
     obj_canonical, score, …) → edges with evidence stats."""

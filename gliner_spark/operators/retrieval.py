@@ -88,3 +88,90 @@ def bm25_rank(
 
     w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
     return ranked.withColumn("rk", F.row_number().over(w))
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k0: float = 60.0,
+    top_k: int = 10,
+    id_col: str = "doc_id",
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Reciprocal-rank fusion of ≥1 ranked candidate lists →
+    (doc_id, rrf, n_legs, rk ≤ top_k).
+
+    score(d) = Σ over the legs that ranked d of 1/(k0 + rank_leg(d)) —
+    the standard hybrid-retrieval combiner (Cormack, Clarke & Büttcher,
+    SIGIR 2009; k0=60 is the paper's constant). Rank-based, so lexical
+    (BM25) and dense (cosine) legs fuse without score calibration.
+
+    Inputs are TOP-K CANDIDATE LISTS (each leg's own ranker already did
+    the corpus-scale work and kept k rows), so the union/groupBy here
+    moves O(Σ leg k) rows no matter the corpus size — the fusion itself
+    is never the bottleneck. rrf is rounded to 6dp before ranking with a
+    doc_id tie-break: the per-doc sum has at most len(rankings) terms,
+    so the double is engine-order-independent after rounding and the
+    fused top-k is deterministic (the repo-wide cross-engine rule).
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    legs = [
+        df.select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.col(rank_col).cast("long").alias("_rk"),
+        )
+        for df in rankings
+    ]
+    u = legs[0]
+    for df in legs[1:]:
+        u = u.unionByName(df)
+    fused = u.groupBy(id_col).agg(
+        F.round(
+            F.sum(F.lit(1.0) / (F.lit(float(k0)) + F.col("_rk"))), 6
+        ).alias("rrf"),
+        F.count(F.lit(1)).cast("long").alias("n_legs"),
+    )
+    ranked = fused.orderBy(
+        F.col("rrf").desc(), F.col(id_col).asc()
+    ).limit(top_k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+    return ranked.withColumn("rk", F.row_number().over(w))
+
+
+def hybrid_rank(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec: list[float],
+    k_each: int = 20,
+    top_k: int = 10,
+    k0: float = 60.0,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """BM25 + dense-cosine hybrid search over an aligned corpus
+    (documents and their embeddings share an id space) → the rrf_fuse
+    output shape. Convenience composition: each leg is the existing
+    corpus-scale ranker (bm25_rank's map-side tf, knn_bruteforce's
+    broadcast-query scan), fusion touches only 2·k_each rows."""
+    from .similarity import knn_bruteforce
+
+    lexical = bm25_rank(docs, query_terms, top_k=k_each, id_col=id_col)
+    q = docs.sparkSession.createDataFrame(
+        [(0, [float(x) for x in query_vec])],
+        "query_id long, embedding array<double>",
+    )
+    dense = knn_bruteforce(embeddings, q, k=k_each).select(
+        F.col(vec_id_col).alias(id_col), "rank"
+    )
+    return rrf_fuse(
+        [
+            lexical.select(id_col, "rk"),
+            dense.withColumnRenamed("rank", "rk"),
+        ],
+        k0=k0,
+        top_k=top_k,
+        id_col=id_col,
+    )

@@ -77,6 +77,106 @@ def test_bm25_rejects_empty_query(spark):
         bm25_rank(df, [])
 
 
+def _rrf_oracle(legs, k0=60.0, top_k=10):
+    acc = {}
+    for leg in legs:
+        for doc_id, rk in leg:
+            s, n = acc.get(doc_id, (0.0, 0))
+            acc[doc_id] = (s + 1.0 / (k0 + rk), n + 1)
+    rows = sorted(
+        ((d, round(s, 6), n) for d, (s, n) in acc.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:top_k]
+    return [(d, s, n, i + 1) for i, (d, s, n) in enumerate(rows)]
+
+
+def test_rrf_matches_python_oracle(spark):
+    from gliner_spark.operators.retrieval import rrf_fuse
+
+    a = [(10, 1), (11, 2), (12, 3)]
+    b = [(11, 1), (13, 2)]
+    dfs = [
+        spark.createDataFrame(leg, "doc_id long, rk long") for leg in (a, b)
+    ]
+    got = [
+        (r.doc_id, r.rrf, r.n_legs, r.rk)
+        for r in rrf_fuse(dfs, top_k=10).collect()
+    ]
+    assert got == _rrf_oracle([a, b])
+    # doc 11 appears in both legs and must win
+    assert got[0][0] == 11 and got[0][2] == 2
+
+
+def test_rrf_tie_breaks_by_doc_id(spark):
+    from gliner_spark.operators.retrieval import rrf_fuse
+
+    legs = [[(7, 1)], [(3, 1)]]  # identical scores 1/61
+    dfs = [
+        spark.createDataFrame(leg, "doc_id long, rk long") for leg in legs
+    ]
+    got = [(r.doc_id, r.rk) for r in rrf_fuse(dfs).collect()]
+    assert got == [(3, 1), (7, 2)]
+
+
+def test_rrf_rejects_empty(spark):
+    from gliner_spark.operators.retrieval import rrf_fuse
+
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+
+
+def test_hybrid_rank_fuses_lexical_and_dense(spark):
+    """doc 1 wins the lexical leg, doc 2 wins the dense leg, doc 0 is
+    mid-pack on both — RRF must put the consistently-ranked doc 0 above
+    whichever single-leg loser trails it, and the whole output must
+    equal the python composition of the two leg oracles."""
+    from gliner_spark.operators.retrieval import (
+        bm25_rank,
+        hybrid_rank,
+        rrf_fuse,
+    )
+    from gliner_spark.operators.similarity import knn_bruteforce
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 1.0, 0.0]),
+            (1, [0.0, 1.0, 0.0]),
+            (2, [1.0, 0.0, 0.0]),
+            (3, [0.0, 0.0, 1.0]),
+            (4, [-1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    qvec = [1.0, 0.1, 0.0]
+    got = [
+        (r.doc_id, r.rrf, r.n_legs, r.rk)
+        for r in hybrid_rank(
+            docs, emb, ["spark"], qvec, k_each=3, top_k=5
+        ).collect()
+    ]
+    lex = [
+        (r.doc_id, r.rk)
+        for r in bm25_rank(docs, ["spark"], top_k=3).collect()
+    ]
+    q = spark.createDataFrame(
+        [(0, qvec)], "query_id long, embedding array<double>"
+    )
+    dense = [
+        (r.vec_id, r.rank) for r in knn_bruteforce(emb, q, k=3).collect()
+    ]
+    assert got == _rrf_oracle([lex, dense], top_k=5)
+    # and the composition equals calling rrf_fuse directly
+    direct = rrf_fuse(
+        [
+            spark.createDataFrame(lex, "doc_id long, rk long"),
+            spark.createDataFrame(dense, "doc_id long, rk long"),
+        ],
+        top_k=5,
+    ).collect()
+    assert got == [(r.doc_id, r.rrf, r.n_legs, r.rk) for r in direct]
+
+
 def test_decontaminate_planted_overlap(spark):
     bench = spark.createDataFrame(
         [(100, "alpha beta gamma delta")], "doc_id long, text string"
