@@ -235,3 +235,38 @@ def test_bloom_probe_is_broadcast_only(spark):
     assert "BroadcastExchange" in plan, plan
     shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert shuffles == 0, plan
+
+
+def test_rrf_fuse_is_take_ordered(spark):
+    """RRF fusion runs over top-k CANDIDATE LISTS, so its own plan must
+    stay tiny-data shaped: the final top-k is a TakeOrderedAndProject
+    (per-partition heap + driver merge of k rows), never a global Sort
+    shuffle — the corpus-scale work belongs to each leg's ranker."""
+    from gliner_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2)], ["doc_id", "rk"])
+    b = spark.createDataFrame([(2, 1), (3, 2)], ["doc_id", "rk"])
+    plan = _plan(rrf_fuse([a, b], top_k=2))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan.replace("SortAggregate", ""), plan
+
+
+def test_bfs_round_join_is_equi_join(spark):
+    """Each BFS round joins the frontier to edges on src — an int64
+    equi-join (hash/sort-merge), never a nested-loop: a BNLJ here would
+    be frontier × edges at cluster scale. Audited on the FIRST round's
+    unexecuted plan (later rounds reuse the same shape)."""
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2)], "src long, dst long"
+    )
+    frontier = spark.createDataFrame([(0, 0, 0)], "landmark long, id long, hop int")
+    joined = frontier.join(edges, frontier.id == edges.src).select(
+        "landmark", F.col("dst").alias("id")
+    )
+    plan = _plan(joined)
+    assert (
+        "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    ), plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
