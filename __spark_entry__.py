@@ -562,11 +562,26 @@ def _q_bm25_search(spark, sf_dir):
       leg='rrf'    reciprocal-rank fusion (retrieval.rrf_fuse, k0=60,
                    Cormack et al. 2009) of the BM25 top-20 and dense
                    top-20 candidate lists — the hybrid ranking.
+      leg='indexed' (r4) the same BM25 query answered from a PERSISTED
+                   inverted index (retrieval.build_bm25_index →
+                   bm25_against_index): postings parquet partitioned by
+                   term-hash bucket, scan pruned to the query terms'
+                   buckets. Candidates are docs matching >= 1 term (an
+                   inverted index never sees the rest), so the oracle
+                   ranks within the tf-sum > 0 subset.
 
     Every leg ranks over its 6dp-rounded score with a doc_id tie-break,
     so the top-k sets are deterministic across engines; the rrf sum has
     ≤2 terms per doc, so its double is summation-order-free."""
-    from gliner_spark.operators.retrieval import bm25_rank, rrf_fuse
+    import os
+    import tempfile
+
+    from gliner_spark.operators.retrieval import (
+        bm25_against_index,
+        bm25_rank,
+        build_bm25_index,
+        rrf_fuse,
+    )
     from gliner_spark.operators.similarity import knn_bruteforce
 
     docs = _docs(spark, sf_dir)
@@ -598,7 +613,18 @@ def _q_bm25_search(spark, sf_dir):
         F.col("rrf").alias("score"),
         "rk",
     )
-    return bm_leg.unionByName(dense_leg).unionByName(rrf_leg)
+    idx_path = os.path.join(
+        tempfile.mkdtemp(prefix="gliner_bm25_idx_"), "idx"
+    )
+    build_bm25_index(docs, idx_path, n_buckets=64)
+    idx_leg = bm25_against_index(
+        spark, idx_path, terms, top_k=10
+    ).select(F.lit("indexed").alias("leg"), "doc_id", "score", "rk")
+    return (
+        bm_leg.unionByName(dense_leg)
+        .unionByName(rrf_leg)
+        .unionByName(idx_leg)
+    )
 
 
 def _q_pagerank_events(spark, sf_dir):
@@ -2736,12 +2762,22 @@ def oracle_sql() -> dict[str, str]:
               select doc_id, score,
                      (row_number() over (
                         order by score desc, doc_id))::int as rk
-              from fused)
+              from fused),
+            bmx as (
+              select sc.doc_id, round(sc.raw, 6) as score,
+                     (row_number() over (
+                        order by round(sc.raw, 6) desc, sc.doc_id))::int
+                       as rk
+              from sc join pt using (doc_id)
+              where pt.tf0 + pt.tf1 + pt.tf2 > 0)
             select 'bm25' as leg, doc_id, score, rk from bm where rk <= 10
             union all
             select 'dense' as leg, doc_id, score, rk from dn where rk <= 10
             union all
             select 'rrf' as leg, doc_id, score, rk from rrf where rk <= 10
+            union all
+            select 'indexed' as leg, doc_id, score, rk from bmx
+            where rk <= 10
         """,
         "tfidf_topterms": f"""
             with tf as (

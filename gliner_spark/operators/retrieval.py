@@ -90,6 +90,217 @@ def bm25_rank(
     return ranked.withColumn("rk", F.row_number().over(w))
 
 
+def _doc_postings(toks) -> "F.Column":
+    """Per-doc (term, tf) array from a token-array column, LINEAR per
+    row and fully map-side: sort the tokens, find run starts (positions
+    whose token differs from its predecessor), then zip each run start
+    with the next start to get the run length. No explode→groupBy — the
+    per-occurrence shuffle that pattern costs is the whole corpus at
+    index-build scale; here tf is finished before anything moves."""
+    srt = F.array_sort(toks)
+    n = F.size(srt)
+    # sequence(1, n) auto-negates its step for n < 1 → guard (repo rule)
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.lit(None).cast("array<int>")
+    )
+    starts = F.filter(
+        idx,
+        lambda i: (i == 1)
+        | (F.element_at(srt, i) != F.element_at(srt, i - 1)),
+    )
+    nexts = F.concat(
+        F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+        F.array(n + 1),
+    )
+    # empty doc → idx NULL → result NULL; explode() skips NULL arrays,
+    # so empty docs contribute no postings (but still count in n_docs)
+    return F.zip_with(
+        starts,
+        nexts,
+        lambda s, e: F.struct(
+            F.element_at(srt, s).alias("term"),
+            (e - s).cast("double").alias("tf"),
+        ),
+    )
+
+
+def build_bm25_index(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Persist an inverted index for BM25: postings (term, doc_id, tf,
+    dl) written as parquet PARTITIONED BY a term-hash bucket, corpus
+    stats (n_docs, total_dl) as a JSON sidecar. The retrieval twin of
+    `build_ivf_index`: tokenization + tf are paid ONCE at build time,
+    and a later query reads only the ≤len(terms) bucket directories its
+    terms hash into (literal partition filter → directory pruning at
+    the scan), never the corpus.
+
+    Scale shape: per-doc tf is computed map-side by sort+run-length
+    (`_doc_postings`) so the only shuffle is the repartition-by-bucket
+    that co-locates each bucket before the partitioned write (one file
+    per bucket instead of tasks × buckets small files). dl rides
+    denormalized on every posting — BM25's length norm then needs no
+    doc-table join at query time. df is NOT stored: it is exactly the
+    posting count of a term, recomputed from the (tiny) slice the query
+    reads, which keeps appends trivially correct."""
+    import json
+    import os
+
+    toks = tokens(F.lower(F.col(text_col)))
+    per_doc = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        toks.alias("ts"),
+        F.size(toks).alias("dl"),
+    )
+    agg = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    ).first()
+    postings = per_doc.select(
+        "doc_id",
+        F.col("dl").cast("double").alias("dl"),
+        F.explode(_doc_postings(F.col("ts"))).alias("p"),
+    ).select(
+        F.col("p.term").alias("term"),
+        "doc_id",
+        F.col("p.tf").alias("tf"),
+        "dl",
+        F.pmod(F.xxhash64("p.term"), F.lit(n_buckets)).alias("bucket"),
+    )
+    postings.repartition(F.col("bucket")).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(path)
+    meta = {
+        "n_docs": int(agg["n_docs"]),
+        "total_dl": int(agg["total_dl"] or 0),
+        "n_buckets": int(n_buckets),
+    }
+    with open(os.path.join(path, "_bm25_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def append_to_bm25_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Incrementally index new documents: append their postings to the
+    same bucket directories and fold their counts into the sidecar.
+    Exact, not approximate — the sidecar stores total_dl (not avgdl) so
+    the merged average is the true corpus average, and df is always
+    recomputed from postings at query time so it can't go stale."""
+    import json
+    import os
+
+    meta_path = os.path.join(path, "_bm25_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    toks = tokens(F.lower(F.col(text_col)))
+    per_doc = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        toks.alias("ts"),
+        F.size(toks).alias("dl"),
+    )
+    agg = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    ).first()
+    postings = per_doc.select(
+        "doc_id",
+        F.col("dl").cast("double").alias("dl"),
+        F.explode(_doc_postings(F.col("ts"))).alias("p"),
+    ).select(
+        F.col("p.term").alias("term"),
+        "doc_id",
+        F.col("p.tf").alias("tf"),
+        "dl",
+        F.pmod(
+            F.xxhash64("p.term"), F.lit(int(meta["n_buckets"]))
+        ).alias("bucket"),
+    )
+    postings.repartition(F.col("bucket")).write.mode("append").partitionBy(
+        "bucket"
+    ).parquet(path)
+    meta["n_docs"] += int(agg["n_docs"])
+    meta["total_dl"] += int(agg["total_dl"] or 0)
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def bm25_against_index(
+    spark,
+    path: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """Top-k BM25 over a `build_bm25_index` index. Reads ONLY the
+    bucket partitions the query terms hash into (the bucket predicate
+    is a literal IN list → PartitionFilters directory pruning; the term
+    predicate pushes to parquet row groups inside them), computes df as
+    the posting count per term from that slice, scores each posting
+    map-side, and groupBy-sums the ≤len(terms) postings per doc.
+
+    Same arithmetic, rounding (6dp) and (score desc, doc_id) tie-break
+    as `bm25_rank`, so on matching docs the two rankings agree exactly
+    (parity-pinned). Difference inherent to any inverted index: only
+    docs containing ≥1 query term are candidates — bm25_rank ranks
+    score-0 docs too when fewer than top_k docs match."""
+    import json
+    import os
+
+    if not query_terms:
+        raise ValueError("bm25_against_index needs at least one term")
+    with open(os.path.join(path, "_bm25_meta.json")) as f:
+        meta = json.load(f)
+    n_docs = float(meta["n_docs"])
+    avgdl = meta["total_dl"] / meta["n_docs"] if meta["n_docs"] else 1.0
+    # buckets for the literal IN filter: hash the terms with the SAME
+    # engine function used at build time (one O(len(terms)) local job)
+    bdf = spark.createDataFrame(
+        [(t,) for t in query_terms], "term string"
+    ).select(
+        F.pmod(F.xxhash64("term"), F.lit(int(meta["n_buckets"]))).alias(
+            "bucket"
+        )
+    )
+    buckets = sorted({r["bucket"] for r in bdf.collect()})
+    post = (
+        spark.read.parquet(path)
+        .where(F.col("bucket").isin(buckets))
+        .where(F.col("term").isin(query_terms))
+    )
+    df_tbl = post.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    scored = post.join(F.broadcast(df_tbl), "term")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n_docs) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
+    )
+    contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / (F.col("tf") + norm)
+    per_doc = scored.groupBy("doc_id").agg(
+        F.round(F.sum(contrib), 6).alias("score")
+    )
+    ranked = per_doc.orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    ).limit(top_k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return ranked.withColumn("rk", F.row_number().over(w))
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     k0: float = 60.0,

@@ -77,6 +77,130 @@ def test_bm25_rejects_empty_query(spark):
         bm25_rank(df, [])
 
 
+def test_bm25_index_postings_match_counter(spark, tmp_path):
+    """The sort+run-length postings build (no explode→groupBy) must
+    produce exactly python Counter's (term, tf) per doc, with dl
+    denormalized onto every posting and the empty doc absent."""
+    from collections import Counter
+
+    from gliner_spark.operators.retrieval import build_bm25_index
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    meta = build_bm25_index(df, path, n_buckets=8)
+    assert meta["n_docs"] == 5
+    assert meta["total_dl"] == sum(len(_tokens(t)) for _, t in DOCS)
+    got = {
+        (r.doc_id, r.term): (r.tf, r.dl)
+        for r in spark.read.parquet(path).collect()
+    }
+    want = {}
+    for i, t in DOCS:
+        ts = _tokens(t)
+        for w, c in Counter(ts).items():
+            want[(i, w)] = (float(c), float(len(ts)))
+    assert got == want
+
+
+def test_bm25_index_parity_with_rank(spark, tmp_path):
+    """On queries where >= top_k docs match, the indexed ranking equals
+    bm25_rank row-for-row (same arithmetic, rounding, tie-break)."""
+    from gliner_spark.operators.retrieval import (
+        bm25_against_index,
+        bm25_rank,
+        build_bm25_index,
+    )
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    build_bm25_index(df, path, n_buckets=8)
+    for query in (["spark", "window"], ["join", "table", "nosuchterm"]):
+        want = [
+            (r.doc_id, r.score, r.rk)
+            for r in bm25_rank(df, query, top_k=3).collect()
+        ]
+        got = [
+            (r.doc_id, r.score, r.rk)
+            for r in bm25_against_index(
+                spark, path, query, top_k=3
+            ).collect()
+        ]
+        assert got == want, query
+
+
+def test_bm25_index_returns_only_matching_docs(spark, tmp_path):
+    """Inherent inverted-index semantics: docs containing none of the
+    query terms are not candidates (bm25_rank pads with score-0 docs)."""
+    from gliner_spark.operators.retrieval import (
+        bm25_against_index,
+        build_bm25_index,
+    )
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    build_bm25_index(df, path, n_buckets=8)
+    got = bm25_against_index(spark, path, ["window"], top_k=5).collect()
+    assert sorted(r.doc_id for r in got) == [1, 2]
+    assert all(r.score > 0 for r in got)
+
+
+def test_bm25_index_prunes_bucket_partitions(spark, tmp_path):
+    """The 100 TB contract: a query's scan carries a LITERAL bucket IN
+    partition filter (directory pruning — only the query terms' buckets
+    are read) and the term predicate is pushed to parquet."""
+    from gliner_spark.operators.retrieval import (
+        bm25_against_index,
+        build_bm25_index,
+    )
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    build_bm25_index(df, path, n_buckets=16)
+    out = bm25_against_index(spark, path, ["spark", "join"], top_k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[bucket#\d+ IN \(([^)]*)\)", plan)
+    assert m, plan
+    assert len(m.group(1).split(",")) <= 2  # <= one bucket per term
+    assert "PushedFilters: [In(term" in plan, plan
+
+
+def test_bm25_index_append_is_exact(spark, tmp_path):
+    """append_to_bm25_index(B) after build(A) must be indistinguishable
+    from build(A ∪ B): identical sidecar stats and identical query
+    results (df recomputed from postings can't go stale)."""
+    from gliner_spark.operators.retrieval import (
+        append_to_bm25_index,
+        bm25_against_index,
+        build_bm25_index,
+    )
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    a = df.where("doc_id < 3")
+    b = df.where("doc_id >= 3")
+    p_inc = str(tmp_path / "inc")
+    p_full = str(tmp_path / "full")
+    build_bm25_index(a, p_inc, n_buckets=8)
+    meta_inc = append_to_bm25_index(b, p_inc)
+    meta_full = build_bm25_index(df, p_full, n_buckets=8)
+    assert meta_inc == meta_full
+    for query in (["spark", "window"], ["join"]):
+        got = [
+            (r.doc_id, r.score, r.rk)
+            for r in bm25_against_index(
+                spark, p_inc, query, top_k=5
+            ).collect()
+        ]
+        want = [
+            (r.doc_id, r.score, r.rk)
+            for r in bm25_against_index(
+                spark, p_full, query, top_k=5
+            ).collect()
+        ]
+        assert got == want, query
+
+
 def _rrf_oracle(legs, k0=60.0, top_k=10):
     acc = {}
     for leg in legs:
