@@ -1361,12 +1361,23 @@ def _q_edge_agg(spark, sf_dir):
                      driver-loop frontier expansion (first-reach ==
                      shortest) vs DuckDB's recursive-CTE closure with
                      min(hop).
+      leg='predict'  graph.link_predict (r4): Adamic-Adar common-
+                     neighbor link prediction over a SPARSER 2000-vertex
+                     graph (so middle degrees clear the hub cap at both
+                     sf levels) — a/b = suggested non-adjacent pair,
+                     n = shared neighbors (>= 2), val = round(sum
+                     1/ln(deg(middle)), 6). DuckDB replays the wedge
+                     self-join, hub cap, and NOT EXISTS anti-join.
 
     The wedge/triangle/path graph is src=user_id%300,
     dst=(event_id*7+3)%300 (one shared vertex space so 2-hops and
     triangles exist); DuckDB replays the same joins, incl. the negation
     as NOT EXISTS."""
-    from gliner_spark.operators.graph import bfs_distances, build_edges
+    from gliner_spark.operators.graph import (
+        bfs_distances,
+        build_edges,
+        link_predict,
+    )
     from gliner_spark.operators.motif import find, triangle_counts
 
     ev = _events(spark, sf_dir)
@@ -1437,10 +1448,28 @@ def _q_edge_agg(spark, sf_dir):
         F.lit(0).cast("long").alias("m"),
         F.lit(0.0).alias("val"),
     )
+    g2 = ev.select(
+        F.pmod(F.col("user_id").cast("long") * 13, F.lit(2000)).alias(
+            "src"
+        ),
+        F.pmod(
+            F.col("event_id").cast("long") * 7 + 3, F.lit(2000)
+        ).alias("dst"),
+    )
+    pred_leg = link_predict(g2, max_degree=256, min_common=2).select(
+        F.lit("predict").alias("leg"),
+        "a",
+        "b",
+        F.lit("").alias("k"),
+        F.col("n_common").cast("long").alias("n"),
+        F.lit(0).cast("long").alias("m"),
+        F.col("aa").alias("val"),
+    )
     return (
         edge_leg.unionByName(wedge_leg)
         .unionByName(tri_leg)
         .unionByName(path_leg)
+        .unionByName(pred_leg)
     )
 
 
@@ -3306,11 +3335,40 @@ def oracle_sql() -> dict[str, str]:
             path_leg as (
               select 'path' as leg, landmark as a, id as b, '' as k,
                      min(hop)::bigint as n, 0::bigint as m, 0.0 as val
-              from reach group by landmark, id)
+              from reach group by landmark, id),
+            u2 as (
+              select distinct
+                     least(user_id * 13 % 2000,
+                           (event_id * 7 + 3) % 2000)::bigint as a,
+                     greatest(user_id * 13 % 2000,
+                              (event_id * 7 + 3) % 2000)::bigint as b
+              from events
+              where user_id * 13 % 2000 <> (event_id * 7 + 3) % 2000),
+            adj as (select a as v, b as nb from u2
+                    union all select b as v, a as nb from u2),
+            degs as (select v, count(*)::bigint as deg from adj
+                     group by v),
+            mids as (
+              select adj.v, adj.nb, degs.deg
+              from adj join degs using (v) where degs.deg <= 256),
+            wp as (
+              select l.nb as a, r.nb as b, l.deg as deg
+              from mids l join mids r on l.v = r.v and l.nb < r.nb),
+            cand as (
+              select a, b, count(*)::bigint as n,
+                     round(sum(1.0 / ln(deg)), 6) as val
+              from wp group by a, b),
+            pred_leg as (
+              select 'predict' as leg, c.a, c.b, '' as k, c.n,
+                     0::bigint as m, c.val
+              from cand c
+              where c.n >= 2 and not exists
+                (select 1 from u2 where u2.a = c.a and u2.b = c.b))
             select * from edge_leg
             union all select * from wedge_leg
             union all select * from tri_leg
             union all select * from path_leg
+            union all select * from pred_leg
         """,
         "shipping_priority": """
             select l_orderkey,

@@ -240,3 +240,63 @@ def build_edges(canonical_triples: DataFrame) -> DataFrame:
         F.max("score").alias("score"),
         F.countDistinct("conv_id").alias("n_convs"),
     )
+
+
+def link_predict(
+    edges: DataFrame,
+    max_degree: int = 64,
+    min_common: int = 1,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Common-neighbor link prediction with Adamic-Adar weighting over
+    an UNDIRECTED view of the edge list → (a, b, n_common, aa) for
+    non-adjacent vertex pairs sharing >= min_common neighbors. The KG-
+    completion primitive: aa = sum over shared neighbors m of
+    1/ln(deg(m)) (Adamic & Adar 2003) — a low-degree shared neighbor is
+    stronger evidence for the missing edge (a, b) than a hub.
+
+    Scale shape: one self-join of the adjacency on the MIDDLE vertex
+    (int64 equi-join) emits each wedge once (neighbor pair ordered
+    a < b), one hash agg on (a, b) folds count + the AA sum, one
+    left_anti against the existing undirected edges removes known
+    pairs. Wedge fan-out is quadratic in the middle's degree, so
+    middles with deg > max_degree are EXCLUDED (the standard hub cap:
+    a hub's 1/ln(deg) contribution is negligible while its pair
+    blow-up is the whole skew problem; the cap is part of the operator
+    contract, mirrored by the oracle). aa is rounded to 6dp so the
+    cross-engine double sum is comparison-stable.
+
+    A degree-1 middle cannot form a wedge, so ln(deg) >= ln 2 — no
+    division-by-zero path exists.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    adj = und.select(F.col("a").alias("v"), F.col("b").alias("n")).unionAll(
+        und.select(F.col("b").alias("v"), F.col("a").alias("n"))
+    )
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    mid = adj.join(deg.where(F.col("deg") <= max_degree), "v")
+    pairs = (
+        mid.alias("l")
+        .join(mid.alias("r"), "v")
+        .where(F.col("l.n") < F.col("r.n"))
+        .select(
+            F.col("l.n").alias("a"),
+            F.col("r.n").alias("b"),
+            F.col("l.deg").alias("deg"),
+        )
+    )
+    cand = pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.round(F.sum(F.lit(1.0) / F.log(F.col("deg"))), 6).alias("aa"),
+    )
+    return cand.join(und, ["a", "b"], "left_anti").where(
+        F.col("n_common") >= min_common
+    )
