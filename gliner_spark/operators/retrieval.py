@@ -124,6 +124,34 @@ def _doc_postings(toks) -> "F.Column":
     )
 
 
+def _postings_frame(
+    docs: DataFrame, n_buckets: int, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(postings, per_doc) for an index build/append: postings =
+    (term, doc_id, tf, dl, bucket), per_doc = (doc_id, dl) for the
+    sidecar stats aggregate. Shared by the batch build, the batch
+    append, and the streaming per-micro-batch fold so all three write
+    bit-identical layouts."""
+    toks = tokens(F.lower(F.col(text_col)))
+    per_doc = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        toks.alias("ts"),
+        F.size(toks).alias("dl"),
+    )
+    postings = per_doc.select(
+        "doc_id",
+        F.col("dl").cast("double").alias("dl"),
+        F.explode(_doc_postings(F.col("ts"))).alias("p"),
+    ).select(
+        F.col("p.term").alias("term"),
+        "doc_id",
+        F.col("p.tf").alias("tf"),
+        "dl",
+        F.pmod(F.xxhash64("p.term"), F.lit(n_buckets)).alias("bucket"),
+    )
+    return postings, per_doc
+
+
 def build_bm25_index(
     docs: DataFrame,
     path: str,
@@ -150,26 +178,10 @@ def build_bm25_index(
     import json
     import os
 
-    toks = tokens(F.lower(F.col(text_col)))
-    per_doc = docs.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        toks.alias("ts"),
-        F.size(toks).alias("dl"),
-    )
+    postings, per_doc = _postings_frame(docs, n_buckets, text_col, id_col)
     agg = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
     ).first()
-    postings = per_doc.select(
-        "doc_id",
-        F.col("dl").cast("double").alias("dl"),
-        F.explode(_doc_postings(F.col("ts"))).alias("p"),
-    ).select(
-        F.col("p.term").alias("term"),
-        "doc_id",
-        F.col("p.tf").alias("tf"),
-        "dl",
-        F.pmod(F.xxhash64("p.term"), F.lit(n_buckets)).alias("bucket"),
-    )
     postings.repartition(F.col("bucket")).write.mode(
         "overwrite"
     ).partitionBy("bucket").parquet(path)
@@ -200,28 +212,12 @@ def append_to_bm25_index(
     meta_path = os.path.join(path, "_bm25_meta.json")
     with open(meta_path) as f:
         meta = json.load(f)
-    toks = tokens(F.lower(F.col(text_col)))
-    per_doc = docs.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        toks.alias("ts"),
-        F.size(toks).alias("dl"),
+    postings, per_doc = _postings_frame(
+        docs, int(meta["n_buckets"]), text_col, id_col
     )
     agg = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
     ).first()
-    postings = per_doc.select(
-        "doc_id",
-        F.col("dl").cast("double").alias("dl"),
-        F.explode(_doc_postings(F.col("ts"))).alias("p"),
-    ).select(
-        F.col("p.term").alias("term"),
-        "doc_id",
-        F.col("p.tf").alias("tf"),
-        "dl",
-        F.pmod(
-            F.xxhash64("p.term"), F.lit(int(meta["n_buckets"]))
-        ).alias("bucket"),
-    )
     postings.repartition(F.col("bucket")).write.mode("append").partitionBy(
         "bucket"
     ).parquet(path)
@@ -251,7 +247,16 @@ def bm25_against_index(
     as `bm25_rank`, so on matching docs the two rankings agree exactly
     (parity-pinned). Difference inherent to any inverted index: only
     docs containing ≥1 query term are candidates — bm25_rank ranks
-    score-0 docs too when fewer than top_k docs match."""
+    score-0 docs too when fewer than top_k docs match.
+
+    If the index has COMMITTED streaming segments (streaming/bm25.py:
+    `path/_stream/batch=N/` directories whose `_meta_bN.json` marker
+    exists), they are unioned in with the same bucket/term pruning —
+    the batch= and bucket= partition filters are both literal, so the
+    scan still reads only the query's slice. Uncommitted (markerless)
+    segments are invisible: both their rows and their sidecar counts
+    are excluded, keeping a crashed half-written fold unreadable."""
+    import glob as _glob
     import json
     import os
 
@@ -259,8 +264,19 @@ def bm25_against_index(
         raise ValueError("bm25_against_index needs at least one term")
     with open(os.path.join(path, "_bm25_meta.json")) as f:
         meta = json.load(f)
-    n_docs = float(meta["n_docs"])
-    avgdl = meta["total_dl"] / meta["n_docs"] if meta["n_docs"] else 1.0
+    tot_docs, tot_dl = int(meta["n_docs"]), int(meta["total_dl"])
+    stream_dir = os.path.join(path, "_stream")
+    committed = []
+    for mp in sorted(
+        _glob.glob(os.path.join(stream_dir, "_meta_b*.json"))
+    ):
+        with open(mp) as f:
+            bm = json.load(f)
+        committed.append(int(bm["batch_id"]))
+        tot_docs += int(bm["n_docs"])
+        tot_dl += int(bm["total_dl"])
+    n_docs = float(tot_docs)
+    avgdl = tot_dl / tot_docs if tot_docs else 1.0
     # buckets for the literal IN filter: hash the terms with the SAME
     # engine function used at build time (one O(len(terms)) local job)
     bdf = spark.createDataFrame(
@@ -271,11 +287,26 @@ def bm25_against_index(
         )
     )
     buckets = sorted({r["bucket"] for r in bdf.collect()})
+    # explicit schema: skips footer-sampling inference AND keeps an
+    # empty base (index built before any docs, stream-only ingest)
+    # readable — an all-partition-pruned dir has no file to infer from
+    cols = "term string, doc_id long, tf double, dl double"
     post = (
-        spark.read.parquet(path)
+        spark.read.schema(f"{cols}, bucket bigint")
+        .parquet(path)
         .where(F.col("bucket").isin(buckets))
         .where(F.col("term").isin(query_terms))
     )
+    if committed:
+        sp = (
+            spark.read.schema(f"{cols}, bucket bigint, batch bigint")
+            .parquet(stream_dir)
+            .where(F.col("batch").isin(committed))
+            .where(F.col("bucket").isin(buckets))
+            .where(F.col("term").isin(query_terms))
+            .drop("batch")
+        )
+        post = post.unionByName(sp)
     df_tbl = post.groupBy("term").agg(
         F.count(F.lit(1)).cast("double").alias("df")
     )

@@ -160,7 +160,7 @@ def test_bm25_index_prunes_bucket_partitions(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     import re
 
-    m = re.search(r"PartitionFilters: \[bucket#\d+ IN \(([^)]*)\)", plan)
+    m = re.search(r"PartitionFilters: \[bucket#\d+L? IN \(([^)]*)\)", plan)
     assert m, plan
     assert len(m.group(1).split(",")) <= 2  # <= one bucket per term
     assert "PushedFilters: [In(term" in plan, plan
