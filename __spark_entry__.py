@@ -639,8 +639,14 @@ def _q_pagerank_events(spark, sf_dir):
     exercises the dangling-mass path hard. tol=0 pins the iteration
     count to exactly 5 on both engines; the oracle unrolls the same five
     iterations as chained CTEs. 6dp rounding absorbs summation-order
-    ulps."""
-    from gliner_spark.operators.graph import pagerank
+    ulps.
+
+    r4: umbrella (leg, entity_id, rank) — leg='global' is the original
+    query; leg='ppr' runs graph.personalized_pagerank with seeds
+    {0, 1} (restart vector 1/2 on each seed, dangling mass recycled to
+    the seeds, unreachable vertices exactly 0), oracled by a second
+    unrolled CTE chain with p folded into every iteration."""
+    from gliner_spark.operators.graph import pagerank, personalized_pagerank
 
     ev = _events(spark, sf_dir)
     edges = ev.select(
@@ -650,14 +656,31 @@ def _q_pagerank_events(spark, sf_dir):
         .alias("obj_id"),
     )
     pr = pagerank(edges, damping=0.85, max_iter=5, tol=0.0)
-    return pr.select("entity_id", F.round("rank", 6).alias("rank"))
+    ppr = personalized_pagerank(
+        edges, [0, 1], damping=0.85, max_iter=5, tol=0.0
+    )
+    return pr.select(
+        F.lit("global").alias("leg"),
+        "entity_id",
+        F.round("rank", 6).alias("rank"),
+    ).unionByName(
+        ppr.select(
+            F.lit("ppr").alias("leg"),
+            "entity_id",
+            F.round("rank", 6).alias("rank"),
+        )
+    )
 
 
-def _pagerank_events_sql(n_iter: int = 5) -> str:
+def _pagerank_events_sql(n_iter: int = 5, seeds: tuple = (0, 1)) -> str:
     """Unrolled power iteration matching graph.pagerank's arithmetic:
     rank' = (1-d)/n + d*(inflow + dangling_mass/n), inflow pushed as
     rank/out_degree along edges, same operand shapes so the doubles
-    agree to within summation-order ulps (absorbed by 6dp rounding)."""
+    agree to within summation-order ulps (absorbed by 6dp rounding).
+    The 'ppr' leg unrolls graph.personalized_pagerank the same way:
+    rank' = (1-d)*p + d*(inflow + dangling_mass*p) with p = 1/|seeds|
+    on the seeds and 0 elsewhere (seeds unioned into the vertex set,
+    exactly as the operator does)."""
     parts = [
         """
         with e as (
@@ -690,8 +713,40 @@ def _pagerank_events_sql(n_iter: int = 5) -> str:
           cross join nstat
           cross join dang{k} d
           left join inf{k} i on i.id = v.id)""")
+    seed_vals = ", ".join(f"({s})" for s in seeds)
+    seed_list = ", ".join(str(s) for s in seeds)
+    parts.append(f""",
+        pverts as (select id from verts
+                   union select v::bigint from (values {seed_vals}) s(v)),
+        pv as (select id,
+                      case when id in ({seed_list})
+                           then 1.0 / {len(seeds)} else 0.0 end as p
+               from pverts),
+        p0 as (select id, p as pr from pv)""")
+    for k in range(n_iter):
+        parts.append(f""",
+        pd{k} as (
+          select coalesce(sum(r.pr), 0) as m
+          from p{k} r left join deg on deg.id = r.id
+          where deg.id is null),
+        pinf{k} as (
+          select e.dst as id, sum(r.pr / deg.deg) as inflow
+          from e join p{k} r on r.id = e.src
+          join deg on deg.id = e.src
+          group by 1),
+        p{k + 1} as (
+          select v.id,
+                 (1 - 0.85) * v.p
+                   + 0.85 * (coalesce(i.inflow, 0) + d.m * v.p) as pr
+          from pv v
+          cross join pd{k} d
+          left join pinf{k} i on i.id = v.id)""")
     parts.append(f"""
-        select id as entity_id, round(pr, 6) as "rank" from r{n_iter}""")
+        select 'global' as leg, id as entity_id,
+               round(pr, 6) as "rank" from r{n_iter}
+        union all
+        select 'ppr' as leg, id as entity_id,
+               round(pr, 6) as "rank" from p{n_iter}""")
     return "".join(parts)
 
 

@@ -300,3 +300,109 @@ def link_predict(
     return cand.join(und, ["a", "b"], "left_anti").where(
         F.col("n_common") >= min_common
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list[int],
+    damping: float = 0.85,
+    max_iter: int = 15,
+    tol: float = 1e-6,
+    src_col: str = "subj_id",
+    dst_col: str = "obj_id",
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart to a SEED set)
+    → (entity_id, rank): relevance of every entity GIVEN the seeds —
+    the related-entity recommendation primitive over the KG.
+
+    Same driver-loop power iteration and per-iteration shuffle shape as
+    `pagerank` (one equi-join + one hash agg on int64 keys, one fused
+    delta+dangling collect per iteration, localCheckpoint lineage
+    cuts), with the uniform teleport vector replaced by
+    p(v) = 1/|seeds| on seeds, 0 elsewhere:
+
+        rank' = (1-d)*p + d*(inflow + dangling_mass*p)
+
+    so both the restart and the dangling mass return to the seeds, and
+    vertices unreachable from the seed set stay at exactly 0. Seeds are
+    added to the vertex set even when isolated (an isolated seed is
+    dangling), keeping total mass at 1. Kept separate from `pagerank`
+    rather than a seeds=None branch so the global variant's
+    oracle-pinned operand shapes stay untouched.
+    """
+    if not seeds:
+        raise ValueError("personalized_pagerank needs >= 1 seed")
+    seed_ids = sorted({int(s) for s in seeds})
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).where(F.col("src") != F.col("dst")).distinct().localCheckpoint()
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    seed_df = spark.createDataFrame(
+        [(s,) for s in seed_ids], "id long"
+    )
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .union(seed_df)
+        .distinct()
+        .join(out_deg.withColumnRenamed("src", "id"), "id", "left")
+        .withColumn(
+            "p",
+            F.when(
+                F.col("id").isin(seed_ids),
+                F.lit(1.0 / len(seed_ids)),
+            ).otherwise(F.lit(0.0)),
+        )
+        .localCheckpoint()
+    )
+    dangling = verts.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("deg").isNull(), F.col("p"))), F.lit(0.0)
+        ).alias("m")
+    ).collect()[0]["m"]
+    ranks = verts.withColumn("rank", F.col("p")).localCheckpoint()
+
+    for _ in range(max_iter):
+        contribs = (
+            ranks.join(e, ranks.id == e.src)
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        new_ranks = (
+            ranks.select(
+                "id", "deg", "p", F.col("rank").alias("old_rank")
+            )
+            .join(contribs, "id", "left")
+            .select(
+                "id",
+                "deg",
+                "p",
+                "old_rank",
+                (
+                    F.lit(1.0 - damping) * F.col("p")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("inflow", F.lit(0.0))
+                        + F.lit(dangling) * F.col("p")
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        row = new_ranks.agg(
+            F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("d"),
+            F.coalesce(
+                F.sum(F.when(F.col("deg").isNull(), F.col("rank"))),
+                F.lit(0.0),
+            ).alias("m"),
+        ).collect()[0]
+        dangling = row["m"]
+        ranks = new_ranks.select("id", "deg", "p", "rank")
+        if row["d"] < tol:
+            break
+    return ranks.select(F.col("id").alias("entity_id"), "rank")

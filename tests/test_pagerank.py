@@ -63,3 +63,80 @@ def test_pagerank_on_pipeline_edges(spark):
     rows = pr.collect()
     assert len(rows) > 5
     assert sum(r.rank for r in rows) == pytest.approx(1.0, abs=1e-4)
+
+
+def numpy_ppr(n, edge_list, seeds, damping=0.85, iters=50):
+    out_deg = np.zeros(n)
+    for s, _d in edge_list:
+        out_deg[s] += 1
+    p = np.zeros(n)
+    p[list(seeds)] = 1.0 / len(seeds)
+    r = p.copy()
+    for _ in range(iters):
+        inflow = np.zeros(n)
+        for s, d in edge_list:
+            inflow[d] += r[s] / out_deg[s]
+        dangling = r[out_deg == 0].sum()
+        r = (1 - damping) * p + damping * (inflow + dangling * p)
+    return r
+
+
+@pytest.mark.parametrize("edges", CASES)
+@pytest.mark.parametrize("seeds", [[0], [0, 2]])
+def test_personalized_pagerank_matches_numpy(spark, edges, seeds):
+    from gliner_spark.operators.graph import personalized_pagerank
+
+    n = max(max(e) for e in edges) + 1
+    df = spark.createDataFrame(
+        [Row(subj_id=s, obj_id=d) for s, d in edges]
+    )
+    got = {
+        r.entity_id: r.rank
+        for r in personalized_pagerank(
+            df, seeds, max_iter=50, tol=1e-10
+        ).collect()
+    }
+    exp = numpy_ppr(n, edges, seeds)
+    for i in range(n):
+        assert got[i] == pytest.approx(exp[i], abs=1e-6), (i, got, exp)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_ppr_unreachable_vertices_rank_zero(spark):
+    """Restart concentrates mass on the seed component: vertices with
+    no path from the seeds stay at exactly 0."""
+    from gliner_spark.operators.graph import personalized_pagerank
+
+    df = spark.createDataFrame(
+        [Row(subj_id=0, obj_id=1), Row(subj_id=2, obj_id=3)]
+    )
+    got = {
+        r.entity_id: r.rank
+        for r in personalized_pagerank(df, [0], max_iter=20).collect()
+    }
+    assert got[2] == 0.0 and got[3] == 0.0
+    assert got[0] > 0 and got[1] > 0
+
+
+def test_ppr_isolated_seed_is_dangling(spark):
+    """A seed with no edges still anchors the walk: it is dangling, so
+    its mass recycles to the seed set — ranks stay a distribution."""
+    from gliner_spark.operators.graph import personalized_pagerank
+
+    df = spark.createDataFrame([Row(subj_id=0, obj_id=1)])
+    got = {
+        r.entity_id: r.rank
+        for r in personalized_pagerank(
+            df, [7], max_iter=30, tol=1e-12
+        ).collect()
+    }
+    assert got[7] == pytest.approx(1.0, abs=1e-9)
+    assert got[0] == 0.0 and got[1] == 0.0
+
+
+def test_ppr_rejects_empty_seeds(spark):
+    from gliner_spark.operators.graph import personalized_pagerank
+
+    df = spark.createDataFrame([Row(subj_id=0, obj_id=1)])
+    with pytest.raises(ValueError):
+        personalized_pagerank(df, [])
