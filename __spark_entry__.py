@@ -1423,6 +1423,12 @@ def _q_edge_agg(spark, sf_dir):
                      n = shared neighbors (>= 2), val = round(sum
                      1/ln(deg(middle)), 6). DuckDB replays the wedge
                      self-join, hub cap, and NOT EXISTS anti-join.
+      leg='walk'     graph.random_walks (r4): 4-step deterministic
+                     DeepWalk corpus over the same sparse directed
+                     graph — a=start, b=step, n=vertex. The md5-uniform
+                     neighbor pick is bit-identical cross-engine, so
+                     DuckDB replays the walks exactly with a recursive
+                     CTE stepping through the row_number-indexed edges.
 
     The wedge/triangle/path graph is src=user_id%300,
     dst=(event_id*7+3)%300 (one shared vertex space so 2-hops and
@@ -1432,6 +1438,7 @@ def _q_edge_agg(spark, sf_dir):
         bfs_distances,
         build_edges,
         link_predict,
+        random_walks,
     )
     from gliner_spark.operators.motif import find, triangle_counts
 
@@ -1520,11 +1527,24 @@ def _q_edge_agg(spark, sf_dir):
         F.lit(0).cast("long").alias("m"),
         F.col("aa").alias("val"),
     )
+    walk_leg = random_walks(
+        g2, walk_len=4, walks_per_vertex=1, seed=7,
+        src_col="src", dst_col="dst",
+    ).select(
+        F.lit("walk").alias("leg"),
+        F.col("start_id").alias("a"),
+        F.col("step").alias("b"),
+        F.lit("").alias("k"),
+        F.col("vertex").alias("n"),
+        F.lit(0).cast("long").alias("m"),
+        F.lit(0.0).alias("val"),
+    )
     return (
         edge_leg.unionByName(wedge_leg)
         .unionByName(tri_leg)
         .unionByName(path_leg)
         .unionByName(pred_leg)
+        .unionByName(walk_leg)
     )
 
 
@@ -3418,12 +3438,50 @@ def oracle_sql() -> dict[str, str]:
                      0::bigint as m, c.val
               from cand c
               where c.n >= 2 and not exists
-                (select 1 from u2 where u2.a = c.a and u2.b = c.b))
+                (select 1 from u2 where u2.a = c.a and u2.b = c.b)),
+            g2d as (
+              select distinct (user_id * 13 % 2000)::bigint as src,
+                              ((event_id * 7 + 3) % 2000)::bigint as dst
+              from events
+              where (user_id * 13 % 2000)::bigint
+                    <> ((event_id * 7 + 3) % 2000)::bigint),
+            ie as (
+              select src, dst,
+                     (row_number() over (partition by src order by dst)
+                       - 1)::bigint as idx
+              from g2d),
+            dg as (select src, count(*)::bigint as deg from ie
+                   group by src),
+            wverts as (
+              -- NOT "a union b" at CTE top level: inside WITH RECURSIVE
+              -- DuckDB parses that shape as a recursive CTE (base +
+              -- one iteration, no dedup) even when it never references
+              -- itself — the distinct must live in a subquery
+              select distinct id from (
+                select src as id from g2d
+                union all select dst from g2d)),
+            walk as (
+              select id as start, 0::bigint as step, id as cur
+              from wverts
+              union all
+              select w.start, w.step + 1, ie.dst
+              from walk w
+              join dg on dg.src = w.cur
+              join ie on ie.src = w.cur
+               and ie.idx = ('0x' || substr(md5(
+                     '7|' || w.start || '|0|' || w.step || '|' || w.cur
+                   ), 1, 8))::bigint % dg.deg
+              where w.step < 4),
+            walk_leg as (
+              select 'walk' as leg, start as a, step as b, '' as k,
+                     cur as n, 0::bigint as m, 0.0 as val
+              from walk)
             select * from edge_leg
             union all select * from wedge_leg
             union all select * from tri_leg
             union all select * from path_leg
             union all select * from pred_leg
+            union all select * from walk_leg
         """,
         "shipping_priority": """
             select l_orderkey,

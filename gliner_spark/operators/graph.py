@@ -406,3 +406,126 @@ def personalized_pagerank(
         if row["d"] < tol:
             break
     return ranks.select(F.col("id").alias("entity_id"), "rank")
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_len: int = 10,
+    walks_per_vertex: int = 1,
+    seed: int = 7,
+    src_col: str = "subj_id",
+    dst_col: str = "obj_id",
+) -> DataFrame:
+    """Deterministic DeepWalk-style random walks over the directed
+    graph → (start_id, rep, step, vertex): `walks_per_vertex` walks of
+    up to `walk_len` steps from every vertex — the graph→sequence
+    corpus generator feeding embedding training (node2vec with p=q=1).
+
+    The neighbor pick is the repo's cross-engine uniform: the walk at
+    (start, rep, step, cur) takes neighbor index
+    md5("{seed}|{start}|{rep}|{step}|{cur}")[:8 hex] mod out_degree,
+    which Python's hashlib and DuckDB reproduce bit-exactly — walks
+    are a pure function of (graph, seed), so regenerating a shard
+    yields the identical corpus (resume/backfill safe).
+
+    Scale shape: neighbors are indexed ONCE (row_number over (src,
+    dst) — the only window), then each step is two int64 equi-joins
+    (frontier⨝degree to compute the pick, (cur, idx)⨝(src, idx) to
+    take it) — no adjacency arrays, so a hub costs one edge row per
+    walk that touches it, not a collected neighbor list. Walks
+    reaching a dangling vertex terminate (the degree join drops
+    them); per-step work is proportional to the LIVE walk count.
+    Driver loop with eager localCheckpoint lineage cuts, early exit
+    when every walk has terminated.
+    """
+    from pyspark.sql import Window
+
+    if walk_len < 0 or walks_per_vertex < 1:
+        raise ValueError("walk_len >= 0 and walks_per_vertex >= 1")
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    w = Window.partitionBy("src").orderBy("dst")
+    iedges = e.withColumn(
+        "idx", (F.row_number().over(w) - 1).cast("long")
+    ).localCheckpoint()
+    # distinct column names on each probe side: deg and iedges share
+    # lineage, and a bare self-join on src would be ambiguous
+    deg = (
+        iedges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .withColumnRenamed("src", "dsrc")
+    )
+    step_edges = iedges.select(
+        F.col("src").alias("esrc"),
+        F.col("idx").alias("eidx"),
+        F.col("dst").alias("edst"),
+    )
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    frontier = verts.select(
+        F.col("id").alias("start_id"),
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.lit(walks_per_vertex - 1).cast("long"),
+            )
+        ).alias("rep"),
+    ).select(
+        "start_id",
+        "rep",
+        F.lit(0).cast("long").alias("step"),
+        F.col("start_id").alias("vertex"),
+    ).localCheckpoint()
+    out = frontier
+    for t in range(walk_len):
+        pick = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.lit(seed),
+                            F.col("start_id"),
+                            F.col("rep"),
+                            F.lit(t),
+                            F.col("vertex"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.col("deg"),
+        )
+        nxt = (
+            frontier.join(deg, frontier.vertex == F.col("dsrc"))
+            .withColumn("pick", pick)
+            .join(
+                step_edges,
+                (F.col("vertex") == F.col("esrc"))
+                & (F.col("pick") == F.col("eidx")),
+            )
+            .select(
+                "start_id",
+                "rep",
+                F.lit(t + 1).cast("long").alias("step"),
+                F.col("edst").alias("vertex"),
+            )
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        out = out.union(nxt)
+        frontier = nxt
+    return out
