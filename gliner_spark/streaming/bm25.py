@@ -23,9 +23,8 @@ posting each fold — fine for a canonical map, absurd for an index):
 
 df is never stored (recomputed per query from the slice read), so
 segment counts can't go stale — the same property that makes the batch
-`append_to_bm25_index` exact. Compaction (folding old segments into the
-base partitions and dropping their markers) is a plain
-`append_to_bm25_index` of the segment rows — orthogonal, omitted here.
+`append_to_bm25_index` exact. `compact_bm25_index` folds accumulated
+segments into the base partitions when the segment count grows.
 """
 
 from __future__ import annotations
@@ -109,3 +108,52 @@ def stream_index_documents(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_bm25_index(spark, path: str) -> int:
+    """Fold every COMMITTED streaming segment into the base index:
+    append the segment postings to the base bucket partitions, fold
+    their counts into the base sidecar, then drop the segments and
+    markers. Returns the number of segments compacted.
+
+    Two steps: (1) append segment postings to the base partitions,
+    (2) fold counts into the sidecar and delete the segments+markers.
+    Honest contract: UNLIKE the fold path, compaction is NOT
+    crash-idempotent — a crash between 1 and 2 leaves the appended
+    rows in the base while the segments are still committed, so both a
+    concurrent query and a compaction rerun would double-count them.
+    Run it in a single-writer maintenance window and rebuild on a
+    failed run; on a lakehouse table format steps 1+2 become one
+    atomic commit and the caveat disappears. The streaming fold path
+    never requires compaction for correctness — it only bounds the
+    per-query segment count.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    committed = committed_stream_batches(path)
+    if not committed:
+        return 0
+    with open(os.path.join(path, "_bm25_meta.json")) as f:
+        meta = json.load(f)
+    stream_dir = os.path.join(path, "_stream")
+    cols = "term string, doc_id long, tf double, dl double"
+    seg = (
+        spark.read.schema(f"{cols}, bucket bigint, batch bigint")
+        .parquet(stream_dir)
+        .where(F.col("batch").isin(committed))
+        .drop("batch")
+    )
+    seg.repartition(F.col("bucket")).write.mode("append").partitionBy(
+        "bucket"
+    ).parquet(path)
+    for b in committed:
+        with open(os.path.join(stream_dir, f"_meta_b{b}.json")) as f:
+            bm = json.load(f)
+        meta["n_docs"] += int(bm["n_docs"])
+        meta["total_dl"] += int(bm["total_dl"])
+    with open(os.path.join(path, "_bm25_meta.json"), "w") as f:
+        json.dump(meta, f)
+    shutil.rmtree(stream_dir)
+    return len(committed)

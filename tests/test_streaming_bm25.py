@@ -121,3 +121,34 @@ def test_stream_index_documents_end_to_end(spark, tmp_path):
     assert _rank(spark, path) == _full_rebuild_rank(
         spark, tmp_path, BASE + B0 + B1, "e2e"
     )
+
+
+def test_compaction_preserves_results_and_drops_segments(spark, tmp_path):
+    from gliner_spark.streaming.bm25 import compact_bm25_index
+
+    path = str(tmp_path / "idx")
+    build_bm25_index(_df(spark, BASE), path, n_buckets=8)
+    fold_index_batch(_df(spark, B0), 0, path)
+    fold_index_batch(_df(spark, B1), 1, path)
+    before = _rank(spark, path)
+    assert compact_bm25_index(spark, path) == 2
+    assert not os.path.exists(os.path.join(path, "_stream"))
+    assert committed_stream_batches(path) == []
+    assert _rank(spark, path) == before
+    # the compacted base keeps folding new segments
+    more = [(20, "spark window spark window")]
+    fold_index_batch(_df(spark, more), 2, path)
+    assert _rank(spark, path) == _full_rebuild_rank(
+        spark, tmp_path, BASE + B0 + B1 + more, "post_compact"
+    )
+
+
+def test_compaction_noop_without_segments(spark, tmp_path):
+    from gliner_spark.streaming.bm25 import compact_bm25_index
+
+    path = str(tmp_path / "idx")
+    build_bm25_index(_df(spark, BASE), path, n_buckets=8)
+    assert compact_bm25_index(spark, path) == 0
+    assert _rank(spark, path) == _full_rebuild_rank(
+        spark, tmp_path, BASE, "noop"
+    )
