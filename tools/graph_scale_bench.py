@@ -1,0 +1,171 @@
+"""Graph analytics at scale: the KG graph operators on a synthetic
+2M-edge / 500k-vertex directed graph with a planted hub set — the
+sf0.1-derived driver-gate graphs (≤ 100k edges) are too small to show
+per-op wall or the hub-cap's effect.
+
+Graph (pure native expressions, no driver data): 2,000,000 edges,
+src uniform over 500k vertices, dst 90% uniform / 10% into a 1,000-
+vertex hub set (hubs reach in-degree ~200 — enough to matter for the
+link-prediction cap, realistic for entity KGs where a few canonical
+entities collect edges).
+
+Measured, `local[32]`:
+  * pagerank, 5 iterations (one fused collect per iteration);
+  * personalized_pagerank, 5 iterations, 3 seeds;
+  * bfs_distances from 3 landmarks, max_hops 3;
+  * link_predict (Adamic-Adar), max_degree=64 (hubs excluded), and the
+    hub-cap's work bound: wedge volume with vs without the cap;
+  * random_walks, walk_len=5 (one walk per vertex = up to 3M rows);
+  * triangle_counts over the undirected view.
+
+Prints ONE JSON line. Writes under _out/ (gitignored).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from gliner_spark.plans.session import build_session  # noqa: E402
+
+N_EDGES = int(os.environ.get("GRAPH_E", 2_000_000))
+N_VERTS = int(os.environ.get("GRAPH_V", 500_000))
+N_HUBS = 1000
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "_out",
+    "graph_scale",
+)
+
+
+def main():
+    from gliner_spark.operators.graph import (
+        bfs_distances,
+        link_predict,
+        pagerank,
+        personalized_pagerank,
+        random_walks,
+    )
+    from gliner_spark.operators.motif import triangle_counts
+
+    spark = build_session(app_name="graph-scale", shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+    shutil.rmtree(OUT, ignore_errors=True)
+    path = os.path.join(OUT, "edges")
+
+    t0 = time.time()
+    spark.range(N_EDGES).select(
+        F.pmod(F.xxhash64(F.lit("s"), "id"), F.lit(N_VERTS)).alias(
+            "subj_id"
+        ),
+        F.when(
+            F.pmod(F.xxhash64(F.lit("m"), "id"), F.lit(10)) == 0,
+            F.pmod(F.xxhash64(F.lit("h"), "id"), F.lit(N_HUBS)),
+        )
+        .otherwise(
+            F.pmod(F.xxhash64(F.lit("d"), "id"), F.lit(N_VERTS))
+        )
+        .alias("obj_id"),
+    ).repartition(64).write.parquet(path)
+    synth_s = time.time() - t0
+    e = spark.read.parquet(path)
+
+    t0 = time.time()
+    pr = pagerank(e, max_iter=5, tol=0.0)
+    pr_mass = pr.agg(F.sum("rank")).collect()[0][0]
+    pagerank_s = time.time() - t0
+    assert abs(pr_mass - 1.0) < 1e-6, pr_mass
+
+    t0 = time.time()
+    ppr = personalized_pagerank(e, [0, 1, 2], max_iter=5, tol=0.0)
+    ppr_row = ppr.agg(
+        F.sum("rank").alias("mass"),
+        F.sum(F.when(F.col("rank") > 0, 1).otherwise(0)).alias("nz"),
+    ).collect()[0]
+    ppr_s = time.time() - t0
+    assert abs(ppr_row["mass"] - 1.0) < 1e-6, ppr_row
+
+    t0 = time.time()
+    bfs = bfs_distances(
+        e.selectExpr("subj_id as src", "obj_id as dst"),
+        [0, 1, 2],
+        max_hops=3,
+    )
+    n_reached = bfs.count()
+    bfs_s = time.time() - t0
+
+    # hub-cap work bound: wedge pairs the middle join emits, capped vs
+    # not (counted via the degree table only — cheap either way)
+    und = (
+        e.select(
+            F.least("subj_id", "obj_id").alias("a"),
+            F.greatest("subj_id", "obj_id").alias("b"),
+        )
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    adj = und.selectExpr("a as v").unionAll(und.selectExpr("b as v"))
+    degs = adj.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    wedges = degs.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).alias("all"),
+        F.sum(
+            F.when(
+                F.col("deg") <= 64,
+                F.col("deg") * (F.col("deg") - 1) / 2,
+            ).otherwise(0)
+        ).alias("capped"),
+    ).collect()[0]
+
+    t0 = time.time()
+    lp = link_predict(
+        e, max_degree=64, min_common=2,
+        src_col="subj_id", dst_col="obj_id",
+    )
+    n_pred = lp.count()
+    linkpred_s = time.time() - t0
+
+    t0 = time.time()
+    walks = random_walks(e, walk_len=5, seed=7)
+    n_walk_rows = walks.count()
+    walks_s = time.time() - t0
+
+    t0 = time.time()
+    tri = triangle_counts(
+        e, src_col="subj_id", dst_col="obj_id"
+    )
+    tri_total = tri.agg(F.sum("n_triangles")).collect()[0][0] or 0
+    tri_s = time.time() - t0
+
+    print(
+        json.dumps(
+            {
+                "n_edges": N_EDGES,
+                "n_verts": N_VERTS,
+                "synth_s": round(synth_s, 1),
+                "pagerank5_s": round(pagerank_s, 1),
+                "ppr5_s": round(ppr_s, 1),
+                "ppr_nonzero_verts": int(ppr_row["nz"]),
+                "bfs3_s": round(bfs_s, 1),
+                "bfs_reached_rows": int(n_reached),
+                "linkpred_s": round(linkpred_s, 1),
+                "linkpred_pairs": int(n_pred),
+                "wedges_uncapped": int(wedges["all"]),
+                "wedges_capped": int(wedges["capped"]),
+                "walks_s": round(walks_s, 1),
+                "walk_rows": int(n_walk_rows),
+                "triangles_s": round(tri_s, 1),
+                "triangles_x3": int(tri_total),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
