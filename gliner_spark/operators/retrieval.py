@@ -228,6 +228,38 @@ def append_to_bm25_index(
     return meta
 
 
+def _index_live_state(path: str) -> tuple[dict | None, list[dict]]:
+    """Crash-safe view of a persisted BM25 index's incremental parts:
+    (latest COMMITTED compaction generation's meta or None, committed
+    streaming-segment metas not folded into it, batch-ascending).
+
+    A part is committed iff its marker file exists (`_compacted/
+    _meta_gG.json` / `_stream/_meta_bN.json`), and visibility hangs off
+    ONE watermark: Structured Streaming batch ids are monotone, so a
+    segment is live iff `batch_id > gen["max_batch"]`. Anything a
+    crashed compaction cleanup left behind — an older generation, an
+    already-folded segment whose directory still exists — is below the
+    watermark and therefore never read and never counted, which is what
+    makes `compact_bm25_index` safe to kill at any point."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    gens = []
+    for mp in _glob.glob(_os.path.join(path, "_compacted", "_meta_g*.json")):
+        with open(mp) as f:
+            gens.append(_json.load(f))
+    gen = max(gens, key=lambda m: int(m["gen"])) if gens else None
+    floor = int(gen["max_batch"]) if gen else -1
+    segs = []
+    for mp in _glob.glob(_os.path.join(path, "_stream", "_meta_b*.json")):
+        with open(mp) as f:
+            m = _json.load(f)
+        if int(m["batch_id"]) > floor:
+            segs.append(m)
+    return gen, sorted(segs, key=lambda m: int(m["batch_id"]))
+
+
 def bm25_against_index(
     spark,
     path: str,
@@ -249,14 +281,16 @@ def bm25_against_index(
     docs containing ≥1 query term are candidates — bm25_rank ranks
     score-0 docs too when fewer than top_k docs match.
 
-    If the index has COMMITTED streaming segments (streaming/bm25.py:
-    `path/_stream/batch=N/` directories whose `_meta_bN.json` marker
-    exists), they are unioned in with the same bucket/term pruning —
-    the batch= and bucket= partition filters are both literal, so the
-    scan still reads only the query's slice. Uncommitted (markerless)
-    segments are invisible: both their rows and their sidecar counts
-    are excluded, keeping a crashed half-written fold unreadable."""
-    import glob as _glob
+    If the index has COMMITTED incremental parts (streaming/bm25.py:
+    `path/_stream/batch=N/` segments and at most one live
+    `path/_compacted/gen=G/` compaction generation, each committed iff
+    its marker file exists), they are unioned in with the same
+    bucket/term pruning — the batch=/gen=/bucket= partition filters are
+    all literal, so the scan still reads only the query's slice.
+    Uncommitted (markerless) parts and parts subsumed by the live
+    generation (`_index_live_state`) are invisible: both their rows and
+    their sidecar counts are excluded, keeping a crashed half-written
+    fold — or a compaction killed at ANY point — unreadable."""
     import json
     import os
 
@@ -264,14 +298,14 @@ def bm25_against_index(
         raise ValueError("bm25_against_index needs at least one term")
     with open(os.path.join(path, "_bm25_meta.json")) as f:
         meta = json.load(f)
-    tot_docs, tot_dl = int(meta["n_docs"]), int(meta["total_dl"])
+    gen, segs = _index_live_state(path)
     stream_dir = os.path.join(path, "_stream")
+    tot_docs, tot_dl = int(meta["n_docs"]), int(meta["total_dl"])
+    if gen is not None:
+        tot_docs += int(gen["n_docs"])
+        tot_dl += int(gen["total_dl"])
     committed = []
-    for mp in sorted(
-        _glob.glob(os.path.join(stream_dir, "_meta_b*.json"))
-    ):
-        with open(mp) as f:
-            bm = json.load(f)
+    for bm in segs:
         committed.append(int(bm["batch_id"]))
         tot_docs += int(bm["n_docs"])
         tot_dl += int(bm["total_dl"])
@@ -297,6 +331,16 @@ def bm25_against_index(
         .where(F.col("bucket").isin(buckets))
         .where(F.col("term").isin(query_terms))
     )
+    if gen is not None:
+        gp = (
+            spark.read.schema(f"{cols}, bucket bigint")
+            .parquet(
+                os.path.join(path, "_compacted", f"gen={int(gen['gen'])}")
+            )
+            .where(F.col("bucket").isin(buckets))
+            .where(F.col("term").isin(query_terms))
+        )
+        post = post.unionByName(gp)
     if committed:
         sp = (
             spark.read.schema(f"{cols}, bucket bigint, batch bigint")

@@ -23,8 +23,11 @@ posting each fold — fine for a canonical map, absurd for an index):
 
 df is never stored (recomputed per query from the slice read), so
 segment counts can't go stale — the same property that makes the batch
-`append_to_bm25_index` exact. `compact_bm25_index` folds accumulated
-segments into the base partitions when the segment count grows.
+`append_to_bm25_index` exact. `compact_bm25_index` bounds the
+per-query segment count by folding accumulated segments into a single
+committed compaction GENERATION under the same marker-last protocol —
+the whole index lifecycle (build → stream folds → compactions →
+queries) survives a crash at any step.
 """
 
 from __future__ import annotations
@@ -36,7 +39,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.retrieval import _postings_frame
+from ..operators.retrieval import _index_live_state, _postings_frame
 
 
 def committed_stream_batches(path: str) -> list[int]:
@@ -59,8 +62,16 @@ def fold_index_batch(
     """One idempotent fold (the foreachBatch body, exposed for direct
     testing): write batch postings as a partitioned segment, then
     commit the marker. Returns True if folded, False if skipped as
-    already committed or empty."""
-    if batch_id in committed_stream_batches(path) or batch_df.isEmpty():
+    already committed (a live marker OR an id at/below the latest
+    compaction generation's `max_batch` watermark — batch ids are
+    monotone, so a replay of a batch whose segment compaction already
+    folded and deleted must not re-index it) or empty."""
+    gen, _ = _index_live_state(path)
+    if (
+        batch_id in committed_stream_batches(path)
+        or (gen is not None and batch_id <= int(gen["max_batch"]))
+        or batch_df.isEmpty()
+    ):
         return False
     with open(os.path.join(path, "_bm25_meta.json")) as f:
         n_buckets = int(json.load(f)["n_buckets"])
@@ -111,49 +122,104 @@ def stream_index_documents(
 
 
 def compact_bm25_index(spark, path: str) -> int:
-    """Fold every COMMITTED streaming segment into the base index:
-    append the segment postings to the base bucket partitions, fold
-    their counts into the base sidecar, then drop the segments and
-    markers. Returns the number of segments compacted.
+    """Fold the live streaming segments (plus the previous compaction
+    generation, if any) into ONE new compaction generation — crash-safe
+    under the same marker-last commit protocol as the fold path, and
+    the base partitions are never touched. Returns the number of
+    segments folded.
 
-    Two steps: (1) append segment postings to the base partitions,
-    (2) fold counts into the sidecar and delete the segments+markers.
-    Honest contract: UNLIKE the fold path, compaction is NOT
-    crash-idempotent — a crash between 1 and 2 leaves the appended
-    rows in the base while the segments are still committed, so both a
-    concurrent query and a compaction rerun would double-count them.
-    Run it in a single-writer maintenance window and rebuild on a
-    failed run; on a lakehouse table format steps 1+2 become one
-    atomic commit and the caveat disappears. The streaming fold path
-    never requires compaction for correctness — it only bounds the
+     * generation G lands at `path/_compacted/gen=G/bucket=B/…`
+       (overwrite — a crashed rerun rewrites the same directory), its
+       marker `_compacted/_meta_gG.json` written LAST with the
+       cumulative counts and `max_batch`, the highest folded batch id.
+       Until the marker lands, queries keep reading the old
+       generation + segments.
+     * visibility hangs off the committed marker alone
+       (`retrieval._index_live_state`): batch ids are monotone, so a
+       segment is live iff `batch_id > max_batch`. The post-commit
+       cleanup (drop folded segments and the previous generation) is
+       therefore pure garbage collection — killed mid-delete it leaves
+       stale directories no query reads and no count includes, and the
+       next compaction call finishes the GC.
+     * a stream REPLAY of a batch whose segment was compacted away is
+       refused by the same watermark (`fold_index_batch` skips
+       ids <= max_batch), so restart-after-compaction cannot
+       double-index.
+
+    Safe to kill at any point; concurrent queries stay correct through
+    every step except the final GC unlink itself, whose file-listing
+    race is inherent to any non-transactional file layout (a lakehouse
+    table format would absorb exactly that last step). The fold path
+    never NEEDS compaction for correctness — it only bounds the
     per-query segment count.
     """
     import shutil
 
     from pyspark.sql import functions as F
 
-    committed = committed_stream_batches(path)
-    if not committed:
-        return 0
-    with open(os.path.join(path, "_bm25_meta.json")) as f:
-        meta = json.load(f)
+    comp_dir = os.path.join(path, "_compacted")
     stream_dir = os.path.join(path, "_stream")
+
+    def _gc(live_gen):
+        floor = int(live_gen["max_batch"]) if live_gen else -1
+        keep = int(live_gen["gen"]) if live_gen else None
+        # marker BEFORE directory: a crash mid-GC must only ever leave
+        # markerless (invisible) directories, never a marker whose
+        # directory is gone
+        for mp in glob.glob(os.path.join(comp_dir, "_meta_g*.json")):
+            with open(mp) as f:
+                g = int(json.load(f)["gen"])
+            if g != keep:
+                os.remove(mp)
+                shutil.rmtree(
+                    os.path.join(comp_dir, f"gen={g}"), ignore_errors=True
+                )
+        for mp in glob.glob(os.path.join(stream_dir, "_meta_b*.json")):
+            with open(mp) as f:
+                b = int(json.load(f)["batch_id"])
+            if b <= floor:
+                os.remove(mp)
+                shutil.rmtree(
+                    os.path.join(stream_dir, f"batch={b}"),
+                    ignore_errors=True,
+                )
+        # markerless segment dirs stay: they may be an in-flight fold
+        if os.path.isdir(stream_dir) and not os.listdir(stream_dir):
+            shutil.rmtree(stream_dir)
+
+    prev, segs = _index_live_state(path)
+    _gc(prev)  # finish any cleanup a crashed run left behind
+    if not segs:
+        return 0
+    batch_ids = [int(m["batch_id"]) for m in segs]
+    n_docs = sum(int(m["n_docs"]) for m in segs)
+    total_dl = sum(int(m["total_dl"]) for m in segs)
     cols = "term string, doc_id long, tf double, dl double"
-    seg = (
+    parts = (
         spark.read.schema(f"{cols}, bucket bigint, batch bigint")
         .parquet(stream_dir)
-        .where(F.col("batch").isin(committed))
+        .where(F.col("batch").isin(batch_ids))
         .drop("batch")
     )
-    seg.repartition(F.col("bucket")).write.mode("append").partitionBy(
+    new_gen = int(prev["gen"]) + 1 if prev else 0
+    if prev is not None:
+        parts = parts.unionByName(
+            spark.read.schema(f"{cols}, bucket bigint").parquet(
+                os.path.join(comp_dir, f"gen={int(prev['gen'])}")
+            )
+        )
+        n_docs += int(prev["n_docs"])
+        total_dl += int(prev["total_dl"])
+    parts.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
         "bucket"
-    ).parquet(path)
-    for b in committed:
-        with open(os.path.join(stream_dir, f"_meta_b{b}.json")) as f:
-            bm = json.load(f)
-        meta["n_docs"] += int(bm["n_docs"])
-        meta["total_dl"] += int(bm["total_dl"])
-    with open(os.path.join(path, "_bm25_meta.json"), "w") as f:
-        json.dump(meta, f)
-    shutil.rmtree(stream_dir)
-    return len(committed)
+    ).parquet(os.path.join(comp_dir, f"gen={new_gen}"))
+    marker = {
+        "gen": new_gen,
+        "max_batch": max(batch_ids),
+        "n_docs": n_docs,
+        "total_dl": total_dl,
+    }
+    with open(os.path.join(comp_dir, f"_meta_g{new_gen}.json"), "w") as f:
+        json.dump(marker, f)
+    _gc(marker)
+    return len(segs)

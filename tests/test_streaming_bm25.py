@@ -152,3 +152,83 @@ def test_compaction_noop_without_segments(spark, tmp_path):
     assert _rank(spark, path) == _full_rebuild_rank(
         spark, tmp_path, BASE, "noop"
     )
+
+
+def test_repeated_compaction_chains_generations(spark, tmp_path):
+    """gen1 = gen0 + new segments; queries always read exactly one
+    generation."""
+    from gliner_spark.streaming.bm25 import compact_bm25_index
+
+    path = str(tmp_path / "idx")
+    build_bm25_index(_df(spark, BASE), path, n_buckets=8)
+    fold_index_batch(_df(spark, B0), 0, path)
+    assert compact_bm25_index(spark, path) == 1
+    fold_index_batch(_df(spark, B1), 1, path)
+    assert compact_bm25_index(spark, path) == 1
+    assert sorted(os.listdir(os.path.join(path, "_compacted"))) == [
+        "_meta_g1.json",
+        "gen=1",
+    ]
+    assert _rank(spark, path) == _full_rebuild_rank(
+        spark, tmp_path, BASE + B0 + B1, "gen_chain"
+    )
+
+
+def test_compaction_crash_before_marker_is_invisible(spark, tmp_path):
+    """Kill between the generation write and its marker: the markerless
+    gen directory must be unreadable, and the rerun compacts cleanly."""
+    from gliner_spark.streaming.bm25 import compact_bm25_index
+
+    path = str(tmp_path / "idx")
+    build_bm25_index(_df(spark, BASE), path, n_buckets=8)
+    fold_index_batch(_df(spark, B0), 0, path)
+    fold_index_batch(_df(spark, B1), 1, path)
+    want = _rank(spark, path)
+    compact_bm25_index(spark, path)
+    # replay the crash: resurrect the segments, strip the marker so
+    # only the orphan gen=0 directory remains
+    os.remove(os.path.join(path, "_compacted", "_meta_g0.json"))
+    fold_index_batch(_df(spark, B0), 0, path)
+    fold_index_batch(_df(spark, B1), 1, path)
+    assert _rank(spark, path) == want  # orphan dir: rows not doubled
+    assert compact_bm25_index(spark, path) == 2  # rerun overwrites it
+    assert _rank(spark, path) == want
+
+
+def test_compaction_crash_before_gc_never_double_counts(spark, tmp_path):
+    """Kill after the marker but before cleanup: folded segments still
+    on disk are below the max_batch watermark — invisible to queries,
+    refused on replay, garbage-collected by the next compaction."""
+    from gliner_spark.streaming.bm25 import compact_bm25_index
+
+    path = str(tmp_path / "idx")
+    build_bm25_index(_df(spark, BASE), path, n_buckets=8)
+    fold_index_batch(_df(spark, B0), 0, path)
+    fold_index_batch(_df(spark, B1), 1, path)
+    want = _rank(spark, path)
+    compact_bm25_index(spark, path)
+    # resurrect the folded segments as if GC never ran
+    fold_path = os.path.join(path, "_stream")
+    assert fold_index_batch(_df(spark, B0), 0, path) is False  # watermark
+    os.makedirs(fold_path, exist_ok=True)
+    for b, rows in ((0, B0), (1, B1)):
+        seg = os.path.join(fold_path, f"batch={b}")
+        _postings_write(spark, rows, seg)
+        with open(os.path.join(fold_path, f"_meta_b{b}.json"), "w") as f:
+            json.dump(
+                {"batch_id": b, "n_docs": len(rows), "total_dl": 99}, f
+            )
+    assert _rank(spark, path) == want  # stale segments never counted
+    assert compact_bm25_index(spark, path) == 0  # pure GC
+    assert not os.path.exists(fold_path)
+    assert _rank(spark, path) == want
+
+
+def _postings_write(spark, rows, seg):
+    from gliner_spark.operators.retrieval import _postings_frame
+    from pyspark.sql import functions as F
+
+    postings, _ = _postings_frame(_df(spark, rows), 8, "text", "doc_id")
+    postings.repartition(F.col("bucket")).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(seg)
