@@ -195,37 +195,119 @@ def build_bm25_index(
     return meta
 
 
+def _committed_segment_ids(path: str) -> list[int]:
+    """Batch ids with a committed segment marker on disk, ascending —
+    including stale ones below the compaction watermark that are still
+    awaiting GC (callers picking a FRESH id must clear those too)."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    out = []
+    for mp in _glob.glob(_os.path.join(path, "_stream", "_meta_b*.json")):
+        with open(mp) as f:
+            out.append(int(_json.load(f)["batch_id"]))
+    return sorted(out)
+
+
+def _fold_segment(
+    docs: DataFrame,
+    path: str,
+    batch_id: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> bool:
+    """Write `docs`' postings as the committed incremental segment
+    `path/_stream/batch=<batch_id>/` — partitioned parquet first,
+    marker LAST, so a crash at any point leaves only an invisible
+    markerless directory. The shared core of the streaming fold
+    (streaming/bm25.fold_index_batch) and the batch
+    `append_to_bm25_index`. Returns True if folded; False if skipped —
+    the id is already committed, sits at/below the latest compaction
+    generation's max_batch watermark (a replay of a segment compaction
+    already folded), or `docs` is empty."""
+    import json
+    import os
+
+    gen, _ = _index_live_state(path)
+    if (
+        batch_id in _committed_segment_ids(path)
+        or (gen is not None and batch_id <= int(gen["max_batch"]))
+        or docs.isEmpty()
+    ):
+        return False
+    with open(os.path.join(path, "_bm25_meta.json")) as f:
+        n_buckets = int(json.load(f)["n_buckets"])
+    postings, per_doc = _postings_frame(docs, n_buckets, text_col, id_col)
+    agg = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    ).first()
+    seg = os.path.join(path, "_stream", f"batch={batch_id}")
+    postings.repartition(F.col("bucket")).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(seg)
+    marker = os.path.join(path, "_stream", f"_meta_b{batch_id}.json")
+    with open(marker, "w") as f:
+        json.dump(
+            {
+                "batch_id": int(batch_id),
+                "n_docs": int(agg["n_docs"]),
+                "total_dl": int(agg["total_dl"] or 0),
+            },
+            f,
+        )
+    return True
+
+
+def _effective_stats(path: str) -> tuple[int, int, int, dict, list]:
+    """(n_docs, total_dl, n_buckets, live gen meta or None, live
+    segment metas) over base + committed incremental parts."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_bm25_meta.json")) as f:
+        meta = _json.load(f)
+    gen, segs = _index_live_state(path)
+    n, t = int(meta["n_docs"]), int(meta["total_dl"])
+    if gen is not None:
+        n += int(gen["n_docs"])
+        t += int(gen["total_dl"])
+    for m in segs:
+        n += int(m["n_docs"])
+        t += int(m["total_dl"])
+    return n, t, int(meta["n_buckets"]), gen, segs
+
+
 def append_to_bm25_index(
     docs: DataFrame,
     path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> dict:
-    """Incrementally index new documents: append their postings to the
-    same bucket directories and fold their counts into the sidecar.
-    Exact, not approximate — the sidecar stores total_dl (not avgdl) so
-    the merged average is the true corpus average, and df is always
-    recomputed from postings at query time so it can't go stale."""
-    import json
-    import os
-
-    meta_path = os.path.join(path, "_bm25_meta.json")
-    with open(meta_path) as f:
-        meta = json.load(f)
-    postings, per_doc = _postings_frame(
-        docs, int(meta["n_buckets"]), text_col, id_col
-    )
-    agg = per_doc.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
-    ).first()
-    postings.repartition(F.col("bucket")).write.mode("append").partitionBy(
-        "bucket"
-    ).parquet(path)
-    meta["n_docs"] += int(agg["n_docs"])
-    meta["total_dl"] += int(agg["total_dl"] or 0)
-    with open(meta_path, "w") as f:
-        json.dump(meta, f)
-    return meta
+    """Incrementally index new documents — crash-safe: the postings
+    land as a committed segment (`_fold_segment`, marker-last, batch
+    id = current watermark + 1), so a killed append leaves an invisible
+    markerless directory instead of base rows whose sidecar counts
+    never landed. The base partitions are never rewritten;
+    `compact_bm25_index` later folds accumulated appends exactly like
+    stream segments. Exact, not approximate — sidecars store total_dl
+    (not avgdl) so the merged average is the true corpus average, and
+    df is always recomputed from postings at query time so it can't go
+    stale. Single writer at a time (an id race with a live stream or a
+    concurrent append is the caller's lock to take). Returns the
+    effective corpus stats over base + all committed parts, which equal
+    a from-scratch build's sidecar on the same corpus (parity-pinned)."""
+    gen, _ = _index_live_state(path)
+    ids = _committed_segment_ids(path)
+    floor = int(gen["max_batch"]) if gen is not None else -1
+    next_id = max([floor] + ids) + 1
+    _fold_segment(docs, path, next_id, text_col, id_col)
+    n_docs, total_dl, n_buckets, _, _ = _effective_stats(path)
+    return {
+        "n_docs": n_docs,
+        "total_dl": total_dl,
+        "n_buckets": n_buckets,
+    }
 
 
 def _index_live_state(path: str) -> tuple[dict | None, list[dict]]:
@@ -291,24 +373,13 @@ def bm25_against_index(
     generation (`_index_live_state`) are invisible: both their rows and
     their sidecar counts are excluded, keeping a crashed half-written
     fold — or a compaction killed at ANY point — unreadable."""
-    import json
     import os
 
     if not query_terms:
         raise ValueError("bm25_against_index needs at least one term")
-    with open(os.path.join(path, "_bm25_meta.json")) as f:
-        meta = json.load(f)
-    gen, segs = _index_live_state(path)
+    tot_docs, tot_dl, n_buckets, gen, segs = _effective_stats(path)
     stream_dir = os.path.join(path, "_stream")
-    tot_docs, tot_dl = int(meta["n_docs"]), int(meta["total_dl"])
-    if gen is not None:
-        tot_docs += int(gen["n_docs"])
-        tot_dl += int(gen["total_dl"])
-    committed = []
-    for bm in segs:
-        committed.append(int(bm["batch_id"]))
-        tot_docs += int(bm["n_docs"])
-        tot_dl += int(bm["total_dl"])
+    committed = [int(bm["batch_id"]) for bm in segs]
     n_docs = float(tot_docs)
     avgdl = tot_dl / tot_docs if tot_docs else 1.0
     # buckets for the literal IN filter: hash the terms with the SAME
@@ -316,9 +387,7 @@ def bm25_against_index(
     bdf = spark.createDataFrame(
         [(t,) for t in query_terms], "term string"
     ).select(
-        F.pmod(F.xxhash64("term"), F.lit(int(meta["n_buckets"]))).alias(
-            "bucket"
-        )
+        F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("bucket")
     )
     buckets = sorted({r["bucket"] for r in bdf.collect()})
     # explicit schema: skips footer-sampling inference AND keeps an

@@ -39,17 +39,17 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.retrieval import _index_live_state, _postings_frame
+from ..operators.retrieval import (
+    _committed_segment_ids,
+    _fold_segment,
+    _index_live_state,
+)
 
 
 def committed_stream_batches(path: str) -> list[int]:
     """Batch ids with a committed index segment (marker file present),
     ascending."""
-    out = []
-    for mp in glob.glob(os.path.join(path, "_stream", "_meta_b*.json")):
-        with open(mp) as f:
-            out.append(int(json.load(f)["batch_id"]))
-    return sorted(out)
+    return _committed_segment_ids(path)
 
 
 def fold_index_batch(
@@ -61,41 +61,13 @@ def fold_index_batch(
 ) -> bool:
     """One idempotent fold (the foreachBatch body, exposed for direct
     testing): write batch postings as a partitioned segment, then
-    commit the marker. Returns True if folded, False if skipped as
-    already committed (a live marker OR an id at/below the latest
-    compaction generation's `max_batch` watermark — batch ids are
-    monotone, so a replay of a batch whose segment compaction already
-    folded and deleted must not re-index it) or empty."""
-    gen, _ = _index_live_state(path)
-    if (
-        batch_id in committed_stream_batches(path)
-        or (gen is not None and batch_id <= int(gen["max_batch"]))
-        or batch_df.isEmpty()
-    ):
-        return False
-    with open(os.path.join(path, "_bm25_meta.json")) as f:
-        n_buckets = int(json.load(f)["n_buckets"])
-    postings, per_doc = _postings_frame(
-        batch_df, n_buckets, text_col, id_col
-    )
-    agg = per_doc.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
-    ).first()
-    seg = os.path.join(path, "_stream", f"batch={batch_id}")
-    postings.repartition(F.col("bucket")).write.mode(
-        "overwrite"
-    ).partitionBy("bucket").parquet(seg)
-    marker = os.path.join(path, "_stream", f"_meta_b{batch_id}.json")
-    with open(marker, "w") as f:
-        json.dump(
-            {
-                "batch_id": int(batch_id),
-                "n_docs": int(agg["n_docs"]),
-                "total_dl": int(agg["total_dl"] or 0),
-            },
-            f,
-        )
-    return True
+    commit the marker — `retrieval._fold_segment`, the same core the
+    batch `append_to_bm25_index` rides. Returns True if folded, False
+    if skipped as already committed (a live marker OR an id at/below
+    the latest compaction generation's `max_batch` watermark — batch
+    ids are monotone, so a replay of a batch whose segment compaction
+    already folded and deleted must not re-index it) or empty."""
+    return _fold_segment(batch_df, path, batch_id, text_col, id_col)
 
 
 def stream_index_documents(
@@ -154,8 +126,6 @@ def compact_bm25_index(spark, path: str) -> int:
     per-query segment count.
     """
     import shutil
-
-    from pyspark.sql import functions as F
 
     comp_dir = os.path.join(path, "_compacted")
     stream_dir = os.path.join(path, "_stream")

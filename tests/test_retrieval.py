@@ -201,6 +201,53 @@ def test_bm25_index_append_is_exact(spark, tmp_path):
         assert got == want, query
 
 
+def test_bm25_index_append_is_segment_and_compactable(spark, tmp_path):
+    """The batch append rides the committed-segment protocol: it never
+    rewrites base partitions (crash-safe by marker-last), and a later
+    compaction folds it without changing any query result."""
+    import os
+
+    from gliner_spark.operators.retrieval import (
+        append_to_bm25_index,
+        bm25_against_index,
+        build_bm25_index,
+    )
+    from gliner_spark.streaming.bm25 import compact_bm25_index
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    p = str(tmp_path / "idx")
+    build_bm25_index(df.where("doc_id < 3"), p, n_buckets=8)
+    base_files = sorted(
+        os.path.join(d, f)
+        for d, _, fs in os.walk(p)
+        for f in fs
+        if "_stream" not in d and "_compacted" not in d
+    )
+    append_to_bm25_index(df.where("doc_id >= 3"), p)
+    after_files = sorted(
+        os.path.join(d, f)
+        for d, _, fs in os.walk(p)
+        for f in fs
+        if "_stream" not in d and "_compacted" not in d
+    )
+    assert after_files == base_files  # base partitions untouched
+    assert os.path.isdir(os.path.join(p, "_stream"))
+    want = [
+        (r.doc_id, r.score, r.rk)
+        for r in bm25_against_index(
+            spark, p, ["spark", "window"], top_k=5
+        ).collect()
+    ]
+    assert compact_bm25_index(spark, p) == 1
+    got = [
+        (r.doc_id, r.score, r.rk)
+        for r in bm25_against_index(
+            spark, p, ["spark", "window"], top_k=5
+        ).collect()
+    ]
+    assert got == want
+
+
 def _rrf_oracle(legs, k0=60.0, top_k=10):
     acc = {}
     for leg in legs:
