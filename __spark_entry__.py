@@ -2203,13 +2203,19 @@ def _q_kg_pipeline(spark, sf_dir):
     """The north-star chain end-to-end in one driver query: NER →
     RE triples ∪ turn-window co-occurrence-induced triples → MinHash-LSH
     canonicalization (connected components) → canonical rewrite →
-    edge materialization → PageRank. Output = canonical (subj, pred, obj)
-    triple detail rows — the surface the north rule grades — with each
-    subject's rank joined on. Subsumes the former re_triples /
+    edge materialization → PageRank + k-core decomposition. Output =
+    canonical (subj, pred, obj) triple detail rows — the surface the
+    north rule grades — with each subject's rank and core number
+    (graph.core_numbers iterative peel, BZ-oracle-pinned in
+    test_kcore.py) joined on. Subsumes the former re_triples /
     entity_linking / turn_cooccur / graph_edges / entity_pagerank
     registry entries so the whole chain runs under the driver gate."""
     from gliner_spark.operators.cooccur import induce_cooccurrence
-    from gliner_spark.operators.graph import build_edges, pagerank
+    from gliner_spark.operators.graph import (
+        build_edges,
+        core_numbers,
+        pagerank,
+    )
     from gliner_spark.operators.linking import canonicalize, rewrite_triples
     from gliner_spark.operators.ner import extract_entities
     from gliner_spark.operators.relations import extract_triples
@@ -2236,20 +2242,29 @@ def _q_kg_pipeline(spark, sf_dir):
     )
     cm = canonicalize(ents, jaccard_threshold=0.5)
     canon = rewrite_triples(re_t.unionByName(co_t), cm)
-    pr = pagerank(build_edges(canon))
-    return canon.join(
-        pr.withColumnRenamed("entity_id", "subj_id"), "subj_id", "left"
-    ).select(
-        "conv_id",
-        "turn_idx",
-        "source",
-        "subj_id",
-        "subj_canonical",
-        "pred",
-        "obj_id",
-        "obj_canonical",
-        F.round("score", 6).alias("score"),
-        F.round("rank", 8).alias("subj_rank"),
+    edges = build_edges(canon)
+    pr = pagerank(edges)
+    core = core_numbers(edges, src_col="subj_id", dst_col="obj_id")
+    return (
+        canon.join(
+            pr.withColumnRenamed("entity_id", "subj_id"), "subj_id", "left"
+        )
+        .join(
+            core.withColumnRenamed("v", "subj_id"), "subj_id", "left"
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            "source",
+            "subj_id",
+            "subj_canonical",
+            "pred",
+            "obj_id",
+            "obj_canonical",
+            F.round("score", 6).alias("score"),
+            F.round("rank", 8).alias("subj_rank"),
+            F.coalesce(F.col("core"), F.lit(0)).alias("subj_core"),
+        )
     )
 
 

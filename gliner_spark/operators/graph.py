@@ -529,3 +529,183 @@ def random_walks(
         out = out.union(nxt)
         frontier = nxt
     return out
+
+
+def _local_core_numbers(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Sequential Batagelj-Zaversnik (2003) min-degree peel via a lazy
+    heap — the small-graph finisher (same rationale as linking's
+    `_local_membership`: on a graph that fits one task, every
+    distributed peel round is pure scheduler latency)."""
+    import heapq
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    heap = [(d, v) for v, d in deg.items()]
+    heapq.heapify(heap)
+    removed: set = set()
+    core: dict[int, int] = {}
+    k = 0
+    while heap:
+        d, v = heapq.heappop(heap)
+        if v in removed or d != deg[v]:
+            continue  # stale heap entry
+        k = max(k, deg[v])
+        core[v] = k
+        removed.add(v)
+        for u in adj[v]:
+            if u not in removed:
+                deg[u] -= 1
+                heapq.heappush(heap, (deg[u], u))
+    return core
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    small_solve: int = 500_000,
+) -> DataFrame:
+    """The k-core of the UNDIRECTED view of the edge list: the maximal
+    subgraph in which every vertex has degree >= k, as its canonical
+    edge set (a, b) with a < b. The dense-region extractor for KG
+    cleanup — vertices outside even the 2-core are leaves/chains that
+    carry no corroborating structure, while a high-k core is the
+    mutually-evidenced heart of the graph (Seidman 1983).
+
+    Standard iterative peel, Spark-shaped: each round computes degrees
+    with ONE hash agg over the live edges (both endpoints unioned in)
+    and removes vertices below k with TWO int64 anti-joins, then
+    localCheckpoints the survivor edge set (lineage cut). Rounds needed
+    = peel depth, usually far below the diameter (each round strips a
+    whole onion layer, not one vertex like the sequential algorithm);
+    per-round work is proportional to the LIVE edge set, which only
+    shrinks; one O(1) isEmpty probe per round (an empty graph yields an
+    empty bad set, so the loop needs no second probe). When the edge
+    multiset fits one task (`small_solve`) the whole peel collapses
+    into one sequential pass on the driver — peel rounds on a small
+    graph are pure scheduler latency (same rationale, and parity
+    pinning, as linking's `_local_membership` CC finisher).
+    """
+    if k < 1:
+        raise ValueError("k >= 1")
+    spark = edges.sparkSession
+    live = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    if live.count() <= small_solve:
+        pairs = [(r.a, r.b) for r in live.collect()]
+        core = _local_core_numbers(pairs)
+        keep = [
+            (a, b) for a, b in pairs if core[a] >= k and core[b] >= k
+        ]
+        return spark.createDataFrame(keep, "a long, b long")
+    while True:
+        deg = (
+            live.select(F.col("a").alias("v"))
+            .unionAll(live.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        bad = deg.where(F.col("deg") < k).select("v").localCheckpoint()
+        if bad.isEmpty():
+            return live
+        live = (
+            live.join(bad, live["a"] == bad["v"], "left_anti")
+            .join(bad, live["b"] == bad["v"], "left_anti")
+            .localCheckpoint()
+        )
+
+
+def core_numbers(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    small_solve: int = 500_000,
+) -> DataFrame:
+    """Core number of every vertex of the undirected view → (v, core):
+    the largest k such that v belongs to the k-core; isolated-by-dedup
+    vertices never appear (no edges), leaf vertices get 1. A one-column
+    density/centrality feature for entity curation — cheap to join onto
+    nodes, robust to hubs (a hub wired to leaves has a LOW core number,
+    unlike its degree or PageRank).
+
+    Peels k = 1, 2, … reusing the shrinking survivor graph: the k-core
+    of the (k-1)-core is the k-core of the original graph, so each
+    level pays only for the edges still alive at that depth. Core
+    assignments accumulate as per-level vertex sets (level k's
+    survivors overwrite k-1's value via a max aggregate at the end —
+    one final hash agg, no per-level join chain). Total rounds =
+    Σ per-level peel depths ≈ k_max + total onion layers; every round
+    is the same one-agg + two-anti-join shape as `k_core`. Below
+    `small_solve` edges the whole decomposition runs as ONE sequential
+    Batagelj-Zaversnik pass on the driver (distributed == local parity
+    pinned in test_kcore.py).
+    """
+    live = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    spark = edges.sparkSession
+    if live.count() <= small_solve:
+        core = _local_core_numbers(
+            [(r.a, r.b) for r in live.collect()]
+        )
+        if not core:
+            return spark.createDataFrame([], "v long, core int")
+        return spark.createDataFrame(
+            [(int(v), int(c)) for v, c in sorted(core.items())],
+            "v long, core int",
+        )
+    levels: list[DataFrame] = []
+    k = 1
+    while not live.isEmpty():
+        # peel the current graph down to its k-core
+        while True:
+            deg = (
+                live.select(F.col("a").alias("v"))
+                .unionAll(live.select(F.col("b").alias("v")))
+                .groupBy("v")
+                .agg(F.count(F.lit(1)).alias("deg"))
+            )
+            bad = deg.where(F.col("deg") < k).select("v").localCheckpoint()
+            if bad.isEmpty():
+                break
+            live = (
+                live.join(bad, live["a"] == bad["v"], "left_anti")
+                .join(bad, live["b"] == bad["v"], "left_anti")
+                .localCheckpoint()
+            )
+            if live.isEmpty():
+                break
+        if live.isEmpty():
+            break
+        levels.append(
+            live.select(F.col("a").alias("v"))
+            .unionAll(live.select(F.col("b").alias("v")))
+            .distinct()
+            .withColumn("core", F.lit(k))
+            .localCheckpoint()
+        )
+        k += 1
+    if not levels:
+        return spark.createDataFrame([], "v long, core int")
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionAll(lv)
+    return out.groupBy("v").agg(F.max("core").alias("core"))
