@@ -16,6 +16,7 @@ Measured, `local[32]`:
   * link_predict (Adamic-Adar), max_degree=64 (hubs excluded), and the
     hub-cap's work bound: wedge volume with vs without the cap;
   * random_walks, walk_len=5 (one walk per vertex = up to 3M rows);
+  * core_numbers, distributed peel forced (small_solve=0);
   * triangle_counts over the undirected view.
 
 Prints ONE JSON line. Writes under _out/ (gitignored).
@@ -48,6 +49,7 @@ OUT = os.path.join(
 def main():
     from gliner_spark.operators.graph import (
         bfs_distances,
+        core_numbers,
         link_predict,
         pagerank,
         personalized_pagerank,
@@ -136,6 +138,17 @@ def main():
     n_walk_rows = walks.count()
     walks_s = time.time() - t0
 
+    # distributed peel forced (small_solve=0): the 2M-edge graph is the
+    # scale path the driver-gate graphs never reach
+    t0 = time.time()
+    cores = core_numbers(
+        e, src_col="subj_id", dst_col="obj_id", small_solve=0
+    )
+    core_row = cores.agg(
+        F.max("core").alias("k_max"), F.count(F.lit(1)).alias("nv")
+    ).collect()[0]
+    cores_s = time.time() - t0
+
     t0 = time.time()
     tri = triangle_counts(
         e, src_col="subj_id", dst_col="obj_id"
@@ -160,6 +173,9 @@ def main():
                 "wedges_capped": int(wedges["capped"]),
                 "walks_s": round(walks_s, 1),
                 "walk_rows": int(n_walk_rows),
+                "core_s": round(cores_s, 1),
+                "core_k_max": int(core_row["k_max"]),
+                "core_verts": int(core_row["nv"]),
                 "triangles_s": round(tri_s, 1),
                 "triangles_x3": int(tri_total),
             }
