@@ -715,7 +715,7 @@ def core_numbers(
             .join(newh, "v")
             .agg(F.sum(F.abs(F.col("core") - F.col("old"))).alias("d"))
             .collect()[0]["d"]
-        )
+        ) or 0  # sum over zero rows is NULL (degenerate empty graph)
         h = newh
         if delta == 0:
             return h
