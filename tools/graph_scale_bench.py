@@ -16,7 +16,8 @@ Measured, `local[32]`:
   * link_predict (Adamic-Adar), max_degree=64 (hubs excluded), and the
     hub-cap's work bound: wedge volume with vs without the cap;
   * random_walks, walk_len=5 (one walk per vertex = up to 3M rows);
-  * core_numbers, distributed peel forced (small_solve=0);
+  * core_numbers, distributed iterated-h-index path forced
+    (small_solve=0);
   * triangle_counts over the undirected view.
 
 Prints ONE JSON line. Writes under _out/ (gitignored).
@@ -138,7 +139,7 @@ def main():
     n_walk_rows = walks.count()
     walks_s = time.time() - t0
 
-    # distributed peel forced (small_solve=0): the 2M-edge graph is the
+    # distributed path forced (small_solve=0): the 2M-edge graph is the
     # scale path the driver-gate graphs never reach
     t0 = time.time()
     cores = core_numbers(
