@@ -645,8 +645,17 @@ def _q_pagerank_events(spark, sf_dir):
     query; leg='ppr' runs graph.personalized_pagerank with seeds
     {0, 1} (restart vector 1/2 on each seed, dangling mass recycled to
     the seeds, unreachable vertices exactly 0), oracled by a second
-    unrolled CTE chain with p folded into every iteration."""
-    from gliner_spark.operators.graph import pagerank, personalized_pagerank
+    unrolled CTE chain with p folded into every iteration; legs
+    'hub'/'auth' run graph.hits (Kleinberg HITS, 3 rounds, deferred L1
+    normalization — one fused sums-collect per round) over the same
+    bipartite edges, where users are pure hubs (auth exactly 0) and
+    objects pure authorities (hub exactly 0), oracled by a third
+    unrolled chain replaying araw/hraw and the per-round sums."""
+    from gliner_spark.operators.graph import (
+        hits,
+        pagerank,
+        personalized_pagerank,
+    )
 
     ev = _events(spark, sf_dir)
     edges = ev.select(
@@ -659,20 +668,40 @@ def _q_pagerank_events(spark, sf_dir):
     ppr = personalized_pagerank(
         edges, [0, 1], damping=0.85, max_iter=5, tol=0.0
     )
-    return pr.select(
-        F.lit("global").alias("leg"),
-        "entity_id",
-        F.round("rank", 6).alias("rank"),
-    ).unionByName(
-        ppr.select(
-            F.lit("ppr").alias("leg"),
+    ha = hits(edges, max_iter=3, src_col="subj_id", dst_col="obj_id")
+    return (
+        pr.select(
+            F.lit("global").alias("leg"),
             "entity_id",
             F.round("rank", 6).alias("rank"),
+        )
+        .unionByName(
+            ppr.select(
+                F.lit("ppr").alias("leg"),
+                "entity_id",
+                F.round("rank", 6).alias("rank"),
+            )
+        )
+        .unionByName(
+            ha.select(
+                F.lit("hub").alias("leg"),
+                "entity_id",
+                F.round("hub", 6).alias("rank"),
+            )
+        )
+        .unionByName(
+            ha.select(
+                F.lit("auth").alias("leg"),
+                "entity_id",
+                F.round("auth", 6).alias("rank"),
+            )
         )
     )
 
 
-def _pagerank_events_sql(n_iter: int = 5, seeds: tuple = (0, 1)) -> str:
+def _pagerank_events_sql(
+    n_iter: int = 5, seeds: tuple = (0, 1), hits_iter: int = 3
+) -> str:
     """Unrolled power iteration matching graph.pagerank's arithmetic:
     rank' = (1-d)/n + d*(inflow + dangling_mass/n), inflow pushed as
     rank/out_degree along edges, same operand shapes so the doubles
@@ -680,7 +709,12 @@ def _pagerank_events_sql(n_iter: int = 5, seeds: tuple = (0, 1)) -> str:
     The 'ppr' leg unrolls graph.personalized_pagerank the same way:
     rank' = (1-d)*p + d*(inflow + dangling_mass*p) with p = 1/|seeds|
     on the seeds and 0 elsewhere (seeds unioned into the vertex set,
-    exactly as the operator does)."""
+    exactly as the operator does). The 'hub'/'auth' legs unroll
+    graph.hits: per round araw = Σ hub over in-edges, hraw = Σ araw
+    over out-edges (hraw from the UNnormalized araw — deferred
+    normalization, exactly the operator's fused-collect arithmetic),
+    then hub = hraw/Σhraw carried into the next round; the final legs
+    divide by that round's sums."""
     parts = [
         """
         with e as (
@@ -741,12 +775,38 @@ def _pagerank_events_sql(n_iter: int = 5, seeds: tuple = (0, 1)) -> str:
           from pv v
           cross join pd{k} d
           left join pinf{k} i on i.id = v.id)""")
+    # HITS: h0 = 1 everywhere; per round araw/hraw then hub = hraw/Σhraw
+    parts.append(""",
+        h0 as (select id, 1.0 as h from verts)""")
+    for k in range(hits_iter):
+        parts.append(f""",
+        ar{k} as (
+          select e.dst as id, sum(h.h) as araw
+          from e join h{k} h on h.id = e.src group by 1),
+        hr{k} as (
+          select e.src as id, sum(a.araw) as hraw
+          from e join ar{k} a on a.id = e.dst group by 1),
+        j{k} as (
+          select v.id, coalesce(a.araw, 0) as araw,
+                 coalesce(r.hraw, 0) as hraw
+          from verts v
+          left join ar{k} a on a.id = v.id
+          left join hr{k} r on r.id = v.id),
+        s{k} as (select sum(araw) as sa, sum(hraw) as sh from j{k}),
+        h{k + 1} as (select id, hraw / sh as h from j{k}, s{k})""")
+    last = hits_iter - 1
     parts.append(f"""
         select 'global' as leg, id as entity_id,
                round(pr, 6) as "rank" from r{n_iter}
         union all
         select 'ppr' as leg, id as entity_id,
-               round(pr, 6) as "rank" from p{n_iter}""")
+               round(pr, 6) as "rank" from p{n_iter}
+        union all
+        select 'hub' as leg, id as entity_id,
+               round(hraw / sh, 6) as "rank" from j{last}, s{last}
+        union all
+        select 'auth' as leg, id as entity_id,
+               round(araw / sa, 6) as "rank" from j{last}, s{last}""")
     return "".join(parts)
 
 
@@ -1429,6 +1489,13 @@ def _q_edge_agg(spark, sf_dir):
                      neighbor pick is bit-identical cross-engine, so
                      DuckDB replays the walks exactly with a recursive
                      CTE stepping through the row_number-indexed edges.
+      leg='lpa'      graph.label_propagation (r4): 3 synchronous
+                     label-propagation rounds over the undirected view
+                     of the wedge graph — a=id, n=community label.
+                     Deterministic by construction (min-label ties,
+                     pinned round count), so DuckDB replays every round
+                     exactly: count-per-(id,label) + qualify
+                     row_number over (count desc, label asc).
 
     The wedge/triangle/path graph is src=user_id%300,
     dst=(event_id*7+3)%300 (one shared vertex space so 2-hops and
@@ -1437,6 +1504,7 @@ def _q_edge_agg(spark, sf_dir):
     from gliner_spark.operators.graph import (
         bfs_distances,
         build_edges,
+        label_propagation,
         link_predict,
         random_walks,
     )
@@ -1539,12 +1607,22 @@ def _q_edge_agg(spark, sf_dir):
         F.lit(0).cast("long").alias("m"),
         F.lit(0.0).alias("val"),
     )
+    lpa_leg = label_propagation(g, max_iter=3).select(
+        F.lit("lpa").alias("leg"),
+        F.col("id").alias("a"),
+        F.lit(-1).cast("long").alias("b"),
+        F.lit("").alias("k"),
+        F.col("label").cast("long").alias("n"),
+        F.lit(0).cast("long").alias("m"),
+        F.lit(0.0).alias("val"),
+    )
     return (
         edge_leg.unionByName(wedge_leg)
         .unionByName(tri_leg)
         .unionByName(path_leg)
         .unionByName(pred_leg)
         .unionByName(walk_leg)
+        .unionByName(lpa_leg)
     )
 
 
@@ -3490,13 +3568,42 @@ def oracle_sql() -> dict[str, str]:
             walk_leg as (
               select 'walk' as leg, start as a, step as b, '' as k,
                      cur as n, 0::bigint as m, 0.0 as val
-              from walk)
+              from walk),
+            -- LPA: 3 synchronous rounds over the undirected view of g,
+            -- most-frequent neighbor label with min-label ties — the
+            -- same deterministic pick as graph.label_propagation
+            udl as (
+              select distinct src, dst from (
+                select src, dst from g
+                union all select dst as src, src as dst from g) t
+              where t.src <> t.dst),
+            l0 as (select distinct src as id, src as label from udl),
+            mc0 as (select u.dst as id, l.label, count(*) as c
+                    from udl u join l0 l on l.id = u.src group by 1, 2),
+            l1 as (select id, label from mc0
+                   qualify row_number() over
+                     (partition by id order by c desc, label asc) = 1),
+            mc1 as (select u.dst as id, l.label, count(*) as c
+                    from udl u join l1 l on l.id = u.src group by 1, 2),
+            l2 as (select id, label from mc1
+                   qualify row_number() over
+                     (partition by id order by c desc, label asc) = 1),
+            mc2 as (select u.dst as id, l.label, count(*) as c
+                    from udl u join l2 l on l.id = u.src group by 1, 2),
+            l3 as (select id, label from mc2
+                   qualify row_number() over
+                     (partition by id order by c desc, label asc) = 1),
+            lpa_leg as (
+              select 'lpa' as leg, id as a, -1::bigint as b, '' as k,
+                     label::bigint as n, 0::bigint as m, 0.0 as val
+              from l3)
             select * from edge_leg
             union all select * from wedge_leg
             union all select * from tri_leg
             union all select * from path_leg
             union all select * from pred_leg
             union all select * from walk_leg
+            union all select * from lpa_leg
         """,
         "shipping_priority": """
             select l_orderkey,

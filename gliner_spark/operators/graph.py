@@ -70,6 +70,7 @@ def pagerank(
     tol: float = 1e-6,
     src_col: str = "subj_id",
     dst_col: str = "obj_id",
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """Damped PageRank over the entity graph → (entity_id, rank).
 
@@ -85,6 +86,18 @@ def pagerank(
     NEXT iteration needs (Σ rank over out-degree-null vertices), so
     dangling mass is carried forward instead of re-collected. On a real
     cluster at 15 iterations that halves the job round-trips.
+
+    `init_ranks` warm-starts the iteration from a previous result
+    (any (id, rank)-shaped frame, e.g. a persisted rank table from
+    before an edge append): known vertices take their old rank, new
+    vertices 1/n, and the vector is renormalized to sum 1. Power
+    iteration contracts at factor `damping` per round toward the NEW
+    graph's fixpoint, so starting ||old − new|| ≈ ε away (a small edge
+    delta) instead of ||uniform − new|| cuts the rounds to reach `tol`
+    roughly by log(ε)/log(d) — the incremental-refresh path after
+    appends, same converged values as a cold run (parity-pinned in
+    test_graph_communities.py). Costs one extra pre-loop job (the
+    normalization sum + warm dangling mass together).
     """
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -109,8 +122,37 @@ def pagerank(
         return verts.select("id").withColumn("rank", F.lit(0.0)).select(
             F.col("id").alias("entity_id"), "rank"
         )
-    dangling = stats["nd"] / n  # uniform initial ranks: Σ 1/n over dangling
-    ranks = verts.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    if init_ranks is None:
+        # uniform initial ranks: Σ 1/n over dangling
+        dangling = stats["nd"] / n
+        ranks = verts.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    else:
+        ic = init_ranks.columns
+        prev = init_ranks.select(
+            F.col(ic[0]).cast("long").alias("id"),
+            F.col(ic[1]).cast("double").alias("r0"),
+        )
+        warm = (
+            verts.join(prev, "id", "left")
+            .select(
+                "id",
+                "deg",
+                F.coalesce("r0", F.lit(1.0 / n)).alias("r0"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        ws = warm.agg(
+            F.sum("r0").alias("s"),
+            F.coalesce(
+                F.sum(F.when(F.col("deg").isNull(), F.col("r0"))),
+                F.lit(0.0),
+            ).alias("m"),
+        ).collect()[0]
+        s = ws["s"] or 1.0
+        dangling = ws["m"] / s
+        ranks = warm.select(
+            "id", "deg", (F.col("r0") / F.lit(s)).alias("rank")
+        )
     base = (1.0 - damping) / n
 
     for _ in range(max_iter):
@@ -719,3 +761,164 @@ def core_numbers(
         h = newh
         if delta == 0:
             return h
+
+
+def label_propagation(
+    edges: DataFrame,
+    max_iter: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation communities → (id, label).
+
+    GraphFrames `labelPropagation` semantics made DETERMINISTIC: labels
+    start as vertex ids; every round each vertex adopts the most
+    frequent label among its undirected neighbors, ties broken by the
+    SMALLEST label. Exactly `max_iter` synchronous rounds — LPA has no
+    convergence guarantee (bipartite structures oscillate), so a pinned
+    round count is the reproducible contract, and it makes the run
+    COLLECT-FREE: zero driver jobs until the caller acts on the result
+    (unlike pagerank/CC there is no convergence scalar to fetch).
+
+    Each round is one int64 equi-join (undirected adjacency × labels) +
+    one (id, label) count agg + one per-id min(struct(-count, label))
+    fold — the argmax-with-min-tie pick as a pure aggregate, no window
+    sort. Per-round shuffles key on (id, label) then (id); at 100 TB
+    the adjacency is bucketed on src so the propagation join is
+    Exchange-free on the big side, the same shape as bfs_distances /
+    pagerank. localCheckpoint per round cuts the iterative lineage.
+
+    GLiNER has no graph analytics; this serves "cluster canonical
+    entities into densely co-mentioned communities" over the
+    materialized edge table (SURVEY §2.8 extension surface, same
+    rationale as pagerank/k-core). Parity: python replay in
+    test_graph_communities.py; DuckDB unrolled-round oracle under the
+    driver gate (`edge_agg` leg='lpa').
+    """
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    ud = (
+        e.unionAll(
+            e.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    # both directions are present, so every vertex appears as src and
+    # receives one message per neighbor each round
+    labels = (
+        ud.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        msgs = ud.join(
+            labels.select(F.col("id").alias("src"), "label"), "src"
+        ).select(F.col("dst").alias("id"), "label")
+        counts = msgs.groupBy("id", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        labels = (
+            counts.groupBy("id")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"), F.col("label")
+                    )
+                ).alias("s")
+            )
+            .select("id", F.col("s.label").alias("label"))
+            .localCheckpoint()
+        )
+    return labels
+
+
+def hits(
+    edges: DataFrame,
+    max_iter: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Kleinberg HITS hubs & authorities → (entity_id, hub, auth).
+
+    Power iteration with L1 normalization each round: auth' ∝ Σ hub
+    over in-edges, hub' ∝ Σ auth' over out-edges. The two normalizations
+    are deferred to ONE fused job per round — hub_raw is computed from
+    the UNnormalized auth_raw (normalization is a scalar multiple, so
+    hub_raw/Σhub_raw is identical to normalizing mid-round), then a
+    single aggregate over the joined frame collects both sums. So each
+    round is two int64 equi-join+agg shuffles and exactly one driver
+    job, the same budget as pagerank's fused delta/dangling collect.
+
+    On the KG's bipartite slices (users → objects) hubs land on the
+    source side and authorities on the target side; vertices with no
+    in-(out-)edges get exact 0 auth (hub), exercising the coalesce
+    paths. Round count pinned by the caller for oracle replay (DuckDB
+    unrolls the same arithmetic per round — `pagerank_events`
+    legs 'hub'/'auth'); numpy parity in test_graph_communities.py.
+    """
+    if max_iter < 1:
+        raise ValueError("hits needs max_iter >= 1")
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    spark = edges.sparkSession
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    if verts.isEmpty():
+        return spark.createDataFrame(
+            [], "entity_id long, hub double, auth double"
+        )
+    ranks = verts.select("id", F.lit(1.0).alias("hub"))
+    joined = None
+    sa = sh = 1.0
+    for _ in range(max_iter):
+        araw = (
+            e.join(ranks.select(F.col("id").alias("src"), "hub"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("hub").alias("araw"))
+        )
+        hraw = (
+            e.join(araw.select(F.col("id").alias("dst"), "araw"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("araw").alias("hraw"))
+        )
+        joined = (
+            verts.join(araw, "id", "left")
+            .join(hraw, "id", "left")
+            .select(
+                "id",
+                F.coalesce("araw", F.lit(0.0)).alias("araw"),
+                F.coalesce("hraw", F.lit(0.0)).alias("hraw"),
+            )
+            # lazy: the fused sums aggregate below materializes it
+            .localCheckpoint(eager=False)
+        )
+        sums = joined.agg(
+            F.sum("araw").alias("sa"), F.sum("hraw").alias("sh")
+        ).collect()[0]
+        sa = sums["sa"] or 1.0
+        sh = sums["sh"] or 1.0
+        ranks = joined.select(
+            "id", (F.col("hraw") / F.lit(sh)).alias("hub")
+        )
+    return joined.select(
+        F.col("id").alias("entity_id"),
+        (F.col("hraw") / F.lit(sh)).alias("hub"),
+        (F.col("araw") / F.lit(sa)).alias("auth"),
+    )
