@@ -18,7 +18,11 @@ Measured, `local[32]`:
   * random_walks, walk_len=5 (one walk per vertex = up to 3M rows);
   * core_numbers, distributed iterated-h-index path forced
     (small_solve=0);
-  * triangle_counts over the undirected view.
+  * triangle_counts over the undirected view;
+  * label_propagation, 3 synchronous rounds (collect-free);
+  * hits, 3 rounds (one fused sums-collect per round);
+  * warm-start vs cold PageRank refresh after a 0.5% edge append,
+    both at tol=1e-8 (the incremental-maintenance payoff).
 
 Prints ONE JSON line. Writes under _out/ (gitignored).
 """
@@ -51,6 +55,8 @@ def main():
     from gliner_spark.operators.graph import (
         bfs_distances,
         core_numbers,
+        hits,
+        label_propagation,
         link_predict,
         pagerank,
         personalized_pagerank,
@@ -157,6 +163,48 @@ def main():
     tri_total = tri.agg(F.sum("n_triangles")).collect()[0][0] or 0
     tri_s = time.time() - t0
 
+    t0 = time.time()
+    lpa = label_propagation(
+        e, max_iter=3, src_col="subj_id", dst_col="obj_id"
+    )
+    lpa_row = lpa.agg(
+        F.countDistinct("label").alias("nc"),
+        F.count(F.lit(1)).alias("nv"),
+    ).collect()[0]
+    lpa_s = time.time() - t0
+
+    t0 = time.time()
+    ha = hits(e, max_iter=3, src_col="subj_id", dst_col="obj_id")
+    hits_row = ha.agg(
+        F.sum("hub").alias("hm"), F.sum("auth").alias("am")
+    ).collect()[0]
+    hits_s = time.time() - t0
+    assert abs(hits_row["hm"] - 1.0) < 1e-6, hits_row
+    assert abs(hits_row["am"] - 1.0) < 1e-6, hits_row
+
+    # warm-start refresh: append 0.5% new edges, re-rank from the
+    # converged ranks at tol=1e-8 vs cold at the same tol
+    delta = spark.range(N_EDGES // 200).select(
+        F.pmod(F.xxhash64(F.lit("s2"), "id"), F.lit(N_VERTS)).alias(
+            "subj_id"
+        ),
+        F.pmod(F.xxhash64(F.lit("d2"), "id"), F.lit(N_VERTS)).alias(
+            "obj_id"
+        ),
+    )
+    grown = e.unionAll(delta)
+    t0 = time.time()
+    prev = pagerank(e, max_iter=30, tol=1e-8).localCheckpoint()
+    base_s = time.time() - t0
+    t0 = time.time()
+    pagerank(grown, max_iter=30, tol=1e-8, init_ranks=prev).agg(
+        F.sum("rank")
+    ).collect()
+    warm_s = time.time() - t0
+    t0 = time.time()
+    pagerank(grown, max_iter=30, tol=1e-8).agg(F.sum("rank")).collect()
+    cold_s = time.time() - t0
+
     print(
         json.dumps(
             {
@@ -179,6 +227,13 @@ def main():
                 "core_verts": int(core_row["nv"]),
                 "triangles_s": round(tri_s, 1),
                 "triangles_x3": int(tri_total),
+                "lpa3_s": round(lpa_s, 1),
+                "lpa_communities": int(lpa_row["nc"]),
+                "lpa_verts": int(lpa_row["nv"]),
+                "hits3_s": round(hits_s, 1),
+                "pr_tol8_cold_base_s": round(base_s, 1),
+                "pr_tol8_warm_after_append_s": round(warm_s, 1),
+                "pr_tol8_cold_after_append_s": round(cold_s, 1),
             }
         )
     )
