@@ -650,7 +650,12 @@ def _q_pagerank_events(spark, sf_dir):
     normalization — one fused sums-collect per round) over the same
     bipartite edges, where users are pure hubs (auth exactly 0) and
     objects pure authorities (hub exactly 0), oracled by a third
-    unrolled chain replaying araw/hraw and the per-round sums."""
+    unrolled chain replaying araw/hraw and the per-round sums; leg
+    'weighted' runs pagerank(weight_col=...) with per-event integer
+    weights (event_id % 7 + 1) so parallel (user, object) event rows
+    FOLD by weight sum — integer-valued doubles keep every weight/deg
+    sum exact in binary64 on both engines, so only rank arithmetic can
+    differ (ulps, absorbed by 6dp)."""
     from gliner_spark.operators.graph import (
         hits,
         pagerank,
@@ -669,6 +674,18 @@ def _q_pagerank_events(spark, sf_dir):
         edges, [0, 1], damping=0.85, max_iter=5, tol=0.0
     )
     ha = hits(edges, max_iter=3, src_col="subj_id", dst_col="obj_id")
+    wedges = ev.select(
+        F.col("user_id").cast("long").alias("subj_id"),
+        (F.pmod(F.col("event_id"), F.lit(50)) + F.lit(1000))
+        .cast("long")
+        .alias("obj_id"),
+        (F.pmod(F.col("event_id"), F.lit(7)) + 1)
+        .cast("double")
+        .alias("w"),
+    )
+    wpr = pagerank(
+        wedges, damping=0.85, max_iter=5, tol=0.0, weight_col="w"
+    )
     return (
         pr.select(
             F.lit("global").alias("leg"),
@@ -696,6 +713,13 @@ def _q_pagerank_events(spark, sf_dir):
                 F.round("auth", 6).alias("rank"),
             )
         )
+        .unionByName(
+            wpr.select(
+                F.lit("weighted").alias("leg"),
+                "entity_id",
+                F.round("rank", 6).alias("rank"),
+            )
+        )
     )
 
 
@@ -714,7 +738,11 @@ def _pagerank_events_sql(
     over out-edges (hraw from the UNnormalized araw — deferred
     normalization, exactly the operator's fused-collect arithmetic),
     then hub = hraw/Σhraw carried into the next round; the final legs
-    divide by that round's sums."""
+    divide by that round's sums. The 'weighted' leg replays
+    pagerank(weight_col=...): parallel (src, dst) rows fold by weight
+    sum, deg becomes the out-weight sum, inflow pushes rank·w/deg —
+    the integer-valued weights keep every w/deg sum exact in binary64
+    on both engines."""
     parts = [
         """
         with e as (
@@ -775,6 +803,36 @@ def _pagerank_events_sql(
           from pv v
           cross join pd{k} d
           left join pinf{k} i on i.id = v.id)""")
+    # weighted pagerank: parallel edges fold by weight sum, deg = Σ_out w
+    parts.append(""",
+        ew as (
+          select user_id::bigint as src,
+                 (1000 + event_id % 50)::bigint as dst,
+                 sum((event_id % 7 + 1)::double) as w
+          from events
+          where user_id::bigint != (1000 + event_id % 50)::bigint
+          group by 1, 2),
+        wdeg as (select src as id, sum(w) as deg from ew group by 1),
+        w0 as (select id, 1.0 / n as pr from verts, nstat)""")
+    for k in range(n_iter):
+        parts.append(f""",
+        wdang{k} as (
+          select coalesce(sum(r.pr), 0) as m
+          from w{k} r left join wdeg on wdeg.id = r.id
+          where wdeg.id is null),
+        winf{k} as (
+          select ew.dst as id, sum(r.pr * ew.w / wdeg.deg) as inflow
+          from ew join w{k} r on r.id = ew.src
+          join wdeg on wdeg.id = ew.src
+          group by 1),
+        w{k + 1} as (
+          select v.id,
+                 (1 - 0.85) / n
+                   + 0.85 * (coalesce(i.inflow, 0) + d.m / n) as pr
+          from verts v
+          cross join nstat
+          cross join wdang{k} d
+          left join winf{k} i on i.id = v.id)""")
     # HITS: h0 = 1 everywhere; per round araw/hraw then hub = hraw/Σhraw
     parts.append(""",
         h0 as (select id, 1.0 as h from verts)""")
@@ -806,7 +864,10 @@ def _pagerank_events_sql(
                round(hraw / sh, 6) as "rank" from j{last}, s{last}
         union all
         select 'auth' as leg, id as entity_id,
-               round(araw / sa, 6) as "rank" from j{last}, s{last}""")
+               round(araw / sa, 6) as "rank" from j{last}, s{last}
+        union all
+        select 'weighted' as leg, id as entity_id,
+               round(pr, 6) as "rank" from w{n_iter}""")
     return "".join(parts)
 
 

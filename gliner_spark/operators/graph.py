@@ -71,6 +71,7 @@ def pagerank(
     src_col: str = "subj_id",
     dst_col: str = "obj_id",
     init_ranks: DataFrame | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Damped PageRank over the entity graph → (entity_id, rank).
 
@@ -98,11 +99,35 @@ def pagerank(
     appends, same converged values as a cold run (parity-pinned in
     test_graph_communities.py). Costs one extra pre-loop job (the
     normalization sum + warm dangling mass together).
+
+    `weight_col` makes the walk WEIGHTED: contributions become
+    rank·w/Σ_out w instead of rank/out_degree — the KG edge table's
+    `n_evidence` is the natural weight (evidence-weighted centrality).
+    Parallel (src, dst) rows SUM their weights (the multigraph fold);
+    non-positive weights are dropped (a zero-weight edge carries no
+    walk mass, and dropping them keeps every out-weight sum strictly
+    positive). The unweighted path is untouched: it still DISTINCTs
+    multi-edges, so `weight_col` with all-1 weights equals unweighted
+    only on simple graphs (multiplicity is the point of weights).
     """
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).where(F.col("src") != F.col("dst")).distinct().localCheckpoint()
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    if weight_col is None:
+        e = edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        ).where(F.col("src") != F.col("dst")).distinct().localCheckpoint()
+        out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    else:
+        e = (
+            edges.select(
+                F.col(src_col).alias("src"),
+                F.col(dst_col).alias("dst"),
+                F.col(weight_col).cast("double").alias("w"),
+            )
+            .where((F.col("src") != F.col("dst")) & (F.col("w") > 0))
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+            .localCheckpoint()
+        )
+        out_deg = e.groupBy("src").agg(F.sum("w").alias("deg"))
     # vertices carry their out-degree for the whole loop (deg null =
     # dangling) — one join here instead of one per iteration
     verts = (
@@ -154,14 +179,16 @@ def pagerank(
             "id", "deg", (F.col("r0") / F.lit(s)).alias("rank")
         )
     base = (1.0 - damping) / n
+    contrib = (
+        F.col("rank") / F.col("deg")
+        if weight_col is None
+        else F.col("rank") * F.col("w") / F.col("deg")
+    )
 
     for _ in range(max_iter):
         contribs = (
             ranks.join(e, ranks.id == e.src)
-            .select(
-                F.col("dst").alias("id"),
-                (F.col("rank") / F.col("deg")).alias("c"),
-            )
+            .select(F.col("dst").alias("id"), contrib.alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("inflow"))
         )

@@ -138,6 +138,61 @@ PR_BASE = sorted({((i * i + i) % 13, (i * 7 + 2) % 17) for i in range(40)})
 PR_DELTA = [(0, 16), (16, 2)]
 
 
+def numpy_weighted_pagerank(n, wedges, damping=0.85, iters=60):
+    out_w = np.zeros(n)
+    for s, _d, w in wedges:
+        out_w[s] += w
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        inflow = np.zeros(n)
+        for s, d, w in wedges:
+            inflow[d] += r[s] * w / out_w[s]
+        dangling = r[out_w == 0].sum()
+        r = (1 - damping) / n + damping * (inflow + dangling / n)
+    return r
+
+
+def test_weighted_pagerank_matches_numpy(spark):
+    # multigraph on purpose: (0,1) appears twice -> weights sum
+    raw = [(0, 1, 2.0), (0, 1, 1.0), (0, 2, 1.0), (1, 2, 5.0),
+           (2, 0, 1.0), (2, 3, 3.0), (3, 3, 9.0), (1, 0, 0.0)]
+    df = spark.createDataFrame(
+        [Row(subj_id=s, obj_id=d, w=w) for s, d, w in raw]
+    )
+    got = {
+        r.entity_id: r.rank
+        for r in pagerank(
+            df, max_iter=60, tol=1e-12, weight_col="w"
+        ).collect()
+    }
+    # the oracle sees the folded simple graph: self-loops and
+    # non-positive weights dropped, parallel edges summed
+    folded = [(0, 1, 3.0), (0, 2, 1.0), (1, 2, 5.0), (2, 0, 1.0),
+              (2, 3, 3.0)]
+    exp = numpy_weighted_pagerank(4, folded)
+    for i in range(4):
+        assert got[i] == pytest.approx(exp[i], abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # the 5x edge 1->2 should pull 2 above the lightly-fed 3
+    assert got[2] > got[3]
+
+
+def test_weighted_all_ones_equals_unweighted_on_simple_graph(spark):
+    df = spark.createDataFrame(
+        [Row(subj_id=s, obj_id=d, w=1.0) for s, d in PR_BASE]
+    )
+    got_w = {
+        r.entity_id: r.rank
+        for r in pagerank(df, max_iter=40, tol=0.0, weight_col="w").collect()
+    }
+    got_u = {
+        r.entity_id: r.rank
+        for r in pagerank(df, max_iter=40, tol=0.0).collect()
+    }
+    for k, v in got_u.items():
+        assert got_w[k] == pytest.approx(v, abs=1e-12)
+
+
 def _rank_map(df):
     return {r.entity_id: r.rank for r in df.collect()}
 

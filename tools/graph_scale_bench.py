@@ -22,7 +22,9 @@ Measured, `local[32]`:
   * label_propagation, 3 synchronous rounds (collect-free);
   * hits, 3 rounds (one fused sums-collect per round);
   * warm-start vs cold PageRank refresh after a 0.5% edge append,
-    both at tol=1e-8 (the incremental-maintenance payoff).
+    both at tol=1e-5 with max_iter headroom (the incremental-
+    maintenance payoff shows in the iteration count, so tol — not
+    the cap — must terminate both runs).
 
 Prints ONE JSON line. Writes under _out/ (gitignored).
 """
@@ -182,8 +184,10 @@ def main():
     assert abs(hits_row["hm"] - 1.0) < 1e-6, hits_row
     assert abs(hits_row["am"] - 1.0) < 1e-6, hits_row
 
-    # warm-start refresh: append 0.5% new edges, re-rank from the
-    # converged ranks at tol=1e-8 vs cold at the same tol
+    # warm-start refresh: append 0.5% new edges, re-rank warm vs cold
+    # at the SAME tol with enough max_iter headroom that convergence
+    # (not the cap) ends both runs — a tol below what either reaches
+    # within the cap makes the two walls trivially equal
     delta = spark.range(N_EDGES // 200).select(
         F.pmod(F.xxhash64(F.lit("s2"), "id"), F.lit(N_VERTS)).alias(
             "subj_id"
@@ -194,15 +198,15 @@ def main():
     )
     grown = e.unionAll(delta)
     t0 = time.time()
-    prev = pagerank(e, max_iter=30, tol=1e-8).localCheckpoint()
+    prev = pagerank(e, max_iter=100, tol=1e-5).localCheckpoint()
     base_s = time.time() - t0
     t0 = time.time()
-    pagerank(grown, max_iter=30, tol=1e-8, init_ranks=prev).agg(
+    pagerank(grown, max_iter=100, tol=1e-5, init_ranks=prev).agg(
         F.sum("rank")
     ).collect()
     warm_s = time.time() - t0
     t0 = time.time()
-    pagerank(grown, max_iter=30, tol=1e-8).agg(F.sum("rank")).collect()
+    pagerank(grown, max_iter=100, tol=1e-5).agg(F.sum("rank")).collect()
     cold_s = time.time() - t0
 
     print(
@@ -231,9 +235,9 @@ def main():
                 "lpa_communities": int(lpa_row["nc"]),
                 "lpa_verts": int(lpa_row["nv"]),
                 "hits3_s": round(hits_s, 1),
-                "pr_tol8_cold_base_s": round(base_s, 1),
-                "pr_tol8_warm_after_append_s": round(warm_s, 1),
-                "pr_tol8_cold_after_append_s": round(cold_s, 1),
+                "pr_tol5_cold_base_s": round(base_s, 1),
+                "pr_tol5_warm_after_append_s": round(warm_s, 1),
+                "pr_tol5_cold_after_append_s": round(cold_s, 1),
             }
         )
     )
