@@ -1557,6 +1557,12 @@ def _q_edge_agg(spark, sf_dir):
                      pinned round count), so DuckDB replays every round
                      exactly: count-per-(id,label) + qualify
                      row_number over (count desc, label asc).
+      leg='scc'      graph.strongly_connected_components (r4): a=id,
+                     n=component (min vertex id of the SCC — a
+                     canonical representative). DuckDB oracles it with
+                     a recursive-CTE transitive closure + mutual-
+                     reachability min, independent of both the Spark
+                     FW-BW phases and the Tarjan finisher.
 
     The wedge/triangle/path graph is src=user_id%300,
     dst=(event_id*7+3)%300 (one shared vertex space so 2-hops and
@@ -1568,6 +1574,7 @@ def _q_edge_agg(spark, sf_dir):
         label_propagation,
         link_predict,
         random_walks,
+        strongly_connected_components,
     )
     from gliner_spark.operators.motif import find, triangle_counts
 
@@ -1677,6 +1684,15 @@ def _q_edge_agg(spark, sf_dir):
         F.lit(0).cast("long").alias("m"),
         F.lit(0.0).alias("val"),
     )
+    scc_leg = strongly_connected_components(g).select(
+        F.lit("scc").alias("leg"),
+        F.col("id").alias("a"),
+        F.lit(-1).cast("long").alias("b"),
+        F.lit("").alias("k"),
+        F.col("component").cast("long").alias("n"),
+        F.lit(0).cast("long").alias("m"),
+        F.lit(0.0).alias("val"),
+    )
     return (
         edge_leg.unionByName(wedge_leg)
         .unionByName(tri_leg)
@@ -1684,6 +1700,7 @@ def _q_edge_agg(spark, sf_dir):
         .unionByName(pred_leg)
         .unionByName(walk_leg)
         .unionByName(lpa_leg)
+        .unionByName(scc_leg)
     )
 
 
@@ -3657,7 +3674,29 @@ def oracle_sql() -> dict[str, str]:
             lpa_leg as (
               select 'lpa' as leg, id as a, -1::bigint as b, '' as k,
                      label::bigint as n, 0::bigint as m, 0.0 as val
-              from l3)
+              from l3),
+            -- SCC: transitive closure + mutual reachability, the
+            -- engine-independent oracle for the FW-BW/Tarjan operator
+            gd as (select src, dst from g where src <> dst),
+            screach as (
+              select src as a, dst as b from gd
+              union
+              select r.a, e.dst from screach r
+              join gd e on e.src = r.b),
+            sverts as (
+              select distinct id from (
+                select src as id from gd
+                union all select dst from gd) t),
+            smut as (
+              select r1.a as v, r1.b as u
+              from screach r1
+              join screach r2 on r2.a = r1.b and r2.b = r1.a),
+            scc_leg as (
+              select 'scc' as leg, s.id as a, -1::bigint as b, '' as k,
+                     least(s.id, coalesce(min(m.u), s.id))::bigint as n,
+                     0::bigint as m, 0.0 as val
+              from sverts s left join smut m on m.v = s.id
+              group by s.id)
             select * from edge_leg
             union all select * from wedge_leg
             union all select * from tri_leg
@@ -3665,6 +3704,7 @@ def oracle_sql() -> dict[str, str]:
             union all select * from pred_leg
             union all select * from walk_leg
             union all select * from lpa_leg
+            union all select * from scc_leg
         """,
         "shipping_priority": """
             select l_orderkey,

@@ -790,6 +790,274 @@ def core_numbers(
             return h
 
 
+def _local_scc(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Iterative Tarjan over an edge list → {vertex: min id of its SCC}.
+    The driver-local finisher for strongly_connected_components (same
+    rationale as _local_core_numbers / linking's union-find finisher:
+    below small_solve the remaining graph fits one task and distributed
+    phases are pure scheduler latency)."""
+    adj: dict[int, list[int]] = {}
+    verts: set[int] = set()
+    for s, d in pairs:
+        if s == d:
+            continue
+        adj.setdefault(s, []).append(d)
+        verts.add(s)
+        verts.add(d)
+    index: dict[int, int] = {}
+    low: dict[int, int] = {}
+    on_stack: set[int] = set()
+    stack: list[int] = []
+    comp: dict[int, int] = {}
+    counter = 0
+    for root in sorted(verts):
+        if root in index:
+            continue
+        # explicit DFS stack of (vertex, iterator position)
+        work = [(root, 0)]
+        while work:
+            v, pi = work.pop()
+            if pi == 0:
+                index[v] = low[v] = counter
+                counter += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            nbrs = adj.get(v, ())
+            for i in range(pi, len(nbrs)):
+                w = nbrs[i]
+                if w not in index:
+                    work.append((v, i + 1))
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    members.append(w)
+                    if w == v:
+                        break
+                rep = min(members)
+                for w in members:
+                    comp[w] = rep
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[v])
+    return comp
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    small_solve: int = 500_000,
+    max_phases: int = 50,
+) -> DataFrame:
+    """Strongly connected components of the DIRECTED graph →
+    (id, component), component = the smallest vertex id in the SCC (a
+    canonical, engine-independent representative). The directed
+    complement of linking's connected_components: cycles in derived KG
+    edges (sameAs loops, circular provenance) are exactly the non-
+    singleton SCCs.
+
+    Distributed path, per phase (the classic trim + forward-backward
+    decomposition):
+      1. TRIM — vertices missing either an in-edge or an out-edge in
+         the remaining graph cannot sit on a cycle: settle them as
+         singleton SCCs and drop their edges. Repeats via the phase
+         loop until a trim settles nothing (a DAG trims away entirely,
+         which is why trimming comes first: pure FW-BW would peel one
+         root per phase there).
+      2. FORWARD min-label to convergence: color(v) = min id over
+         vertices that reach v (rounds ∝ diameter, one int64 equi-join
+         + min agg + delta collect per round, localCheckpoint cuts).
+      3. BACKWARD sweep from each color ROOT (color(r) = r) along
+         REVERSED edges restricted to the root's color class: the
+         reached set of r is exactly r's SCC (everything in it reaches
+         r forward — color r — and is reached by r backward). Settle
+         those with component = min member id, drop their edges, next
+         phase.
+    Below `small_solve` remaining edges the whole residue is solved by
+    one driver-local iterative Tarjan pass (parity-pinned vs the
+    distributed path in test_scc.py). All joins are int64 equi-joins;
+    per-phase work is proportional to the REMAINING graph, which
+    shrinks by every settled SCC — at 100 TB the remaining-edge table
+    is bucketed on src so the propagation probes join Exchange-free.
+    """
+    spark = edges.sparkSession
+    e0 = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    settled_parts: list[DataFrame] = []
+    remaining = e0
+    for _phase in range(max_phases):
+        n_edges = remaining.count()
+        if n_edges == 0:
+            break
+        if n_edges <= small_solve:
+            comp = _local_scc(
+                [(r.src, r.dst) for r in remaining.collect()]
+            )
+            if comp:
+                settled_parts.append(
+                    spark.createDataFrame(
+                        [(int(v), int(c)) for v, c in sorted(comp.items())],
+                        "id long, component long",
+                    )
+                )
+            remaining = None
+            break
+        verts = (
+            remaining.select(F.col("src").alias("id"))
+            .union(remaining.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        has_out = remaining.select(F.col("src").alias("id")).distinct()
+        has_in = remaining.select(F.col("dst").alias("id")).distinct()
+        core = has_out.join(has_in, "id").localCheckpoint()
+        trimmed = verts.join(core, "id", "left_anti").select(
+            "id", F.col("id").alias("component")
+        )
+        if not trimmed.isEmpty():
+            settled_parts.append(trimmed.localCheckpoint())
+            remaining = (
+                remaining.join(
+                    core.withColumnRenamed("id", "src"), "src", "left_semi"
+                )
+                .join(
+                    core.withColumnRenamed("id", "dst"), "dst", "left_semi"
+                )
+                .select("src", "dst")
+                .localCheckpoint()
+            )
+            # a core vertex can lose ALL its edges here (every edge
+            # touched a trimmed vertex) and vanish from the remaining
+            # graph — it has no edge to any unsettled vertex, so no
+            # cycle: settle it as a singleton or it is never emitted
+            still = (
+                remaining.select(F.col("src").alias("id"))
+                .union(remaining.select(F.col("dst").alias("id")))
+                .distinct()
+            )
+            vanished = core.join(still, "id", "left_anti").select(
+                "id", F.col("id").alias("component")
+            )
+            if not vanished.isEmpty():
+                settled_parts.append(vanished.localCheckpoint())
+            continue  # re-trim until stable before paying a FW pass
+        # forward min-label to convergence
+        colors = core.select("id", F.col("id").alias("color"))
+        while True:
+            inbound = (
+                remaining.join(
+                    colors.select(
+                        F.col("id").alias("src"),
+                        F.col("color").alias("c_src"),
+                    ),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("c_src").alias("c_in"))
+            )
+            new_colors = (
+                colors.join(inbound, "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        "color", F.coalesce("c_in", F.col("color"))
+                    ).alias("color"),
+                    F.col("color").alias("old"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            changed = (
+                new_colors.where(F.col("color") != F.col("old")).count()
+            )
+            colors = new_colors.select("id", "color").localCheckpoint()
+            if changed == 0:
+                break
+        # backward sweep from the color roots within their color class
+        reached = colors.where(F.col("id") == F.col("color")).select(
+            "id", F.col("color").alias("root")
+        ).localCheckpoint()
+        frontier = reached
+        while not frontier.isEmpty():
+            step = (
+                frontier.join(
+                    remaining.select(
+                        F.col("dst").alias("id"), F.col("src").alias("nid")
+                    ),
+                    "id",
+                )
+                .select(F.col("nid").alias("id"), "root")
+                .distinct()
+                # stay inside the root's color class
+                .join(
+                    colors.select("id", F.col("color").alias("root")),
+                    ["id", "root"],
+                    "left_semi",
+                )
+                .join(reached.select("id"), "id", "left_anti")
+                .localCheckpoint()
+            )
+            frontier = step
+            if not step.isEmpty():
+                reached = reached.union(step)
+        scc = (
+            reached.groupBy("root")
+            .agg(F.min("id").alias("component"))
+            .join(reached, "root")
+            .select("id", "component")
+            .localCheckpoint()
+        )
+        settled_parts.append(scc)
+        done = scc.select("id")
+        remaining = (
+            remaining.join(
+                done.withColumnRenamed("id", "src"), "src", "left_anti"
+            )
+            .join(done.withColumnRenamed("id", "dst"), "dst", "left_anti")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+        # same vanish rule as the trim step: an unsettled vertex whose
+        # every edge touched an extracted SCC has no remaining cycle
+        still = (
+            remaining.select(F.col("src").alias("id"))
+            .union(remaining.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        vanished = (
+            core.join(done, "id", "left_anti")
+            .join(still, "id", "left_anti")
+            .select("id", F.col("id").alias("component"))
+        )
+        if not vanished.isEmpty():
+            settled_parts.append(vanished.localCheckpoint())
+    else:
+        raise RuntimeError(
+            f"scc did not settle within {max_phases} phases"
+        )
+    if not settled_parts:
+        return spark.createDataFrame([], "id long, component long")
+    out = settled_parts[0]
+    for p in settled_parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def label_propagation(
     edges: DataFrame,
     max_iter: int = 5,
