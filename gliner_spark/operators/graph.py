@@ -600,6 +600,168 @@ def random_walks(
     return out
 
 
+def node2vec_walks(
+    edges: DataFrame,
+    walk_len: int = 10,
+    p: float = 1.0,
+    q: float = 1.0,
+    walks_per_vertex: int = 1,
+    seed: int = 7,
+    src_col: str = "subj_id",
+    dst_col: str = "obj_id",
+) -> DataFrame:
+    """Deterministic node2vec walks (Grover & Leskovec 2016) →
+    (start_id, rep, step, vertex): second-order biased walks where the
+    unnormalized weight of stepping cur→w given the previous vertex is
+    1/p for the return edge (w == prev), 1 when prev→w is an edge (the
+    triangle/BFS direction), 1/q otherwise (the outward/DFS direction).
+    p = q = 1 degenerates to DeepWalk; the first step (no prev) is
+    uniform. Directed semantics: "w at distance 1 from prev" means the
+    directed edge prev→w exists.
+
+    The weighted pick stays a pure function of (graph, seed):
+    u = md5("{seed}|n2v|{start}|{rep}|{step}|{cur}")[:8] / 2^32 (the
+    repo's cross-engine uniform), candidates ordered by dst carry a
+    running weight sum, and the walk takes the unique candidate whose
+    cumulative interval contains u·total. The running sum adds the
+    same operands in the same (dst-ordered) sequence on every engine,
+    so the python replay in test_node2vec.py is EXACT, not
+    statistical — shard regeneration yields the identical corpus.
+
+    Scale shape per step: one int64 equi-join expands live walks to
+    their candidate edges (a hub costs one row per visiting walk, no
+    adjacency arrays), one (prev, w) equi-join probes the
+    triangle-edge predicate against the edge table, and the pick is a
+    per-walk window whose partitions are deg(cur) rows — bounded by
+    the max out-degree, never by graph size. Walks terminate at
+    dangling vertices; per-step work ∝ live walks. Driver loop with
+    eager localCheckpoint lineage cuts.
+    """
+    from pyspark.sql import Window
+
+    if walk_len < 0 or walks_per_vertex < 1:
+        raise ValueError("walk_len >= 0 and walks_per_vertex >= 1")
+    if p <= 0 or q <= 0:
+        raise ValueError("node2vec needs p > 0 and q > 0")
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    probe = e.select(
+        F.col("src").alias("psrc"), F.col("dst").alias("pdst")
+    ).withColumn("is_nbr", F.lit(1))
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    frontier = verts.select(
+        F.col("id").alias("start_id"),
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.lit(walks_per_vertex - 1).cast("long"),
+            )
+        ).alias("rep"),
+    ).select(
+        "start_id",
+        "rep",
+        F.lit(None).cast("long").alias("prev"),
+        F.col("start_id").alias("vertex"),
+    ).localCheckpoint()
+    out = frontier.select(
+        "start_id", "rep", F.lit(0).cast("long").alias("step"), "vertex"
+    )
+    win = Window.partitionBy("start_id", "rep").orderBy("w")
+    for t in range(walk_len):
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.lit(seed),
+                            F.lit("n2v"),
+                            F.col("start_id"),
+                            F.col("rep"),
+                            F.lit(t),
+                            F.col("vertex"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(float(2**32))
+        )
+        cand = (
+            frontier.join(e, frontier.vertex == e.src)
+            .select(
+                "start_id", "rep", "prev", "vertex",
+                F.col("dst").alias("w"),
+            )
+            .join(
+                probe,
+                (F.col("prev") == F.col("psrc"))
+                & (F.col("w") == F.col("pdst")),
+                "left",
+            )
+            .withColumn(
+                "alpha",
+                F.when(F.col("w") == F.col("prev"), F.lit(1.0 / p))
+                .when(F.col("is_nbr").isNotNull(), F.lit(1.0))
+                .otherwise(F.lit(1.0 / q)),
+            )
+        )
+        picked = (
+            cand.withColumn(
+                "cum",
+                F.sum("alpha").over(
+                    win.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            )
+            .withColumn(
+                "target",
+                u
+                * F.sum("alpha").over(
+                    win.rowsBetween(
+                        Window.unboundedPreceding,
+                        Window.unboundedFollowing,
+                    )
+                ),
+            )
+            .where(
+                (F.col("cum") > F.col("target"))
+                & (F.col("cum") - F.col("alpha") <= F.col("target"))
+            )
+        )
+        nxt = picked.select(
+            "start_id",
+            "rep",
+            F.col("vertex").alias("prev"),
+            F.col("w").alias("vertex"),
+        ).localCheckpoint()
+        if nxt.isEmpty():
+            break
+        out = out.union(
+            nxt.select(
+                "start_id",
+                "rep",
+                F.lit(t + 1).cast("long").alias("step"),
+                "vertex",
+            )
+        )
+        frontier = nxt
+    return out
+
+
 def _local_core_numbers(pairs: list[tuple[int, int]]) -> dict[int, int]:
     """Sequential Batagelj-Zaversnik (2003) min-degree peel via a lazy
     heap — the small-graph finisher (same rationale as linking's
