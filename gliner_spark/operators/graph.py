@@ -952,6 +952,87 @@ def core_numbers(
             return h
 
 
+def k_truss(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 200,
+) -> DataFrame:
+    """Edges of the k-truss → canonical undirected (a, b), a < b: the
+    maximal subgraph in which every edge participates in at least k−2
+    triangles OF THAT SUBGRAPH. The edge-support analog of k_core —
+    strictly stronger cohesion (a k-truss is a (k−1)-core but not vice
+    versa), the standard dense-community extractor over the KG edge
+    table where k_core is too hub-lenient.
+
+    Iterative peel, per round: one node-iterator triangle enumeration
+    over the LIVE edges (two-hop int64 equi-join + closing semi-join,
+    the same shape as motif.triangle_counts), an explode of each
+    triangle into its three edges + one (a, b) hash agg for support,
+    one join dropping edges below k−2, and one O(1) count collect for
+    convergence. Work per round ∝ live wedges, which only shrinks;
+    localCheckpoint cuts the iterative lineage. Converges when a round
+    drops nothing (support is recomputed against the SURVIVING edges
+    each round — peeling an edge can demote its triangle partners).
+    """
+    if k < 2:
+        raise ValueError("k-truss needs k >= 2")
+    live = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    thresh = k - 2
+    if thresh == 0:
+        return live  # every edge has >= 0 support
+    n_live = live.count()
+    for _ in range(max_rounds):
+        if n_live == 0:
+            return live
+        tri = (
+            live.alias("ab")
+            .join(live.alias("bc"), F.col("ab.b") == F.col("bc.a"))
+            .select(
+                F.col("ab.a").alias("x"),
+                F.col("ab.b").alias("y"),
+                F.col("bc.b").alias("z"),
+            )
+            .join(
+                live.alias("ac"),
+                (F.col("x") == F.col("ac.a"))
+                & (F.col("z") == F.col("ac.b")),
+                "left_semi",
+            )
+        )
+        support = (
+            tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
+            .unionAll(
+                tri.select(F.col("y").alias("a"), F.col("z").alias("b"))
+            )
+            .unionAll(
+                tri.select(F.col("x").alias("a"), F.col("z").alias("b"))
+            )
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("supp"))
+        )
+        keep = (
+            live.join(support, ["a", "b"], "left")
+            .where(F.coalesce("supp", F.lit(0)) >= thresh)
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        n_keep = keep.count()
+        if n_keep == n_live:
+            return keep
+        live, n_live = keep, n_keep
+    raise RuntimeError(f"k_truss did not converge in {max_rounds} rounds")
+
+
 def _local_scc(pairs: list[tuple[int, int]]) -> dict[int, int]:
     """Iterative Tarjan over an edge list → {vertex: min id of its SCC}.
     The driver-local finisher for strongly_connected_components (same
