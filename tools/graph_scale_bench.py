@@ -21,6 +21,11 @@ Measured, `local[32]`:
   * triangle_counts over the undirected view;
   * label_propagation, 3 synchronous rounds (collect-free);
   * hits, 3 rounds (one fused sums-collect per round);
+  * strongly_connected_components, distributed path forced
+    (small_solve=0) — trim + FW-BW phases on the 2M-edge graph;
+  * k_truss k=3 (edge-support peel over live wedges; k=4 empties
+    this random graph in one cascade — 368 triangles over 2M edges);
+  * node2vec_walks, len 5, p=2 q=0.5 (second-order weighted picks);
   * warm-start vs cold PageRank refresh after a 0.5% edge append,
     both at tol=1e-5 with max_iter headroom (the incremental-
     maintenance payoff shows in the iteration count, so tol — not
@@ -58,11 +63,14 @@ def main():
         bfs_distances,
         core_numbers,
         hits,
+        k_truss,
         label_propagation,
         link_predict,
+        node2vec_walks,
         pagerank,
         personalized_pagerank,
         random_walks,
+        strongly_connected_components,
     )
     from gliner_spark.operators.motif import triangle_counts
 
@@ -184,6 +192,26 @@ def main():
     assert abs(hits_row["hm"] - 1.0) < 1e-6, hits_row
     assert abs(hits_row["am"] - 1.0) < 1e-6, hits_row
 
+    t0 = time.time()
+    scc = strongly_connected_components(
+        e, src_col="subj_id", dst_col="obj_id", small_solve=0
+    )
+    scc_row = scc.agg(
+        F.count(F.lit(1)).alias("nv"),
+        F.countDistinct("component").alias("nc"),
+    ).collect()[0]
+    scc_s = time.time() - t0
+
+    t0 = time.time()
+    kt = k_truss(e, 3, src_col="subj_id", dst_col="obj_id")
+    kt_edges = kt.count()
+    ktruss_s = time.time() - t0
+
+    t0 = time.time()
+    n2v = node2vec_walks(e, walk_len=5, p=2.0, q=0.5, seed=7)
+    n2v_rows = n2v.count()
+    n2v_s = time.time() - t0
+
     # warm-start refresh: append 0.5% new edges, re-rank warm vs cold
     # at the SAME tol with enough max_iter headroom that convergence
     # (not the cap) ends both runs — a tol below what either reaches
@@ -235,6 +263,13 @@ def main():
                 "lpa_communities": int(lpa_row["nc"]),
                 "lpa_verts": int(lpa_row["nv"]),
                 "hits3_s": round(hits_s, 1),
+                "scc_s": round(scc_s, 1),
+                "scc_verts": int(scc_row["nv"]),
+                "scc_components": int(scc_row["nc"]),
+                "ktruss3_s": round(ktruss_s, 1),
+                "ktruss3_edges": int(kt_edges),
+                "node2vec5_s": round(n2v_s, 1),
+                "node2vec_rows": int(n2v_rows),
                 "pr_tol5_cold_base_s": round(base_s, 1),
                 "pr_tol5_warm_after_append_s": round(warm_s, 1),
                 "pr_tol5_cold_after_append_s": round(cold_s, 1),
