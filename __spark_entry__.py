@@ -535,18 +535,54 @@ def _q_stratified_sample(spark, sf_dir):
 
 
 def _q_decontaminate(spark, sf_dir):
-    """Benchmark decontamination (curation.decontaminate): docs with
-    doc_id % 50 == 0 act as the held-out benchmark set; every other doc
-    is flagged iff it shares any lowercase word 3-gram with the
-    benchmark (production uses 13-grams per GPT-3 appendix C; 3 here so
-    the synthetic corpus actually overlaps). Benchmark grams broadcast —
-    the training side is never shuffled for the membership test."""
-    from gliner_spark.operators.curation import decontaminate
+    """Decontamination umbrella (leg, doc_id, n_hit_grams,
+    contaminated, val) — r4 widened with the embedding-space leg:
+
+      leg='ngram'    curation.decontaminate: docs with doc_id % 50 == 0
+                     act as the held-out benchmark set; every other doc
+                     is flagged iff it shares any lowercase word 3-gram
+                     with the benchmark (production uses 13-grams per
+                     GPT-3 appendix C; 3 here so the synthetic corpus
+                     actually overlaps). Benchmark grams broadcast —
+                     the training side is never shuffled. val=0.
+      leg='semantic' curation.semantic_decontaminate over the
+                     embeddings table (vec_id % 50 == 0 as the
+                     benchmark): max cosine against the one-row
+                     broadcast benchmark matrix, flag at 0.95;
+                     val = round(max_cos, 6), n_hit_grams=0. DuckDB
+                     replays with list_dot_product over the same
+                     cast-to-double unit vectors — identical sequential
+                     fold order, so the threshold compare sees
+                     bit-identical doubles."""
+    from gliner_spark.operators.curation import (
+        decontaminate,
+        semantic_decontaminate,
+    )
 
     d = _docs(spark, sf_dir)
     bench = d.where(F.col("doc_id") % 50 == 0)
     train = d.where(F.col("doc_id") % 50 != 0)
-    return decontaminate(train, bench, n=3)
+    ngram_leg = decontaminate(train, bench, n=3).select(
+        F.lit("ngram").alias("leg"),
+        "doc_id",
+        "n_hit_grams",
+        "contaminated",
+        F.lit(0.0).alias("val"),
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sem = semantic_decontaminate(
+        emb.where(F.col("vec_id") % 50 != 0),
+        emb.where(F.col("vec_id") % 50 == 0),
+        threshold=0.35,
+    )
+    sem_leg = sem.select(
+        F.lit("semantic").alias("leg"),
+        F.col("vec_id").alias("doc_id"),
+        F.lit(0).cast("long").alias("n_hit_grams"),
+        "contaminated",
+        F.round("max_cos", 6).alias("val"),
+    )
+    return ngram_leg.unionByName(sem_leg)
 
 
 def _q_bm25_search(spark, sf_dir):
@@ -2974,12 +3010,31 @@ def oracle_sql() -> dict[str, str]:
             hits as (
               select g.doc_id, count(*)::bigint as n_hit_grams
               from grams g join bench using (gram)
-              where g.doc_id % 50 != 0 group by 1)
-            select d.doc_id,
+              where g.doc_id % 50 != 0 group by 1),
+            uemb as (
+              select vec_id,
+                     list_transform(embedding, x -> x::double /
+                       sqrt(list_sum(list_transform(embedding,
+                         y -> y::double * y::double)))) as unit
+              from embeddings),
+            sbench as (select unit from uemb where vec_id % 50 = 0),
+            smax as (
+              select t.vec_id as doc_id,
+                     max(list_dot_product(t.unit, b.unit)) as mc
+              from uemb t, sbench b
+              where t.vec_id % 50 != 0
+              group by 1)
+            select 'ngram' as leg, d.doc_id,
                    coalesce(h.n_hit_grams, 0)::bigint as n_hit_grams,
-                   (coalesce(h.n_hit_grams, 0) > 0)::int as contaminated
+                   (coalesce(h.n_hit_grams, 0) > 0)::int as contaminated,
+                   0.0 as val
             from documents d left join hits h using (doc_id)
             where d.doc_id % 50 != 0
+            union all
+            select 'semantic' as leg, doc_id, 0::bigint as n_hit_grams,
+                   (mc >= 0.35)::int as contaminated,
+                   round(mc, 6) as val
+            from smax
         """,
         "bm25_search": f"""
             with t as (

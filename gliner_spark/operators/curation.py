@@ -835,3 +835,75 @@ def leakage_safe_split(
         rep.alias("component_id"),
         fold.alias("fold"),
     )
+
+
+def semantic_decontaminate(
+    train_embeddings: DataFrame,
+    benchmark_embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination → (id, max_cos,
+    contaminated): flag every training document whose embedding sits
+    within cosine `threshold` of ANY held-out benchmark embedding —
+    the semantic complement of the n-gram `decontaminate` (paraphrased
+    eval leakage that shares no 13-gram still lands next to the
+    benchmark in embedding space; cf. SemDeDup's cosine criterion
+    applied across the train/eval boundary).
+
+    Scale shape: eval sets are BOUNDED (thousands of vectors), so the
+    unit-normalized benchmark matrix folds into a ONE-ROW aggregate and
+    rides a broadcast cross join as a nested-array column — never an
+    expression literal (a large literal inside a HOF lambda re-evaluates
+    per element access; measured 16x on pq_encode). The training side
+    is a pure map: per row one zip_with/aggregate dot fold per
+    benchmark vector and an array_max — ZERO shuffles of training data
+    (plan-pinned in test_semantic_decon.py). The k x d interpreted HOF
+    fold is the right shape up to ~10^4 benchmark vectors; beyond that
+    swap the scorer for an Arrow-batched GEMM (the pq_encode pattern)
+    without changing the contract.
+
+    max_cos and the flag are computed from the SAME dst-ordered
+    arithmetic DuckDB uses (cast-to-double before any product,
+    sequential fold), so the threshold compare sees bit-identical
+    doubles on both engines — the `decontaminate` driver query's
+    'semantic' leg is oracle-checked, not rows-only. Empty benchmark
+    => max_cos = -1, nothing flagged.
+    """
+    from .dedup import unit_vector
+
+    bench_row = benchmark_embeddings.agg(
+        F.collect_list(unit_vector(vec_col)).alias("_bench")
+    )
+    scored = (
+        train_embeddings.select(
+            id_col, unit_vector(vec_col).alias("_unit")
+        )
+        .crossJoin(F.broadcast(bench_row))
+        .select(
+            id_col,
+            F.coalesce(
+                F.array_max(
+                    F.transform(
+                        F.col("_bench"),
+                        lambda v: F.aggregate(
+                            F.zip_with(
+                                F.col("_unit"), v, lambda x, y: x * y
+                            ),
+                            F.lit(0.0),
+                            lambda a, b: a + b,
+                        ),
+                    )
+                ),
+                F.lit(-1.0),
+            ).alias("max_cos"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "max_cos",
+        (F.col("max_cos") >= F.lit(float(threshold)))
+        .cast("int")
+        .alias("contaminated"),
+    )
