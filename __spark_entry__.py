@@ -942,12 +942,43 @@ def _q_knn(spark, sf_dir):
 
 
 def _q_embedding_near_dup(spark, sf_dir):
-    from gliner_spark.operators.dedup import embedding_near_duplicates_bruteforce
+    """Embedding near-dup umbrella (leg, vec_a, vec_b, cos) — r4
+    widened with the dimensionality-reduction front end:
 
-    pairs = embedding_near_duplicates_bruteforce(
-        _embeddings(spark, sf_dir), threshold=0.3
+      leg='exact' brute-force cosine pairs >= 0.3 over the full 16-d
+                  embeddings (the original query; declared small-scale
+                  oracle path, LSH is the scale twin).
+      leg='jl'    the same pair scan over 8-d Johnson-Lindenstrauss
+                  projections (similarity.random_project, seed 7),
+                  pairs >= 0.8 of PROJECTED cosine. DuckDB regenerates
+                  the +/-1 md5 sign matrix inside the oracle and
+                  replays the i-ascending fold, so projections are
+                  bit-identical and the threshold compare cannot
+                  straddle engines."""
+    from gliner_spark.operators.dedup import (
+        embedding_near_duplicates_bruteforce,
     )
-    return pairs.select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
+    from gliner_spark.operators.similarity import random_project
+
+    emb = _embeddings(spark, sf_dir)
+    exact = embedding_near_duplicates_bruteforce(emb, threshold=0.3)
+    proj = random_project(emb, out_dim=8, seed=7).select(
+        "vec_id", F.col("proj").alias("embedding")
+    )
+    jl = embedding_near_duplicates_bruteforce(proj, threshold=0.8)
+    return exact.select(
+        F.lit("exact").alias("leg"),
+        "vec_a",
+        "vec_b",
+        F.round("cos", 6).alias("cos"),
+    ).unionByName(
+        jl.select(
+            F.lit("jl").alias("leg"),
+            "vec_a",
+            "vec_b",
+            F.round("cos", 6).alias("cos"),
+        )
+    )
 
 
 def _q_event_cooccur(spark, sf_dir):
@@ -3208,11 +3239,34 @@ def oracle_sql() -> dict[str, str]:
                      list_transform(embedding, x -> x::double /
                        sqrt(list_sum(list_transform(embedding,
                          y -> y::double * y::double)))) as unit
-              from embeddings)
-            select a.vec_id as vec_a, b.vec_id as vec_b,
+              from embeddings),
+            pr as (
+              select vec_id,
+                     -- testdata embeddings are 64-d (len pinned by
+                     -- the generator); the projection must fold ALL
+                     -- components or it silently truncates
+                     list_transform(range(0, 8), j ->
+                       list_sum(list_transform(range(0, 64), i ->
+                         list_extract(unit, i::int + 1) *
+                         (case when ('0x' || substr(
+                             md5('7|rp|' || j || '|' || i), 1, 8)
+                           )::bigint / 4294967296.0 >= 0.5
+                           then 1.0 else -1.0 end)))
+                       / sqrt(8)) as proj
+              from u),
+            pu as (
+              select vec_id, list_transform(proj, x -> x /
+                sqrt(list_sum(list_transform(proj, y -> y * y)))) as u
+              from pr)
+            select 'exact' as leg, a.vec_id as vec_a, b.vec_id as vec_b,
                    round(list_dot_product(a.unit, b.unit), 6) as cos
             from u a join u b on a.vec_id < b.vec_id
             where list_dot_product(a.unit, b.unit) >= 0.3
+            union all
+            select 'jl' as leg, a.vec_id as vec_a, b.vec_id as vec_b,
+                   round(list_dot_product(a.u, b.u), 6) as cos
+            from pu a join pu b on a.vec_id < b.vec_id
+            where list_dot_product(a.u, b.u) >= 0.8
         """,
         "event_cooccur": """
             select a.user_id as user_id,

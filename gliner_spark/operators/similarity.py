@@ -974,3 +974,74 @@ def knn_ivfpq_indexed(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "score", "rank")
     )
+
+
+def jl_signs(out_dim: int, in_dim: int, seed: int = 7) -> list[float]:
+    """The deterministic ±1 Johnson-Lindenstrauss sign matrix, laid out
+    row-major by output dimension (s[j*in_dim + i]): sign(j, i) = +1
+    iff md5("{seed}|rp|{j}|{i}")[:8]/2^32 >= 0.5 — the repo's
+    cross-engine uniform, so DuckDB regenerates the identical matrix
+    inside the oracle SQL and python replays it in tests."""
+    import hashlib
+
+    out = []
+    for j in range(out_dim):
+        for i in range(in_dim):
+            h = hashlib.md5(f"{seed}|rp|{j}|{i}".encode()).hexdigest()
+            out.append(1.0 if int(h[:8], 16) / 2**32 >= 0.5 else -1.0)
+    return out
+
+
+def random_project(
+    embeddings: DataFrame,
+    out_dim: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    in_dim: int | None = None,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection → (id, proj): each
+    UNIT-normalized input vector multiplied by a deterministic ±1 sign
+    matrix and scaled by 1/sqrt(out_dim) (Achlioptas 2001 — the
+    database-friendly JL construction; sign matrices match dense
+    Gaussian JL guarantees). The dimensionality-reduction front end
+    for ANN at scale: a 1024-d corpus projected to 64-d cuts every
+    downstream distance computation 16x while preserving pairwise
+    inner products to within the JL epsilon.
+
+    Scale shape: a PURE MAP — the sign matrix rides as a one-row
+    broadcast column (never an expression literal, the pq_encode
+    lesson), each output coordinate is one zip_with/aggregate fold
+    over a contiguous slice, zero shuffles, zero driver data besides
+    the out_dim x in_dim signs. The fold adds the same doubles in the
+    same i-ascending order as DuckDB's list_sum replay, so projected
+    values are bit-identical cross-engine (`embedding_near_dup` 'jl'
+    leg) and exactly reproducible for shard regeneration.
+    """
+    import math
+
+    if in_dim is None:
+        row = embeddings.select(F.size(vec_col).alias("d")).first()
+        if row is None:
+            raise ValueError("cannot infer in_dim from an empty frame")
+        in_dim = row["d"]
+    signs = jl_signs(out_dim, in_dim, seed)
+    scale = 1.0 / math.sqrt(out_dim)
+    base = embeddings.select(
+        id_col, unit_vector(vec_col).alias("_unit")
+    )
+    with_s = _with_const(base, "_s", signs, "array<double>")
+    proj = F.transform(
+        F.sequence(F.lit(0), F.lit(out_dim - 1)),
+        lambda j: F.aggregate(
+            F.zip_with(
+                F.col("_unit"),
+                F.slice(F.col("_s"), j * in_dim + 1, in_dim),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+        * F.lit(scale),
+    )
+    return with_s.select(id_col, proj.alias("proj"))
