@@ -307,10 +307,14 @@ _BLOCKLIST_TERMS = ("slow", "hash", "merge")
 
 
 def _q_quality(spark, sf_dir):
-    """quality_scores ⋈ blocklist_stats (one row per doc): the Gopher/
-    C4-style heuristic quality signals plus banned-term tagging."""
+    """quality_scores ⋈ blocklist_stats ⋈ gopher_stats (one row per
+    doc): the C4-style heuristic quality signals, banned-term tagging,
+    and (r4) the remaining Gopher rules — mean word length, symbol-to-
+    word ratio, alpha-word fraction, bullet/ellipsis line fractions,
+    folded into the gopher_ok flag."""
     from gliner_spark.operators.textstats import (
         blocklist_stats,
+        gopher_stats,
         quality_scores,
     )
 
@@ -318,7 +322,11 @@ def _q_quality(spark, sf_dir):
     bl = blocklist_stats(docs, _BLOCKLIST_TERMS).select(
         "doc_id", "n_hits", "n_distinct_hits", "hit_frac"
     )
-    return quality_scores(docs).join(bl, "doc_id")
+    return (
+        quality_scores(docs)
+        .join(bl, "doc_id")
+        .join(gopher_stats(docs), "doc_id")
+    )
 
 
 def _q_language_id(spark, sf_dir):
@@ -2860,9 +2868,43 @@ def oracle_sql() -> dict[str, str]:
                          list_contains([{bl_list}], x)))::double
                            / len(lt), 6)
                      else 0.0 end as hit_frac
-              from bl)
-            select q.*, b.n_hits, b.n_distinct_hits, b.hit_frac
-            from q join b using (doc_id)
+              from bl),
+            gt as (
+              select doc_id, {_TOKS_SQL} as toks,
+                     string_split(text, chr(10)) as lns,
+                     (length(text)
+                        - length(replace(text, '#', ''))
+                      + length(text)
+                        - length(replace(text, chr(8230), ''))) as nsym
+              from documents),
+            g as (
+              select doc_id,
+                case when len(toks) > 0 then
+                  list_sum(list_transform(toks, x -> length(x)))::double
+                    / len(toks) else 0.0 end as mwl,
+                case when len(toks) > 0 then
+                  nsym::double / len(toks) else 0.0 end as symr,
+                case when len(toks) > 0 then
+                  len(list_filter(toks, x ->
+                    regexp_matches(x, '[A-Za-z]')))::double / len(toks)
+                  else 0.0 end as alphaf,
+                len(list_filter(lns, x -> regexp_matches(x,
+                  '^\\s*[-*' || chr(8226) || ']')))::double / len(lns)
+                  as bulletf,
+                len(list_filter(lns, x -> regexp_matches(x,
+                  '(\\.\\.\\.|' || chr(8230) || ')\\s*$')))::double
+                  / len(lns) as ellipsisf
+              from gt)
+            select q.*, b.n_hits, b.n_distinct_hits, b.hit_frac,
+                   round(g.mwl, 6) as mean_word_len,
+                   round(g.symr, 6) as symbol_word_ratio,
+                   round(g.alphaf, 6) as alpha_word_frac,
+                   round(g.bulletf, 6) as bullet_line_frac,
+                   round(g.ellipsisf, 6) as ellipsis_line_frac,
+                   (g.mwl between 3.0 and 10.0 and g.symr <= 0.1
+                    and g.alphaf >= 0.8 and g.bulletf <= 0.9
+                    and g.ellipsisf <= 0.3)::int as gopher_ok
+            from q join b using (doc_id) join g using (doc_id)
         """,
         "quality_deciles": f"""
             with q as ({quality_sql})

@@ -505,3 +505,74 @@ def clean_text(
         "n_chars_raw",
         F.length("norm_text").alias("n_chars_norm"),
     )
+
+
+def gopher_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The remaining Gopher quality rules (Rae et al. 2021, A1.1) as
+    native expressions -> (doc_id, mean_word_len, symbol_word_ratio,
+    alpha_word_frac, bullet_line_frac, ellipsis_line_frac, gopher_ok):
+
+      * mean word length in [3, 10]
+      * symbol-to-word ratio ('#' and ellipsis occurrences / words)
+        <= 0.1
+      * >= 80% of words contain an alphabetic character
+      * <= 90% of lines start with a bullet; <= 30% end with ellipsis
+
+    `repetition_stats` carries Gopher's duplicate-fraction family and
+    `quality_scores` the C4-ish basics (doc-length rule included
+    there), so `gopher_ok` folds exactly the five rules above. All
+    ratios are exact rational n/m double divisions with identical
+    operands on both engines, so the flag cannot straddle the oracle
+    at rule boundaries. Zero shuffle: one map over the corpus.
+    """
+    ell = "\u2026"
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    mean_wl = F.when(
+        n_tok > 0,
+        F.aggregate(
+            F.transform(toks, F.length),
+            F.lit(0),
+            lambda a, b: a + b,
+        ).cast("double")
+        / n_tok,
+    ).otherwise(F.lit(0.0))
+    n_sym = (
+        F.length(text_col)
+        - F.length(F.replace(F.col(text_col), F.lit("#")))
+        + F.length(text_col)
+        - F.length(F.replace(F.col(text_col), F.lit(ell)))
+    )
+    sym_ratio = F.when(n_tok > 0, n_sym.cast("double") / n_tok).otherwise(
+        F.lit(0.0)
+    )
+    alpha_frac = F.when(
+        n_tok > 0,
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+        .cast("double")
+        / n_tok,
+    ).otherwise(F.lit(0.0))
+    bullet_frac = F.size(
+        F.filter(lines, lambda l: l.rlike("^\\s*[-*\u2022]"))
+    ).cast("double") / n_lines
+    ellipsis_frac = F.size(
+        F.filter(lines, lambda l: l.rlike("(\\.\\.\\.|\u2026)\\s*$"))
+    ).cast("double") / n_lines
+    ok = (
+        mean_wl.between(3.0, 10.0)
+        & (sym_ratio <= 0.1)
+        & (alpha_frac >= 0.8)
+        & (bullet_frac <= 0.9)
+        & (ellipsis_frac <= 0.3)
+    )
+    return docs.select(
+        "doc_id",
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_word_ratio"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        F.round(bullet_frac, 6).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_line_frac"),
+        ok.cast("int").alias("gopher_ok"),
+    )
