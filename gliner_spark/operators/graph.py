@@ -952,6 +952,50 @@ def core_numbers(
             return h
 
 
+def skipgram_pairs(
+    walks: DataFrame,
+    window: int = 2,
+) -> DataFrame:
+    """Walk corpus (random_walks / node2vec_walks output) → weighted
+    skip-gram training pairs (center, context, n): every ordered vertex
+    pair co-occurring within `window` steps on the same walk, counted
+    across the corpus — the word2vec-input generator that completes the
+    DeepWalk/node2vec pipeline (graph → walks → pairs; the embedding
+    GEMM itself is training and out of scope per SURVEY §2.11).
+
+    Plan: one self-equi-join on the walk identity (start_id, rep) with
+    a |Δstep| ≤ window residual, then a map-side-combining (center,
+    context) count agg. Per-walk fan-out is bounded by
+    (walk_len+1)·2·window — never graph-degree-dependent — and the
+    aggregate's shuffle carries only distinct pairs. Deterministic
+    because the walks are (md5-uniform picks), so shard regeneration
+    reproduces the exact pair multiset.
+    """
+    if window < 1:
+        raise ValueError("window >= 1")
+    a = walks.select(
+        "start_id",
+        "rep",
+        F.col("step").alias("_sa"),
+        F.col("vertex").alias("center"),
+    )
+    b = walks.select(
+        "start_id",
+        "rep",
+        F.col("step").alias("_sb"),
+        F.col("vertex").alias("context"),
+    )
+    return (
+        a.join(b, ["start_id", "rep"])
+        .where(
+            (F.abs(F.col("_sa") - F.col("_sb")) <= window)
+            & (F.col("_sa") != F.col("_sb"))
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def aggregate_messages(
     edges: DataFrame,
     vertices: DataFrame | None = None,

@@ -132,3 +132,45 @@ def test_node2vec_rejects_bad_params(spark):
         node2vec_walks(df, p=0.0)
     with pytest.raises(ValueError):
         node2vec_walks(df, q=-1.0)
+
+
+def test_skipgram_pairs_match_python(spark):
+    from gliner_spark.operators.graph import (
+        random_walks,
+        skipgram_pairs,
+    )
+
+    df = spark.createDataFrame([Row(src=s, dst=d) for s, d in PSEUDO])
+    walks = random_walks(
+        df, walk_len=4, walks_per_vertex=2, seed=9,
+        src_col="src", dst_col="dst",
+    )
+    rows = [(r.start_id, r.rep, r.step, r.vertex) for r in walks.collect()]
+    seqs = {}
+    for start, rep, step, v in sorted(rows):
+        seqs.setdefault((start, rep), []).append((step, v))
+    want = {}
+    for seq in seqs.values():
+        vs = [v for _s, v in sorted(seq)]
+        for i, c in enumerate(vs):
+            for j in range(max(0, i - 2), min(len(vs), i + 3)):
+                if j != i:
+                    key = (c, vs[j])
+                    want[key] = want.get(key, 0) + 1
+    got = {
+        (r.center, r.context): r.n
+        for r in skipgram_pairs(walks, window=2).collect()
+    }
+    assert got == want
+    # symmetric corpus: (a, b) and (b, a) counts match
+    assert all(got[(a, b)] == got[(b, a)] for a, b in got)
+
+
+def test_skipgram_rejects_bad_window(spark):
+    from gliner_spark.operators.graph import skipgram_pairs
+
+    df = spark.createDataFrame(
+        [Row(start_id=0, rep=0, step=0, vertex=0)]
+    )
+    with pytest.raises(ValueError):
+        skipgram_pairs(df, window=0)
