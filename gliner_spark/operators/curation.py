@@ -350,6 +350,10 @@ def curate_corpus(
     max_top_bigram_frac: float = 0.3,
     benchmark_docs: DataFrame | None = None,
     decontam_n: int = 13,
+    apply_gopher_rules: bool = False,
+    doc_embeddings: DataFrame | None = None,
+    benchmark_embeddings: DataFrame | None = None,
+    semantic_threshold: float = 0.95,
     near_dup_threshold: float = 0.8,
     blocklist_terms=None,
     max_blocklist_frac: float = 0.0,
@@ -362,7 +366,10 @@ def curate_corpus(
     """One-call corpus curation — the Dolma mixer shape: every filter
     runs as an independent parallel TAGGER over the same corpus (exact
     dedup, transitive near-dedup, quality, repetition, language,
-    blocklist, learned-classifier score, benchmark decontamination),
+    blocklist, learned-classifier score, benchmark decontamination,
+    and optionally the full Gopher rule set (`apply_gopher_rules`) and
+    embedding-space leakage (`doc_embeddings` keyed by doc_id +
+    `benchmark_embeddings` → semantic_decontaminate)),
     then one mixer combines the tags into a
     keep/drop decision with reason codes, and the optional token-budget
     mixture pass runs LAST over the docs that survived everything else
@@ -470,6 +477,25 @@ def curate_corpus(
         dec = decontaminate(docs, benchmark_docs, n=decontam_n,
                             text_col=text_col)
         add_flag("contaminated", dec.where(F.col("contaminated") == 1))
+
+    if apply_gopher_rules:
+        from .textstats import gopher_stats
+
+        gs = gopher_stats(docs, text_col)
+        add_flag("gopher_fail", gs.where(F.col("gopher_ok") == 0))
+
+    if doc_embeddings is not None and benchmark_embeddings is not None:
+        # embedding-space leakage: doc_embeddings keyed by doc_id
+        sem = semantic_decontaminate(
+            doc_embeddings,
+            benchmark_embeddings,
+            threshold=semantic_threshold,
+            id_col="doc_id",
+        )
+        add_flag(
+            "semantic_contaminated",
+            sem.where(F.col("contaminated") == 1),
+        )
 
     reasons = F.filter(
         F.array(

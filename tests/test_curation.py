@@ -426,6 +426,12 @@ def test_curate_corpus_reason_codes_and_report(spark):
         Row(doc_id=11, source="a",
             text="buy cheap pills now click winner prize deal wow "
                  "free offer buy cheap pills now click winner prize"),
+        # 12: every line is a bullet (gopher_fail)
+        Row(doc_id=12, source="a",
+            text="- alpha point\n- beta point\n- gamma point\n- delta"),
+        # 13: clean text whose EMBEDDING matches a benchmark vector
+        Row(doc_id=13, source="a",
+            text=good + " semantically leaked content paraphrased"),
     ]
     bench = [Row(doc_id=100, source="x",
                  text="the leaked secret benchmark answer string")]
@@ -451,6 +457,13 @@ def test_curate_corpus_reason_codes_and_report(spark):
         min_classifier_prob=0.3,
         mixture_budgets={"a": 10_000},
         mixture_default_budget=0,
+        apply_gopher_rules=True,
+        doc_embeddings=spark.createDataFrame(
+            [Row(doc_id=1, embedding=[0.0, 1.0, 0.0, 0.0]),
+             Row(doc_id=13, embedding=[2.0, 0.0, 0.0, 0.0])]),
+        benchmark_embeddings=spark.createDataFrame(
+            [Row(vec_id=100, embedding=[1.0, 0.0, 0.0, 0.0])]),
+        semantic_threshold=0.95,
     )
     got = {r.doc_id: (r.keep, set(r.reasons)) for r in decisions.collect()}
     assert got[1] == (True, set())
@@ -465,8 +478,12 @@ def test_curate_corpus_reason_codes_and_report(spark):
     assert got[10] == (False, {"blocklisted"})
     assert "low_classifier_score" in got[11][1] and not got[11][0]
     assert all("low_classifier_score" not in got[i][1] for i in (1, 2))
+    assert "gopher_fail" in got[12][1] and not got[12][0]
+    assert "semantic_contaminated" in got[13][1] and not got[13][0]
+    # the embedded-but-orthogonal doc 1 stays clean
+    assert "semantic_contaminated" not in got[1][1]
     rep = {r.reason: r.n_docs for r in report.collect()}
-    assert rep["total"] == 11 and rep["kept"] == 2
+    assert rep["total"] == 13 and rep["kept"] == 2
     assert rep["over_budget"] == 1 and rep["exact_dup"] == 1
     # reasons histogram matches decisions exactly
     from collections import Counter
