@@ -359,6 +359,8 @@ def curate_corpus(
     max_blocklist_frac: float = 0.0,
     classifier_weights=None,
     min_classifier_prob: float = 0.5,
+    lm_model=None,
+    max_perplexity: float | None = None,
     mixture_budgets: dict[str, int] | None = None,
     mixture_group_col: str = "source",
     mixture_default_budget: int = 0,
@@ -366,7 +368,8 @@ def curate_corpus(
     """One-call corpus curation — the Dolma mixer shape: every filter
     runs as an independent parallel TAGGER over the same corpus (exact
     dedup, transitive near-dedup, quality, repetition, language,
-    blocklist, learned-classifier score, benchmark decontamination,
+    blocklist, learned-classifier score, CCNet-style bigram-LM perplexity
+    (`lm_model` + `max_perplexity`), benchmark decontamination,
     and optionally the full Gopher rule set (`apply_gopher_rules`) and
     embedding-space leakage (`doc_embeddings` keyed by doc_id +
     `benchmark_embeddings` → semantic_decontaminate)),
@@ -460,6 +463,17 @@ def curate_corpus(
         add_flag(
             "low_classifier_score",
             scq.where(F.col("quality_prob") < min_classifier_prob),
+        )
+
+    if lm_model is not None and max_perplexity is not None:
+        # CCNet-style learned filter: docs too surprising under a
+        # reference bigram LM (trained on a trusted corpus) drop
+        from .lm import score_perplexity
+
+        pp = score_perplexity(docs, lm_model, text_col)
+        add_flag(
+            "high_perplexity",
+            pp.where(F.col("perplexity") > max_perplexity),
         )
 
     if blocklist_terms is not None:

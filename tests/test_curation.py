@@ -416,9 +416,11 @@ def test_curate_corpus_reason_codes_and_report(spark):
         # 8: shares a 5-gram with the benchmark (contaminated)
         Row(doc_id=8, source="a",
             text="leaked secret benchmark answer string appears in this doc"),
-        # 9: clean but in the zero-budget source (over_budget)
+        # 9: clean, in-vocabulary, but in the zero-budget source
+        # (over_budget) — must stay below the perplexity gate or it
+        # would drop before the budget mixer ever sees it
         Row(doc_id=9, source="b",
-            text="a perfectly clean document that cannot fit any budget"),
+            text=good + " and the dog runs over the lazy fox sample"),
         # 10: contains a banned term (blocklisted)
         Row(doc_id=10, source="a",
             text=good + " but it also mentions the forbidden gizmo term"),
@@ -432,6 +434,11 @@ def test_curate_corpus_reason_codes_and_report(spark):
         # 13: clean text whose EMBEDDING matches a benchmark vector
         Row(doc_id=13, source="a",
             text=good + " semantically leaked content paraphrased"),
+        # 14: gibberish bigrams the reference LM has never seen
+        # (high_perplexity; vocabulary-level junk, not just rare words)
+        Row(doc_id=14, source="a",
+            text="zqx vwk jfp qgh xzn wvv kqj pfx ghq nzx "
+                 "zqx vwk jfp qgh xzn"),
     ]
     bench = [Row(doc_id=100, source="x",
                  text="the leaked secret benchmark answer string")]
@@ -445,6 +452,9 @@ def test_curate_corpus_reason_codes_and_report(spark):
                   f"free offer {i}") for i in range(8)])
     weights = train_quality_classifier(
         clf_pos, clf_neg, n_buckets=4096, iters=12, lr=0.5)
+    from gliner_spark.operators.lm import train_bigram_lm
+
+    lm_model = train_bigram_lm(clf_pos)
     decisions, report = curate_corpus(
         spark.createDataFrame(rows),
         min_quality=0.5,
@@ -458,6 +468,8 @@ def test_curate_corpus_reason_codes_and_report(spark):
         mixture_budgets={"a": 10_000},
         mixture_default_budget=0,
         apply_gopher_rules=True,
+        lm_model=lm_model,
+        max_perplexity=10.0,
         doc_embeddings=spark.createDataFrame(
             [Row(doc_id=1, embedding=[0.0, 1.0, 0.0, 0.0]),
              Row(doc_id=13, embedding=[2.0, 0.0, 0.0, 0.0])]),
@@ -472,18 +484,25 @@ def test_curate_corpus_reason_codes_and_report(spark):
     assert "near_dup" in got[4][1] and not got[4][0]
     assert "low_quality" in got[5][1]
     assert "repetitive" in got[6][1]
-    assert got[7] == (False, {"bad_lang"})
-    assert got[8] == (False, {"contaminated"})
-    assert got[9] == (False, {"over_budget"})
+    # the reference LM is trained on clf_pos's narrow vocabulary, so
+    # every out-of-domain doc ALSO carries high_perplexity — the CCNet
+    # behavior (keep what resembles the trusted corpus); membership
+    # assertions below, exact sets only where vocab overlaps
+    assert "bad_lang" in got[7][1] and not got[7][0]
+    assert "contaminated" in got[8][1] and not got[8][0]
+    assert "over_budget" in got[9][1] and not got[9][0]
     assert got[10] == (False, {"blocklisted"})
     assert "low_classifier_score" in got[11][1] and not got[11][0]
     assert all("low_classifier_score" not in got[i][1] for i in (1, 2))
     assert "gopher_fail" in got[12][1] and not got[12][0]
+    assert got[14] == (False, {"high_perplexity"})
+    assert all("high_perplexity" not in got[i][1]
+               for i in (1, 2, 10, 13))
     assert "semantic_contaminated" in got[13][1] and not got[13][0]
     # the embedded-but-orthogonal doc 1 stays clean
     assert "semantic_contaminated" not in got[1][1]
     rep = {r.reason: r.n_docs for r in report.collect()}
-    assert rep["total"] == 13 and rep["kept"] == 2
+    assert rep["total"] == 14 and rep["kept"] == 2
     assert rep["over_budget"] == 1 and rep["exact_dup"] == 1
     # reasons histogram matches decisions exactly
     from collections import Counter
