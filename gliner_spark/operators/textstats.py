@@ -576,3 +576,73 @@ def gopher_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(ellipsis_frac, 6).alias("ellipsis_line_frac"),
         ok.cast("int").alias("gopher_ok"),
     )
+
+
+def normalize_url(col) -> "F.Column":
+    """Canonical URL form as ONE native expression chain (the C4/CCNet
+    web-pipeline dedup key): lowercase scheme+host, strip userinfo and
+    the scheme's default port (:80 http / :443 https), drop the
+    fragment, drop tracking params (utm_*, fbclid, gclid, ref), sort
+    the surviving query params, and strip a trailing slash from
+    non-root paths. Pure map — usable as a dedup key at any scale.
+
+    Deterministic and total: a string that does not parse as
+    scheme://… passes through trimmed (garbage in, stable garbage
+    out — never null, so downstream groupBys keep every row)."""
+    c = F.trim(col)
+    scheme = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    after = F.regexp_replace(c, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    authority = F.regexp_extract(after, r"^([^/?#]*)", 1)
+    host = F.lower(F.regexp_replace(authority, r"^[^@]*@", ""))
+    host = F.when(
+        (scheme == "http") & host.endswith(":80"),
+        F.regexp_replace(host, r":80$", ""),
+    ).when(
+        (scheme == "https") & host.endswith(":443"),
+        F.regexp_replace(host, r":443$", ""),
+    ).otherwise(host)
+    rest = F.regexp_replace(after, r"^[^/?#]*", "")
+    path = F.regexp_extract(rest, r"^([^?#]*)", 1)
+    path = F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        F.regexp_replace(path, r"/+$", ""),
+    ).otherwise(path)
+    query = F.regexp_extract(rest, r"\?([^#]*)", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (F.length(p) > 0)
+            & ~p.rlike(r"^(utm_[^=]*|fbclid|gclid|ref)(=|$)"),
+        )
+    )
+    qnorm = F.concat_ws("&", kept)
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(F.length(qnorm) > 0, F.concat(F.lit("?"), qnorm)).otherwise(
+            F.lit("")
+        ),
+    )
+    return F.when(scheme == "", c).otherwise(canon)
+
+
+def url_duplicates(
+    docs: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group documents by canonical URL → (canonical_url, doc_ids,
+    keep_doc_id): the web-corpus exact-dedup pass keyed on
+    normalize_url instead of content (same page fetched under
+    tracking-param/fragment/port variants collapses to one). Map-side
+    normalize + one hash agg; keep = min id (deterministic)."""
+    return (
+        docs.select(
+            id_col, normalize_url(F.col(url_col)).alias("canonical_url")
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+            F.min(id_col).alias("keep_doc_id"),
+        )
+    )
