@@ -1638,6 +1638,15 @@ def _q_edge_agg(spark, sf_dir):
                      a recursive-CTE transitive closure + mutual-
                      reachability min, independent of both the Spark
                      FW-BW phases and the Tarjan finisher.
+      leg='profile'  kgquality.predicate_profile (r4): PARIS-style
+                     per-predicate ontology stats over the canonical
+                     triples — k=pred, n=n_triples, m=n_subj, a=n_obj,
+                     b=n_pairs, val=functionality (n_subj/n_pairs, a
+                     ratio of exact ints so binary64 is bit-stable).
+      leg='fviol'    kgquality.functional_violations (r4): subjects
+                     asserting >=2 distinct objects for the declared-
+                     functional predicate 'purchase' — a=subj_id,
+                     b=n_distinct_obj, k=pred, n=n_evidence.
 
     The wedge/triangle/path graph is src=user_id%300,
     dst=(event_id*7+3)%300 (one shared vertex space so 2-hops and
@@ -1768,6 +1777,29 @@ def _q_edge_agg(spark, sf_dir):
         F.lit(0).cast("long").alias("m"),
         F.lit(0.0).alias("val"),
     )
+    from gliner_spark.operators.kgquality import (
+        functional_violations,
+        predicate_profile,
+    )
+
+    prof_leg = predicate_profile(triples).select(
+        F.lit("profile").alias("leg"),
+        F.col("n_obj").cast("long").alias("a"),
+        F.col("n_pairs").cast("long").alias("b"),
+        F.col("pred").alias("k"),
+        F.col("n_triples").cast("long").alias("n"),
+        F.col("n_subj").cast("long").alias("m"),
+        F.col("functionality").alias("val"),
+    )
+    fviol_leg = functional_violations(triples, ["purchase"]).select(
+        F.lit("fviol").alias("leg"),
+        F.col("subj_id").alias("a"),
+        F.col("n_obj").cast("long").alias("b"),
+        F.col("pred").alias("k"),
+        F.col("n_evidence").cast("long").alias("n"),
+        F.lit(-1).cast("long").alias("m"),
+        F.lit(0.0).alias("val"),
+    )
     return (
         edge_leg.unionByName(wedge_leg)
         .unionByName(tri_leg)
@@ -1776,6 +1808,8 @@ def _q_edge_agg(spark, sf_dir):
         .unionByName(walk_leg)
         .unionByName(lpa_leg)
         .unionByName(scc_leg)
+        .unionByName(prof_leg)
+        .unionByName(fviol_leg)
     )
 
 
@@ -3847,7 +3881,27 @@ def oracle_sql() -> dict[str, str]:
                      least(s.id, coalesce(min(m.u), s.id))::bigint as n,
                      0::bigint as m, 0.0 as val
               from sverts s left join smut m on m.v = s.id
-              group by s.id)
+              group by s.id),
+            prof_leg as (
+              select 'profile' as leg,
+                     count(distinct obj_id)::bigint as a,
+                     count(distinct subj_id || '|' || obj_id)::bigint
+                       as b,
+                     pred as k,
+                     count(*)::bigint as n,
+                     count(distinct subj_id)::bigint as m,
+                     round(count(distinct subj_id)::double
+                           / count(distinct subj_id || '|' || obj_id),
+                           6) as val
+              from t group by pred),
+            fviol_leg as (
+              select 'fviol' as leg, subj_id as a,
+                     count(distinct obj_id)::bigint as b,
+                     pred as k, count(*)::bigint as n,
+                     -1::bigint as m, 0.0 as val
+              from t where pred = 'purchase'
+              group by pred, subj_id
+              having count(distinct obj_id) >= 2)
             select * from edge_leg
             union all select * from wedge_leg
             union all select * from tri_leg
@@ -3856,6 +3910,8 @@ def oracle_sql() -> dict[str, str]:
             union all select * from walk_leg
             union all select * from lpa_leg
             union all select * from scc_leg
+            union all select * from prof_leg
+            union all select * from fviol_leg
         """,
         "shipping_priority": """
             select l_orderkey,

@@ -1,0 +1,123 @@
+"""KG quality / ontology-statistics operators.
+
+After extraction + linking materialize a canonical triple table
+(``operators/graph.py::build_edges`` input shape: subj_id, pred,
+obj_id, score, conv_id, …), a production KG pipeline needs a
+refinement pass: which predicates behave like functions, which
+subjects violate declared functional constraints, and what is the
+combined confidence of a triple asserted by many noisy evidence rows.
+The reference stops at emission (GLiNER predicts spans/relations per
+text — /root/reference/gliner/model.py:218 ``predict_entities``);
+these are the corpus-level consolidation ops a KG built FROM those
+predictions needs, in the spirit of PARIS (Suchanek et al., VLDB
+2012) functionality statistics.
+
+Scale shape: every operator here is ONE hash aggregation over the
+triple table (map-side combine, shuffle on its group key) plus at
+most a broadcast of a tiny declared-ontology list — no driver
+iteration, no Python rows.
+"""
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def predicate_profile(
+    triples: DataFrame,
+    pred_col: str = "pred",
+    subj_col: str = "subj_id",
+    obj_col: str = "obj_id",
+) -> DataFrame:
+    """Per-predicate ontology statistics → (pred, n_triples, n_subj,
+    n_obj, n_pairs, functionality, inverse_functionality).
+
+    PARIS-style functionality: fun(p) = #distinct subjects /
+    #distinct (subj, obj) pairs — 1.0 means every subject has exactly
+    one object (the predicate behaves like a function); the inverse
+    swaps the roles. Both are ratios of exact integer counts, so the
+    binary64 division is bit-identical across engines (rounded 6dp
+    for the oracle anyway).
+
+    One hash aggregation on ``pred`` — distinct counts are partial
+    (map-side) aggregated; predicates are few, so the shuffled state
+    is tiny regardless of corpus size.
+    """
+    p, s, o = F.col(pred_col), F.col(subj_col), F.col(obj_col)
+    return triples.groupBy(p.alias("pred")).agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.countDistinct(s).alias("n_subj"),
+        F.countDistinct(o).alias("n_obj"),
+        F.countDistinct(s, o).alias("n_pairs"),
+        F.round(F.countDistinct(s) / F.countDistinct(s, o), 6).alias(
+            "functionality"
+        ),
+        F.round(F.countDistinct(o) / F.countDistinct(s, o), 6).alias(
+            "inverse_functionality"
+        ),
+    )
+
+
+def functional_violations(
+    triples: DataFrame,
+    functional_preds: Sequence[str],
+    pred_col: str = "pred",
+    subj_col: str = "subj_id",
+    obj_col: str = "obj_id",
+) -> DataFrame:
+    """Subjects that violate a declared functional constraint →
+    (pred, subj_id, n_obj, n_evidence).
+
+    A predicate declared functional (one object per subject — think
+    birth_date, capital_of) is violated by any subject asserting
+    ≥2 distinct objects; those are the rows a curation pass reviews
+    or resolves by confidence. The declared list is an O(10) ontology
+    artifact: it rides as a plan-time literal ``isin`` (constant-
+    folded), so the triple scan filters BEFORE the single (pred,
+    subj) hash aggregation — predicate pushdown applies at any scale.
+    """
+    if not functional_preds:
+        raise ValueError("declare at least one functional predicate")
+    return (
+        triples.where(F.col(pred_col).isin(list(functional_preds)))
+        .groupBy(
+            F.col(pred_col).alias("pred"),
+            F.col(subj_col).alias("subj_id"),
+        )
+        .agg(
+            F.countDistinct(F.col(obj_col)).alias("n_obj"),
+            F.count(F.lit(1)).alias("n_evidence"),
+        )
+        .where(F.col("n_obj") >= 2)
+    )
+
+
+def merge_evidence(
+    triples: DataFrame,
+    group_cols: Iterable[str] = ("subj_id", "pred", "obj_id"),
+    score_col: str = "score",
+    cap: float = 0.999999,
+) -> DataFrame:
+    """Noisy-OR evidence combination → one row per triple with
+    (n_evidence, max_score, combined_score).
+
+    Independent noisy assertions of the same triple combine as
+    1 − ∏(1 − s_i): two weak mentions beat one, and the result is
+    monotone in every input — the standard KG-fusion rule. Computed
+    as 1 − exp(Σ ln(1 − min(s, cap))) so it is ONE map-side-combining
+    aggregation (a product has no partial-agg form; a sum of logs
+    does). ``cap`` keeps ln() finite when a scorer emits exactly 1.0.
+
+    Floating caveat (why this op is pytest- not oracle-gated): the
+    log-sum order differs between engines/partitionings, so the last
+    ulp of combined_score is not cross-engine stable; parity is
+    asserted against a Python restatement at 1e-9 tolerance instead.
+    """
+    keys = [F.col(c) for c in group_cols]
+    s = F.least(F.col(score_col).cast("double"), F.lit(float(cap)))
+    return triples.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_evidence"),
+        F.max(F.col(score_col)).alias("max_score"),
+        (1.0 - F.exp(F.sum(F.log(1.0 - s)))).alias("combined_score"),
+    )

@@ -1,0 +1,105 @@
+"""KG quality ops: PARIS functionality profile, functional-constraint
+violations, noisy-OR evidence merge (operators/kgquality.py)."""
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from gliner_spark.operators.kgquality import (
+    functional_violations,
+    merge_evidence,
+    predicate_profile,
+)
+
+TRIPLES = [
+    # born_in is functional: subj 1 violates (two objects), subj 2 ok
+    (1, "born_in", 10, 0.9),
+    (1, "born_in", 11, 0.8),
+    (1, "born_in", 10, 0.7),
+    (2, "born_in", 10, 0.95),
+    # knows is many-many
+    (1, "knows", 2, 0.5),
+    (1, "knows", 3, 0.6),
+    (2, "knows", 3, 0.7),
+    (3, "knows", 2, 0.4),
+]
+
+
+@pytest.fixture()
+def triples(spark):
+    return spark.createDataFrame(
+        TRIPLES, "subj_id long, pred string, obj_id long, score double"
+    )
+
+
+def test_predicate_profile_paris_functionality(triples):
+    prof = {r["pred"]: r.asDict() for r in predicate_profile(triples).collect()}
+    b = prof["born_in"]
+    # pairs: (1,10),(1,11),(2,10) -> 3; subj {1,2} -> 2; obj {10,11} -> 2
+    assert (b["n_triples"], b["n_subj"], b["n_obj"], b["n_pairs"]) == (4, 2, 2, 3)
+    assert b["functionality"] == round(2 / 3, 6)
+    assert b["inverse_functionality"] == round(2 / 3, 6)
+    k = prof["knows"]
+    assert (k["n_triples"], k["n_pairs"]) == (4, 4)
+    assert k["functionality"] == 0.75  # 3 distinct subjects / 4 pairs
+
+
+def test_functional_violations_only_declared_preds(triples):
+    rows = functional_violations(triples, ["born_in"]).collect()
+    assert len(rows) == 1
+    v = rows[0].asDict()
+    assert (v["pred"], v["subj_id"], v["n_obj"], v["n_evidence"]) == (
+        "born_in", 1, 2, 3,
+    )
+    # 'knows' has many violations if declared — and none if not
+    rows2 = functional_violations(triples, ["born_in", "knows"]).collect()
+    assert {(r["pred"], r["subj_id"]) for r in rows2} == {
+        ("born_in", 1), ("knows", 1),
+    }
+    with pytest.raises(ValueError):
+        functional_violations(triples, [])
+
+
+def test_merge_evidence_matches_python_noisy_or(triples):
+    got = {
+        (r["subj_id"], r["pred"], r["obj_id"]): r.asDict()
+        for r in merge_evidence(triples).collect()
+    }
+    # python restatement
+    want = {}
+    for s, p, o, sc in TRIPLES:
+        d = want.setdefault((s, p, o), {"n": 0, "mx": 0.0, "prod": 1.0})
+        d["n"] += 1
+        d["mx"] = max(d["mx"], sc)
+        d["prod"] *= 1.0 - min(sc, 0.999999)
+    assert set(got) == set(want)
+    for key, d in want.items():
+        g = got[key]
+        assert g["n_evidence"] == d["n"]
+        assert g["max_score"] == d["mx"]
+        assert math.isclose(
+            g["combined_score"], 1.0 - d["prod"], rel_tol=0, abs_tol=1e-9
+        )
+    # monotone: the 3-evidence triple beats its own max single score
+    g = got[(1, "born_in", 10)]
+    assert g["combined_score"] > g["max_score"]
+
+
+def test_merge_evidence_score_one_stays_finite(spark):
+    df = spark.createDataFrame(
+        [(1, "p", 2, 1.0), (1, "p", 2, 0.5)],
+        "subj_id long, pred string, obj_id long, score double",
+    )
+    row = merge_evidence(df).collect()[0]
+    assert 0.999 < row["combined_score"] <= 1.0
+    assert not math.isnan(row["combined_score"])
+
+
+def test_profile_is_single_aggregation(triples):
+    plan = (
+        predicate_profile(triples)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # distinct-count rewrite uses expand + two aggs but only shuffles
+    # on the group key: no join, no extra exchanges beyond the agg pair
+    assert "Join" not in plan
