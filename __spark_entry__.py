@@ -1638,6 +1638,17 @@ def _q_edge_agg(spark, sf_dir):
                      a recursive-CTE transitive closure + mutual-
                      reachability min, independent of both the Spark
                      FW-BW phases and the Tarjan finisher.
+      leg='clust'    motif.clustering_coefficient (r4): per-vertex
+                     local clustering coefficient over the undirected
+                     view of the wedge graph — a=id, n=n_triangles,
+                     m=degree, val=2t/(d(d-1)) rounded 6dp (exact ints
+                     divided in binary64, bit-stable cross-engine).
+      leg='anf'      graph.neighborhood_function EXACT mode (r4):
+                     directed distance profile over the same graph,
+                     t=0..4 — a=t, n=#(v,u) pairs within t hops (self
+                     pairs included). DuckDB replays it with a
+                     recursive min-hop closure; the FM-sketch mode is
+                     the 100 TB path, pinned vs exact in test_anf.py.
       leg='profile'  kgquality.predicate_profile (r4): PARIS-style
                      per-predicate ontology stats over the canonical
                      triples — k=pred, n=n_triples, m=n_subj, a=n_obj,
@@ -1777,11 +1788,31 @@ def _q_edge_agg(spark, sf_dir):
         F.lit(0).cast("long").alias("m"),
         F.lit(0.0).alias("val"),
     )
+    from gliner_spark.operators.graph import neighborhood_function
     from gliner_spark.operators.kgquality import (
         functional_violations,
         predicate_profile,
     )
+    from gliner_spark.operators.motif import clustering_coefficient
 
+    clust_leg = clustering_coefficient(g).select(
+        F.lit("clust").alias("leg"),
+        F.col("id").alias("a"),
+        F.lit(-1).cast("long").alias("b"),
+        F.lit("").alias("k"),
+        F.col("n_triangles").cast("long").alias("n"),
+        F.col("degree").cast("long").alias("m"),
+        F.col("coefficient").alias("val"),
+    )
+    anf_leg = neighborhood_function(g, max_t=4, method="exact").select(
+        F.lit("anf").alias("leg"),
+        F.col("t").cast("long").alias("a"),
+        F.lit(-1).cast("long").alias("b"),
+        F.lit("").alias("k"),
+        F.col("n_pairs").cast("long").alias("n"),
+        F.lit(-1).cast("long").alias("m"),
+        F.lit(0.0).alias("val"),
+    )
     prof_leg = predicate_profile(triples).select(
         F.lit("profile").alias("leg"),
         F.col("n_obj").cast("long").alias("a"),
@@ -1808,6 +1839,8 @@ def _q_edge_agg(spark, sf_dir):
         .unionByName(walk_leg)
         .unionByName(lpa_leg)
         .unionByName(scc_leg)
+        .unionByName(clust_leg)
+        .unionByName(anf_leg)
         .unionByName(prof_leg)
         .unionByName(fviol_leg)
     )
@@ -3882,6 +3915,42 @@ def oracle_sql() -> dict[str, str]:
                      0::bigint as m, 0.0 as val
               from sverts s left join smut m on m.v = s.id
               group by s.id),
+            cdeg as (
+              select v, count(*)::bigint as deg from (
+                select a as v from u union all select b from u) t
+              group by v),
+            ctri as (
+              select v, count(*)::bigint as nt from (
+                select x as v from tri
+                union all select y from tri
+                union all select z from tri) t
+              group by v),
+            clust_leg as (
+              select 'clust' as leg, d.v as a, -1::bigint as b,
+                     '' as k, coalesce(c.nt, 0)::bigint as n,
+                     d.deg as m,
+                     case when d.deg >= 2
+                          then round(2.0 * coalesce(c.nt, 0)
+                                     / (d.deg * (d.deg - 1)), 6)
+                          else 0.0 end as val
+              from cdeg d left join ctri c on c.v = d.v),
+            anf_reach as (
+              select src as a, dst as b, 1 as hop from gd
+              union
+              select r.a, e.dst, r.hop + 1
+              from anf_reach r join gd e on e.src = r.b
+              where r.hop < 4),
+            anf_min as (
+              select a, b, min(hop) as h from anf_reach
+              where a <> b group by a, b),
+            anf_leg as (
+              select 'anf' as leg, gr.t::bigint as a, -1::bigint as b,
+                     '' as k,
+                     ((select count(*) from sverts)
+                      + (select count(*) from anf_min m
+                         where m.h <= gr.t))::bigint as n,
+                     -1::bigint as m, 0.0 as val
+              from (values (0), (1), (2), (3), (4)) gr(t)),
             prof_leg as (
               select 'profile' as leg,
                      count(distinct obj_id)::bigint as a,
@@ -3910,6 +3979,8 @@ def oracle_sql() -> dict[str, str]:
             union all select * from walk_leg
             union all select * from lpa_leg
             union all select * from scc_leg
+            union all select * from clust_leg
+            union all select * from anf_leg
             union all select * from prof_leg
             union all select * from fviol_leg
         """,

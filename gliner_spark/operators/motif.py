@@ -268,3 +268,54 @@ def triangle_counts(
         .union(tri.select(F.col("z").alias("id")))
     )
     return corners.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def clustering_coefficient(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Local clustering coefficient per vertex → (id, degree,
+    n_triangles, coefficient).
+
+    coefficient(v) = 2·triangles(v) / (deg(v)·(deg(v)−1)) over the
+    undirected simple graph (a<b canonicalization, self-loops
+    dropped) — 0.0 for degree-<2 vertices. The per-vertex transitivity
+    score a KG curation pass reads to separate clique-like canonical
+    entities from star-shaped hub artifacts (a linking error that
+    merges two entities shows up as a high-degree, low-coefficient
+    vertex).
+
+    Composition of `triangle_counts` (two vertex-key shuffles) + one
+    degree aggregation + a broadcast-or-shuffle join on id; the
+    coefficient itself is exact integer arithmetic divided in
+    binary64 — bit-stable cross-engine, so the op is oracle-checkable.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .union(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_counts(edges, src_col=src_col, dst_col=dst_col)
+    d = F.col("degree")
+    return deg.join(tri, "id", "left").select(
+        "id",
+        "degree",
+        F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+        F.when(
+            d >= 2,
+            F.round(
+                2.0 * F.coalesce("n_triangles", F.lit(0)) / (d * (d - 1)),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("coefficient"),
+    )

@@ -189,3 +189,29 @@ def test_triangle_counts_bruteforce(spark):  # noqa: F811
         r["id"]: r["n_triangles"] for r in triangle_counts(e).collect()
     }
     assert got == want
+
+
+def test_clustering_coefficient_bruteforce(spark):  # noqa: F811
+    from gliner_spark.operators.motif import clustering_coefficient
+
+    und = {tuple(sorted(e)) for e in EDGES if e[0] != e[1]}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for v, nbs in adj.items():
+        d = len(nbs)
+        tri = sum(
+            1
+            for x, y in itertools.combinations(sorted(nbs), 2)
+            if (x, y) in und
+        )
+        coeff = round(2.0 * tri / (d * (d - 1)), 6) if d >= 2 else 0.0
+        want[v] = (d, tri, coeff)
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {
+        r["id"]: (r["degree"], r["n_triangles"], r["coefficient"])
+        for r in clustering_coefficient(e).collect()
+    }
+    assert got == want
