@@ -251,6 +251,19 @@ def _q_substring_dedup(spark, sf_dir):
                     from every doc; x1=n_lines, x2=n_dropped,
                     x3=length of the rewritten text.
 
+     leg='url'      URL-keyed dedup (textstats.url_duplicates over
+                    normalize_url, the C4 fetch-variant collapse):
+                    every doc gets a synthetic URL for the same page
+                    decorated by doc_id % 4 (tracking param / trailing
+                    slash / explicit :443 + fragment + case /
+                    userinfo + unsorted params). The oracle does NOT
+                    re-run the regex chain — it derives the expected
+                    canonical form arithmetically from doc_id, so the
+                    whole normalize_url expression is value-checked
+                    end-to-end. doc_id=member, x1=keep_doc_id,
+                    x2=group size, x3=md5-32bit of the canonical URL
+                    (conv/0x-cast, bit-identical cross-engine).
+
     Truncation length uses integer-div on both engines (Spark `div`,
     DuckDB `//`) — float-div + cast ROUNDS in DuckDB but TRUNCATES in
     Spark. All value columns cast to bigint on both engines."""
@@ -298,7 +311,45 @@ def _q_substring_dedup(spark, sf_dir):
         F.col("n_dropped").cast("bigint").alias("x2"),
         F.length("text").cast("bigint").alias("x3"),
     )
-    return contain.unionByName(repeat).unionByName(lines)
+    from gliner_spark.operators.textstats import url_duplicates
+
+    a = (F.col("doc_id") % 37).cast("string")
+    b = (F.col("doc_id") % 101).cast("string")
+    pg = F.concat(a, F.lit(".com/p/"), b)
+    variant = F.col("doc_id") % 4
+    urls = docs.select(
+        "doc_id",
+        F.when(
+            variant == 0,
+            F.concat(F.lit("https://Site"), pg, F.lit("?utm_source=x")),
+        )
+        .when(variant == 1, F.concat(F.lit("https://site"), pg, F.lit("/")))
+        .when(
+            variant == 2,
+            F.concat(
+                F.lit("HTTPS://site"), a, F.lit(".com:443/p/"), b,
+                F.lit("#frag"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("https://user@site"), pg, F.lit("?b=2&a=1"))
+        )
+        .alias("url"),
+    )
+    url_leg = url_duplicates(urls).select(
+        F.lit("url").alias("leg"),
+        F.explode("doc_ids").alias("doc_id"),
+        F.col("keep_doc_id").cast("bigint").alias("x1"),
+        F.size("doc_ids").cast("bigint").alias("x2"),
+        F.conv(F.substring(F.md5("canonical_url"), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("x3"),
+    ).select("leg", "doc_id", "x1", "x2", "x3")
+    return (
+        contain.unionByName(repeat)
+        .unionByName(lines)
+        .unionByName(url_leg)
+    )
 
 
 # blocklist for the quality query's C4-style banned-term leg — words
@@ -2911,12 +2962,35 @@ def oracle_sql() -> dict[str, str]:
                      (coalesce(sum(length(line)) filter (where keep), 0)
                       + greatest(count(*) filter (where keep) - 1, 0)
                        )::bigint as x3
-              from lflag group by doc_id)
+              from lflag group by doc_id),
+            -- url leg: expected canonical derived ARITHMETICALLY from
+            -- doc_id (never through the regex chain under test):
+            -- variants 0/1/2 all canonicalize to the bare page URL,
+            -- variant 3 keeps its (sorted) non-tracking params
+            curls as (
+              select doc_id,
+                     'https://site' || (doc_id % 37) || '.com/p/'
+                       || (doc_id % 101)
+                       || case when doc_id % 4 = 3 then '?a=1&b=2'
+                               else '' end as canonical_url
+              from documents),
+            ugrp as (
+              select canonical_url, count(*)::bigint as n_docs,
+                     min(doc_id)::bigint as keep
+              from curls group by canonical_url),
+            url_leg as (
+              select 'url' as leg, c.doc_id::bigint as doc_id,
+                     g.keep as x1, g.n_docs as x2,
+                     ('0x' || substr(md5(g.canonical_url), 1, 8))::bigint
+                       as x3
+              from curls c join ugrp g using (canonical_url))
             select * from contain_leg
             union all
             select * from repeat_leg
             union all
             select * from lines_leg
+            union all
+            select * from url_leg
         """,
         "quality_scores": f"""
             with q as ({quality_sql}),
