@@ -1689,6 +1689,12 @@ def _q_edge_agg(spark, sf_dir):
                      a recursive-CTE transitive closure + mutual-
                      reachability min, independent of both the Spark
                      FW-BW phases and the Tarjan finisher.
+      leg='mod'      graph.modularity (r4): Newman modularity of the
+                     lpa-leg partition over the undirected wedge
+                     graph — a=community label, b=n_vertices,
+                     n=internal_edges, m=degree_sum, val=per-community
+                     contribution e/m − (d/2m)² (pinned operation
+                     order, exact-int inputs, round 6dp).
       leg='clust'    motif.clustering_coefficient (r4): per-vertex
                      local clustering coefficient over the undirected
                      view of the wedge graph — a=id, n=n_triangles,
@@ -1821,7 +1827,8 @@ def _q_edge_agg(spark, sf_dir):
         F.lit(0).cast("long").alias("m"),
         F.lit(0.0).alias("val"),
     )
-    lpa_leg = label_propagation(g, max_iter=3).select(
+    lpa = label_propagation(g, max_iter=3)
+    lpa_leg = lpa.select(
         F.lit("lpa").alias("leg"),
         F.col("id").alias("a"),
         F.lit(-1).cast("long").alias("b"),
@@ -1839,12 +1846,25 @@ def _q_edge_agg(spark, sf_dir):
         F.lit(0).cast("long").alias("m"),
         F.lit(0.0).alias("val"),
     )
-    from gliner_spark.operators.graph import neighborhood_function
+    from gliner_spark.operators.graph import (
+        modularity,
+        neighborhood_function,
+    )
     from gliner_spark.operators.kgquality import (
         functional_violations,
         predicate_profile,
     )
     from gliner_spark.operators.motif import clustering_coefficient
+
+    mod_leg = modularity(g, lpa).select(
+        F.lit("mod").alias("leg"),
+        F.col("label").cast("long").alias("a"),
+        F.col("n_vertices").cast("long").alias("b"),
+        F.lit("").alias("k"),
+        F.col("internal_edges").cast("long").alias("n"),
+        F.col("degree_sum").cast("long").alias("m"),
+        F.col("contribution").alias("val"),
+    )
 
     clust_leg = clustering_coefficient(g).select(
         F.lit("clust").alias("leg"),
@@ -1892,6 +1912,7 @@ def _q_edge_agg(spark, sf_dir):
         .unionByName(scc_leg)
         .unionByName(clust_leg)
         .unionByName(anf_leg)
+        .unionByName(mod_leg)
         .unionByName(prof_leg)
         .unionByName(fviol_leg)
     )
@@ -4025,6 +4046,26 @@ def oracle_sql() -> dict[str, str]:
                          where m.h <= gr.t))::bigint as n,
                      -1::bigint as m, 0.0 as val
               from (values (0), (1), (2), (3), (4)) gr(t)),
+            mvl as (
+              select d.v, d.deg, coalesce(l.label, -1) as lab
+              from cdeg d left join l3 l on l.id = d.v),
+            mec as (
+              select la.lab as lab, count(*)::bigint as ec
+              from u
+              join mvl la on la.v = u.a
+              join mvl lb on lb.v = u.b
+              where la.lab = lb.lab group by la.lab),
+            mdc as (
+              select lab, count(*)::bigint as nv, sum(deg)::bigint as dc
+              from mvl group by lab),
+            mm as (select count(*)::bigint as m from u),
+            mod_leg as (
+              select 'mod' as leg, d.lab::bigint as a, d.nv as b,
+                     '' as k, coalesce(e.ec, 0)::bigint as n, d.dc as m,
+                     round(coalesce(e.ec, 0)::double / mm.m
+                           - (d.dc::double * d.dc::double)
+                             / (4.0 * mm.m * mm.m), 6) as val
+              from mdc d left join mec e using (lab), mm),
             prof_leg as (
               select 'profile' as leg,
                      count(distinct obj_id)::bigint as a,
@@ -4055,6 +4096,7 @@ def oracle_sql() -> dict[str, str]:
             union all select * from scc_leg
             union all select * from clust_leg
             union all select * from anf_leg
+            union all select * from mod_leg
             union all select * from prof_leg
             union all select * from fviol_leg
         """,

@@ -1759,3 +1759,88 @@ def effective_diameter(nf: DataFrame, q: float = 0.9) -> float:
             return prev_t + (target - prev_v) / (v - prev_v)
         prev_t, prev_v = t, v
     return float(pts[-1][0])
+
+
+def modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    id_col: str = "id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Newman modularity per community → (label, n_vertices,
+    internal_edges, degree_sum, contribution); total Q = sum of
+    `contribution`.
+
+    Q = Σ_c [ e_c/m − (d_c/(2m))² ] over the undirected simple view
+    (a<b canonicalization) — THE standard quality score for a
+    community assignment (e.g. `label_propagation` output): positive
+    contributions mean denser-than-chance communities; Q near 0 says
+    the partition is no better than random, the signal a KG pipeline
+    uses to reject a bad canonicalization round.
+
+    Shape: two vertex-key equi-joins to label the edge endpoints, two
+    hash aggregations (per-community edge and degree sums), and the
+    global m/degree totals ride back as a ONE-ROW crossJoin (scalar
+    combine, the repo's established pattern). Arithmetic is exact
+    integer counts divided in binary64 with a pinned operation order
+    (e/m − d·d/(4·m·m), rounded 6dp) so the value is reproducible
+    cross-engine. Vertices missing from `communities` form singleton
+    communities of their own label = -1 − not silently dropped.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    lab = communities.select(
+        F.col(id_col).alias("v"), F.col(label_col).alias("lab")
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .union(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    vl = deg.join(lab, "v", "left").select(
+        "v", "deg", F.coalesce("lab", F.lit(-1)).alias("lab")
+    )
+    la = vl.select(F.col("v").alias("a"), F.col("lab").alias("la"))
+    lb = vl.select(F.col("v").alias("b"), F.col("lab").alias("lb"))
+    e_c = (
+        und.join(la, "a")
+        .join(lb, "b")
+        .where(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("lab"))
+        .agg(F.count(F.lit(1)).alias("internal_edges"))
+    )
+    d_c = vl.groupBy("lab").agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.sum("deg").alias("degree_sum"),
+    )
+    tot = und.agg(F.count(F.lit(1)).alias("m_edges"))
+    m = F.col("m_edges").cast("double")
+    e = F.coalesce("internal_edges", F.lit(0)).cast("double")
+    d = F.col("degree_sum").cast("double")
+    return (
+        d_c.join(e_c, "lab", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("lab").alias("label"),
+            "n_vertices",
+            F.coalesce("internal_edges", F.lit(0)).alias(
+                "internal_edges"
+            ),
+            "degree_sum",
+            F.when(
+                F.col("m_edges") > 0,
+                F.round(e / m - (d * d) / (4.0 * m * m), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("contribution"),
+        )
+    )
