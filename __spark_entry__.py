@@ -1689,6 +1689,17 @@ def _q_edge_agg(spark, sf_dir):
                      a recursive-CTE transitive closure + mutual-
                      reachability min, independent of both the Spark
                      FW-BW phases and the Tarjan finisher.
+      leg='dprof'    graph.distance_profile EXACT mode (r4): per-vertex
+                     ball sizes over the wedge graph, t=0..3 — a=id,
+                     b=t, n=|B(v,t)| (self included). Oracled by the
+                     same recursive min-hop closure as 'anf' via a
+                     correlated cumulative count.
+      leg='harm'     graph.harmonic_centrality derived from the SAME
+                     exact profile, scaled by lcm(1,2,3)=6 so the
+                     value is a pure integer on both engines — a=id,
+                     n=Σ_u 6/d(v,u) for d≤3. The double-valued
+                     operator (and its HyperBall sketch mode) is
+                     pytest-pinned in test_anf.py.
       leg='mod'      graph.modularity (r4): Newman modularity of the
                      lpa-leg partition over the undirected wedge
                      graph — a=community label, b=n_vertices,
@@ -1884,6 +1895,47 @@ def _q_edge_agg(spark, sf_dir):
         F.lit(-1).cast("long").alias("m"),
         F.lit(0.0).alias("val"),
     )
+    from gliner_spark.operators.graph import distance_profile
+    from pyspark.sql import Window as _W
+
+    prof = distance_profile(g, max_t=3, method="exact")
+    dprof_leg = prof.select(
+        F.lit("dprof").alias("leg"),
+        F.col("id").cast("long").alias("a"),
+        F.col("t").cast("long").alias("b"),
+        F.lit("").alias("k"),
+        F.col("ball").cast("long").alias("n"),
+        F.lit(-1).cast("long").alias("m"),
+        F.lit(0.0).alias("val"),
+    )
+    pw = _W.partitionBy("id").orderBy("t")
+    harm_leg = (
+        prof.select(
+            "id",
+            "t",
+            (
+                (
+                    F.col("ball").cast("long")
+                    - F.lag(F.col("ball").cast("long"), 1, 0).over(pw)
+                )
+                * F.when(F.col("t") == 1, 6)
+                .when(F.col("t") == 2, 3)
+                .otherwise(2)
+            ).alias("h6"),
+        )
+        .where(F.col("t") > 0)
+        .groupBy("id")
+        .agg(F.sum("h6").alias("harm6"))
+        .select(
+            F.lit("harm").alias("leg"),
+            F.col("id").cast("long").alias("a"),
+            F.lit(-1).cast("long").alias("b"),
+            F.lit("").alias("k"),
+            F.col("harm6").cast("long").alias("n"),
+            F.lit(-1).cast("long").alias("m"),
+            F.lit(0.0).alias("val"),
+        )
+    )
     prof_leg = predicate_profile(triples).select(
         F.lit("profile").alias("leg"),
         F.col("n_obj").cast("long").alias("a"),
@@ -1912,6 +1964,8 @@ def _q_edge_agg(spark, sf_dir):
         .unionByName(scc_leg)
         .unionByName(clust_leg)
         .unionByName(anf_leg)
+        .unionByName(dprof_leg)
+        .unionByName(harm_leg)
         .unionByName(mod_leg)
         .unionByName(prof_leg)
         .unionByName(fviol_leg)
@@ -4046,6 +4100,25 @@ def oracle_sql() -> dict[str, str]:
                          where m.h <= gr.t))::bigint as n,
                      -1::bigint as m, 0.0 as val
               from (values (0), (1), (2), (3), (4)) gr(t)),
+            dprof_leg as (
+              select 'dprof' as leg, s.id::bigint as a,
+                     gr.t::bigint as b, '' as k,
+                     (1 + (select count(*) from anf_min m
+                           where m.a = s.id and m.h <= gr.t))::bigint
+                       as n,
+                     -1::bigint as m, 0.0 as val
+              from sverts s, (values (0), (1), (2), (3)) gr(t)),
+            harm_leg as (
+              select 'harm' as leg, s.id::bigint as a, -1::bigint as b,
+                     '' as k,
+                     coalesce(sum(case when m.h = 1 then 6
+                                       when m.h = 2 then 3
+                                       when m.h = 3 then 2 end),
+                              0)::bigint as n,
+                     -1::bigint as m, 0.0 as val
+              from sverts s
+              left join anf_min m on m.a = s.id and m.h <= 3
+              group by s.id),
             mvl as (
               select d.v, d.deg, coalesce(l.label, -1) as lab
               from cdeg d left join l3 l on l.id = d.v),
@@ -4096,6 +4169,8 @@ def oracle_sql() -> dict[str, str]:
             union all select * from scc_leg
             union all select * from clust_leg
             union all select * from anf_leg
+            union all select * from dprof_leg
+            union all select * from harm_leg
             union all select * from mod_leg
             union all select * from prof_leg
             union all select * from fviol_leg

@@ -1844,3 +1844,184 @@ def modularity(
             .alias("contribution"),
         )
     )
+
+
+def distance_profile(
+    edges: DataFrame,
+    max_t: int = 4,
+    method: str = "sketch",
+    n_sketches: int = 32,
+    seed: int = 17,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    directed: bool = True,
+) -> DataFrame:
+    """Per-vertex ball sizes → (id, t, ball) for t = 0..max_t:
+    |{u : d(v, u) ≤ t}| including v itself — the per-vertex form of
+    `neighborhood_function` (which is this summed over id), and the
+    input `harmonic_centrality` folds.
+
+    Same execution shape as neighborhood_function (one int64
+    equi-join + one mergeable hash agg per round; sketch state
+    O(V · n_sketches · 8 B)); the per-round snapshots are unioned
+    lazily over already-checkpointed frames, so materializing the
+    profile adds no extra jobs. method="exact" emits exact integer
+    counts (the oracle twin); method="sketch" emits FM estimates with
+    the linear-counting small-range correction (monotone in t within
+    each estimator branch; the branch switchover is clamped by
+    consumers, see harmonic_centrality).
+    """
+    if method not in ("sketch", "exact"):
+        raise ValueError(f"unknown method {method!r}")
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    )
+    if not directed:
+        e = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.where(F.col("src") != F.col("dst")).distinct().localCheckpoint()
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    snaps = []
+
+    if method == "exact":
+        reach = verts.select(
+            "id", F.array(F.col("id")).alias("rs")
+        ).localCheckpoint()
+        snaps.append(
+            reach.select(
+                "id",
+                F.lit(0).alias("t"),
+                F.size("rs").cast("double").alias("ball"),
+            )
+        )
+        for t in range(1, max_t + 1):
+            contrib = e.join(reach, e.dst == reach.id).select(
+                F.col("src").alias("id"), "rs"
+            )
+            reach = (
+                reach.unionByName(contrib)
+                .groupBy("id")
+                .agg(
+                    F.array_distinct(
+                        F.flatten(F.collect_list("rs"))
+                    ).alias("rs")
+                )
+                .localCheckpoint()
+            )
+            snaps.append(
+                reach.select(
+                    "id",
+                    F.lit(t).alias("t"),
+                    F.size("rs").cast("double").alias("ball"),
+                )
+            )
+        out = snaps[0]
+        for s in snaps[1:]:
+            out = out.unionByName(s)
+        return out
+
+    scols = [f"s{k}" for k in range(n_sketches)]
+    init = []
+    for k in range(n_sketches):
+        h = (
+            F.pmod(
+                F.xxhash64(F.col("id"), F.lit(seed * 1009 + k)),
+                F.lit(1 << 32),
+            )
+            + 1
+        )
+        init.append(h.bitwiseAND(-h).alias(f"s{k}"))
+    sk = verts.select("id", *init).localCheckpoint()
+
+    def _b(k: int):
+        m = F.col(f"s{k}")
+        return F.bit_count(F.bitwise_not(m).bitwiseAND(m + 1) - 1)
+
+    mean_b = sum((_b(k) for k in range(n_sketches)), F.lit(0)) / float(
+        n_sketches
+    )
+    fm = F.pow(F.lit(2.0), mean_b) / _FM_PHI
+    c0 = sum(
+        (F.col(c).bitwiseAND(F.lit(1)) for c in scols), F.lit(0)
+    ).cast("double")
+    est = F.when(
+        c0 < float(n_sketches),
+        F.log(1.0 - c0 / float(n_sketches)) / F.log(F.lit(0.5)),
+    ).otherwise(fm)
+    snaps.append(sk.select("id", F.lit(0).alias("t"), est.alias("ball")))
+    for t in range(1, max_t + 1):
+        contrib = e.join(sk, e.dst == sk.id).select(
+            F.col("src").alias("id"), *scols
+        )
+        sk = (
+            sk.unionByName(contrib)
+            .groupBy("id")
+            .agg(*[F.bit_or(c).alias(c) for c in scols])
+            .localCheckpoint()
+        )
+        snaps.append(
+            sk.select("id", F.lit(t).alias("t"), est.alias("ball"))
+        )
+    out = snaps[0]
+    for s in snaps[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    max_t: int = 8,
+    method: str = "sketch",
+    n_sketches: int = 32,
+    seed: int = 17,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    directed: bool = True,
+) -> DataFrame:
+    """HyperBall harmonic centrality → (id, centrality):
+    h(v) = Σ_{u≠v, d(v,u)≤max_t} 1 / d(v, u), estimated from ball
+    growth: Σ_t (|B(v,t)| − |B(v,t−1)|) / t (Boldi & Vigna,
+    "In-Core Computation of Geometric Centralities with HyperBall").
+    The centrality that, unlike closeness, handles disconnected
+    graphs gracefully — unreached vertices simply contribute 0.
+
+    Distances run FROM v along edge direction; pass reversed edges
+    for the "how centrally reachable is v" variant (the paper's
+    convention). Ball deltas are clamped at 0 so the FM→linear-count
+    estimator switchover can never subtract mass. Plan: the
+    distance_profile loop + one (id) hash agg over max_t+1 snapshot
+    rows per vertex.
+    """
+    prof = distance_profile(
+        edges,
+        max_t=max_t,
+        method=method,
+        n_sketches=n_sketches,
+        seed=seed,
+        src_col=src_col,
+        dst_col=dst_col,
+        directed=directed,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy("t")
+    delta = F.greatest(
+        F.col("ball") - F.lag("ball", 1).over(w), F.lit(0.0)
+    )
+    return (
+        prof.select(
+            "id",
+            "t",
+            F.when(F.col("t") > 0, delta / F.col("t"))
+            .otherwise(F.lit(0.0))
+            .alias("contrib"),
+        )
+        .groupBy("id")
+        .agg(F.sum("contrib").alias("centrality"))
+    )

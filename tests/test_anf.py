@@ -97,3 +97,78 @@ def test_bad_method_raises(spark):
     e = _edges(spark, [(1, 2)])
     with pytest.raises(ValueError):
         neighborhood_function(e, method="hyperball")
+
+
+def test_distance_profile_exact_path_graph(spark):
+    from gliner_spark.operators.graph import distance_profile
+
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4)])
+    prof = {
+        (r["id"], r["t"]): r["ball"]
+        for r in distance_profile(e, max_t=3, method="exact").collect()
+    }
+    # vertex 1 reaches one more per hop; vertex 4 reaches nothing
+    assert prof[(1, 0)] == 1 and prof[(1, 1)] == 2 and prof[(1, 3)] == 4
+    assert prof[(4, 0)] == 1 and prof[(4, 3)] == 1
+    assert len(prof) == 4 * 4
+
+
+def test_harmonic_centrality_exact_matches_python(spark):
+    from gliner_spark.operators.graph import harmonic_centrality
+
+    pairs = [(i % 23, (i * 7 + 3) % 23) for i in range(60)]
+    e = _edges(spark, pairs)
+    got = {
+        r["id"]: r["centrality"]
+        for r in harmonic_centrality(e, max_t=6, method="exact").collect()
+    }
+    # python BFS
+    adj = {}
+    for a, b in pairs:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+    verts = {v for p in pairs if p[0] != p[1] for v in p}
+    for v in verts:
+        dist = {v: 0}
+        frontier = [v]
+        for d in range(1, 7):
+            nxt = []
+            for x in frontier:
+                for y in adj.get(x, ()):
+                    if y not in dist:
+                        dist[y] = d
+                        nxt.append(y)
+            frontier = nxt
+        want = sum(1.0 / d for u, d in dist.items() if d > 0)
+        assert got[v] == pytest.approx(want, abs=1e-9), v
+
+
+def test_harmonic_centrality_sketch_tracks_exact(spark):
+    from gliner_spark.operators.graph import harmonic_centrality
+
+    pairs = [(i % 97, (i * 7 + 3) % 89) for i in range(400)]
+    e = _edges(spark, pairs)
+    exact = {
+        r["id"]: r["centrality"]
+        for r in harmonic_centrality(e, max_t=5, method="exact").collect()
+    }
+    est = {
+        r["id"]: r["centrality"]
+        for r in harmonic_centrality(
+            e, max_t=5, method="sketch", n_sketches=64
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    # per-vertex sketch error compounds across deltas; total ranking
+    # mass should still be close
+    tot_e = sum(exact.values())
+    tot_s = sum(est.values())
+    assert tot_s == pytest.approx(tot_e, rel=0.15)
+    # and the top-decile sets overlap strongly
+    top_e = {
+        v for v, _ in sorted(exact.items(), key=lambda kv: -kv[1])[:10]
+    }
+    top_s = {
+        v for v, _ in sorted(est.items(), key=lambda kv: -kv[1])[:10]
+    }
+    assert len(top_e & top_s) >= 6
