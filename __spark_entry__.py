@@ -1857,10 +1857,7 @@ def _q_edge_agg(spark, sf_dir):
         F.lit(0).cast("long").alias("m"),
         F.lit(0.0).alias("val"),
     )
-    from gliner_spark.operators.graph import (
-        modularity,
-        neighborhood_function,
-    )
+    from gliner_spark.operators.graph import modularity
     from gliner_spark.operators.kgquality import (
         functional_violations,
         predicate_profile,
@@ -1886,19 +1883,28 @@ def _q_edge_agg(spark, sf_dir):
         F.col("degree").cast("long").alias("m"),
         F.col("coefficient").alias("val"),
     )
-    anf_leg = neighborhood_function(g, max_t=4, method="exact").select(
-        F.lit("anf").alias("leg"),
-        F.col("t").cast("long").alias("a"),
-        F.lit(-1).cast("long").alias("b"),
-        F.lit("").alias("k"),
-        F.col("n_pairs").cast("long").alias("n"),
-        F.lit(-1).cast("long").alias("m"),
-        F.lit(0.0).alias("val"),
-    )
     from gliner_spark.operators.graph import distance_profile
     from pyspark.sql import Window as _W
 
-    prof = distance_profile(g, max_t=3, method="exact")
+    # ONE exact profile loop feeds anf (summed over id), dprof, and
+    # harm — neighborhood_function(method="exact") is definitionally
+    # sum_id(distance_profile), so running both loops would double the
+    # driver-round latency for nothing (parity pinned in test_anf.py)
+    prof4 = distance_profile(g, max_t=4, method="exact")
+    anf_leg = (
+        prof4.groupBy("t")
+        .agg(F.sum(F.col("ball").cast("long")).alias("n_pairs"))
+        .select(
+            F.lit("anf").alias("leg"),
+            F.col("t").cast("long").alias("a"),
+            F.lit(-1).cast("long").alias("b"),
+            F.lit("").alias("k"),
+            F.col("n_pairs").cast("long").alias("n"),
+            F.lit(-1).cast("long").alias("m"),
+            F.lit(0.0).alias("val"),
+        )
+    )
+    prof = prof4.where(F.col("t") <= 3)
     dprof_leg = prof.select(
         F.lit("dprof").alias("leg"),
         F.col("id").cast("long").alias("a"),

@@ -172,3 +172,23 @@ def test_harmonic_centrality_sketch_tracks_exact(spark):
         v for v, _ in sorted(est.items(), key=lambda kv: -kv[1])[:10]
     }
     assert len(top_e & top_s) >= 6
+
+
+def test_nf_exact_equals_summed_distance_profile(spark):
+    from gliner_spark.operators.graph import distance_profile
+    from pyspark.sql import functions as F
+
+    pairs = [(i % 31, (i * 5 + 1) % 31) for i in range(80)]
+    e = _edges(spark, pairs)
+    nf = {
+        r["t"]: r["n_pairs"]
+        for r in neighborhood_function(e, max_t=4, method="exact").collect()
+    }
+    summed = {
+        r["t"]: float(r["s"])
+        for r in distance_profile(e, max_t=4, method="exact")
+        .groupBy("t")
+        .agg(F.sum(F.col("ball").cast("long")).alias("s"))
+        .collect()
+    }
+    assert nf == summed
