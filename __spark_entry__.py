@@ -1689,6 +1689,16 @@ def _q_edge_agg(spark, sf_dir):
                      a recursive-CTE transitive closure + mutual-
                      reachability min, independent of both the Spark
                      FW-BW phases and the Tarjan finisher.
+      leg='sigma'    graph.shortest_path_counts (r4): Brandes forward
+                     pass over the SPARSE 2000-vertex graph — σ_s(v)
+                     shortest-path counts from sources {0,1,2} within
+                     3 hops; a=source, b=id, n=sigma, m=hop (exact
+                     ints). DuckDB enumerates all ≤3-hop walks
+                     recursively and counts the min-hop ones (shortest
+                     walks never repeat a vertex ⇒ walk count = path
+                     count). The backward dependency sweep
+                     (betweenness_centrality) is pytest-pinned vs
+                     python Brandes in test_betweenness.py.
       leg='dprof'    graph.distance_profile EXACT mode (r4): per-vertex
                      ball sizes over the wedge graph, t=0..3 — a=id,
                      b=t, n=|B(v,t)| (self included). Oracled by the
@@ -1883,8 +1893,21 @@ def _q_edge_agg(spark, sf_dir):
         F.col("degree").cast("long").alias("m"),
         F.col("coefficient").alias("val"),
     )
-    from gliner_spark.operators.graph import distance_profile
+    from gliner_spark.operators.graph import (
+        distance_profile,
+        shortest_path_counts,
+    )
     from pyspark.sql import Window as _W
+
+    sigma_leg = shortest_path_counts(g2, [0, 1, 2], max_hops=3).select(
+        F.lit("sigma").alias("leg"),
+        F.col("source").alias("a"),
+        F.col("id").alias("b"),
+        F.lit("").alias("k"),
+        F.col("sigma").alias("n"),
+        F.col("hop").cast("long").alias("m"),
+        F.lit(0.0).alias("val"),
+    )
 
     # ONE exact profile loop feeds anf (summed over id), dprof, and
     # harm — neighborhood_function(method="exact") is definitionally
@@ -1970,6 +1993,7 @@ def _q_edge_agg(spark, sf_dir):
         .unionByName(scc_leg)
         .unionByName(clust_leg)
         .unionByName(anf_leg)
+        .unionByName(sigma_leg)
         .unionByName(dprof_leg)
         .unionByName(harm_leg)
         .unionByName(mod_leg)
@@ -4106,6 +4130,25 @@ def oracle_sql() -> dict[str, str]:
                          where m.h <= gr.t))::bigint as n,
                      -1::bigint as m, 0.0 as val
               from (values (0), (1), (2), (3), (4)) gr(t)),
+            sigw as (
+              select v::bigint as source, v::bigint as id, 0 as hop
+              from (values (0), (1), (2)) s(v)
+              union all
+              select w.source, e.dst, w.hop + 1
+              from sigw w join g2d e on e.src = w.id
+              where w.hop < 3),
+            sigmin as (
+              select source, id, min(hop) as hop from sigw
+              group by source, id),
+            sigcnt as (
+              select source, id, hop, count(*)::bigint as c
+              from sigw group by source, id, hop),
+            sigma_leg as (
+              select 'sigma' as leg, s.source as a, s.id as b, '' as k,
+                     c.c as n, s.hop::bigint as m, 0.0 as val
+              from sigmin s join sigcnt c
+                on c.source = s.source and c.id = s.id
+                   and c.hop = s.hop),
             dprof_leg as (
               select 'dprof' as leg, s.id::bigint as a,
                      gr.t::bigint as b, '' as k,
@@ -4175,6 +4218,7 @@ def oracle_sql() -> dict[str, str]:
             union all select * from scc_leg
             union all select * from clust_leg
             union all select * from anf_leg
+            union all select * from sigma_leg
             union all select * from dprof_leg
             union all select * from harm_leg
             union all select * from mod_leg

@@ -2025,3 +2025,189 @@ def harmonic_centrality(
         .groupBy("id")
         .agg(F.sum("contrib").alias("centrality"))
     )
+
+
+def shortest_path_counts(
+    edges: DataFrame,
+    sources: DataFrame | list[int],
+    max_hops: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Number of shortest paths from each source → (source, id, hop,
+    sigma): hop = d(source, id), sigma = σ_s(v) = how many distinct
+    shortest paths realize it. The forward half of Brandes'
+    betweenness algorithm, exposed as its own operator (σ is also the
+    "path diversity" feature KG curation uses — σ=1 means a single
+    fragile evidence chain).
+
+    Level-synchronous frontier expansion like `bfs_distances`, with
+    one extra map-side-combining SUM: σ(v, d) = Σ σ(u, d−1) over
+    predecessors u — the anti-join against settled vertices makes
+    "first reach = shortest" hold, so the per-level aggregate is all
+    the bookkeeping σ needs. Exact integer counts (cross-engine
+    oracle-able); σ can grow exponentially with depth, which is one
+    more reason `max_hops` is part of the contract.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    if isinstance(sources, DataFrame):
+        lm = sources.select(
+            F.col(sources.columns[0]).cast("long").alias("source")
+        ).distinct()
+    else:
+        lm = edges.sparkSession.createDataFrame(
+            [(int(x),) for x in sources], "source long"
+        )
+    done = lm.select(
+        "source",
+        F.col("source").alias("id"),
+        F.lit(0).cast("int").alias("hop"),
+        F.lit(1).cast("long").alias("sigma"),
+    ).localCheckpoint()
+    frontier = done
+    for d in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier.id == e.src)
+            .select("source", F.col("dst").alias("id"), "sigma")
+            .join(
+                done.select("source", "id"), ["source", "id"], "left_anti"
+            )
+            .groupBy("source", "id")
+            .agg(F.sum("sigma").alias("sigma"))
+            .select(
+                "source",
+                "id",
+                F.lit(d).cast("int").alias("hop"),
+                "sigma",
+            )
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        done = done.unionByName(nxt)
+        frontier = nxt
+    return done
+
+
+def betweenness_centrality(
+    edges: DataFrame,
+    sources: DataFrame | list[int],
+    max_hops: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Brandes betweenness from sampled sources → (id, betweenness):
+    C_B(v) = Σ_s δ_s(v) where δ_s(v) = Σ_{w: v→w on a shortest path}
+    (σ(v)/σ(w)) · (1 + δ_s(w)) — the bridge-entity detector (an
+    over-merged canonical entity shows up as an absurdly-between
+    vertex joining unrelated regions). Sampling sources is THE
+    standard scale move (Brandes-Pich): exact betweenness is
+    all-pairs; k sampled sources cost k bounded-BFS forward passes +
+    k backward sweeps and estimate the same ranking — multiply by
+    n/k for an unbiased magnitude estimate. Shortest paths longer
+    than `max_hops` are ignored (hop-bounded betweenness; bound it
+    or pay diameter rounds).
+
+    Backward phase: per level one 3-way equi-join (level-d vertices →
+    SP-DAG edges → level-d+1 deltas) + one (source, id) hash agg;
+    per-round work ∝ the DAG slice, localCheckpoint lineage cuts;
+    endpoints excluded per the standard definition.
+    """
+    spc = shortest_path_counts(
+        edges, sources, max_hops=max_hops, src_col=src_col,
+        dst_col=dst_col,
+    ).localCheckpoint()
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("esrc"),
+            F.col(dst_col).cast("long").alias("edst"),
+        )
+        .where(F.col("esrc") != F.col("edst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    max_l = spc.agg(F.max("hop")).collect()[0][0]
+    if max_l is None or max_l == 0:
+        return spc.select("id").distinct().select(
+            "id", F.lit(0.0).alias("betweenness")
+        )
+    delta = spc.where(F.col("hop") == max_l).select(
+        "source", "id", F.lit(0.0).alias("delta")
+    ).localCheckpoint()
+    # deepest-level vertices never gain dependency but ARE part of the
+    # result (betweenness 0) — unless they sit at hop 0 (max_l == 0
+    # returns above)
+    levels = [delta]
+    # stop at level 1: sources (hop 0) are endpoints, never scored.
+    # spc self-joins below get EXPLICIT renames — attribute refs from
+    # a shared lineage resolve trivially-true on the join key
+    for d in range(max_l - 1, 0, -1):
+        cur = spc.where(F.col("hop") == d).select(
+            F.col("source").alias("csource"),
+            F.col("id").alias("cid"),
+            "sigma",
+        )
+        nxt = (
+            spc.where(F.col("hop") == d + 1)
+            .select(
+                F.col("source").alias("wsource"),
+                F.col("id").alias("wid"),
+                F.col("sigma").alias("wsigma"),
+            )
+            .join(
+                delta.select(
+                    F.col("source").alias("wsource"),
+                    F.col("id").alias("wid"),
+                    "delta",
+                ),
+                ["wsource", "wid"],
+            )
+        )
+        contrib = (
+            cur.join(e, F.col("cid") == F.col("esrc"))
+            .join(
+                nxt,
+                (F.col("edst") == F.col("wid"))
+                & (F.col("csource") == F.col("wsource")),
+            )
+            .select(
+                F.col("csource").alias("source"),
+                F.col("cid").alias("id"),
+                (
+                    F.col("sigma").cast("double")
+                    / F.col("wsigma").cast("double")
+                    * (1.0 + F.col("delta"))
+                ).alias("c"),
+            )
+            .groupBy("source", "id")
+            .agg(F.sum("c").alias("delta"))
+        )
+        delta = (
+            cur.select(
+                F.col("csource").alias("source"),
+                F.col("cid").alias("id"),
+            )
+            .join(contrib, ["source", "id"], "left")
+            .select(
+                "source", "id", F.coalesce("delta", F.lit(0.0)).alias("delta")
+            )
+            .localCheckpoint()
+        )
+        levels.append(delta)
+    # sources (hop 0) are endpoints of their own paths — excluded
+    out = None
+    for lv in levels:
+        out = lv if out is None else out.unionByName(lv)
+    if out is None:
+        return spc.select("id").distinct().select(
+            "id", F.lit(0.0).alias("betweenness")
+        )
+    return out.groupBy("id").agg(F.sum("delta").alias("betweenness"))
