@@ -750,9 +750,16 @@ def _q_pagerank_events(spark, sf_dir):
     weights (event_id % 7 + 1) so parallel (user, object) event rows
     FOLD by weight sum — integer-valued doubles keep every weight/deg
     sum exact in binary64 on both engines, so only rank arithmetic can
-    differ (ulps, absorbed by 6dp)."""
+    differ (ulps, absorbed by 6dp).
+
+    r4 continuation: leg='katz' runs graph.katz_centrality (3
+    collect-free pinned rounds, alpha=1/16, beta=1) over a CYCLIC
+    single-id-space 300-vertex graph — the dyadic alpha makes every
+    value an exactly-representable binary64 rational, so Spark and
+    the unrolled DuckDB chain agree bit-for-bit, not just to 6dp."""
     from gliner_spark.operators.graph import (
         hits,
+        katz_centrality,
         pagerank,
         personalized_pagerank,
     )
@@ -813,6 +820,24 @@ def _q_pagerank_events(spark, sf_dir):
                 F.lit("weighted").alias("leg"),
                 "entity_id",
                 F.round("rank", 6).alias("rank"),
+            )
+        )
+        .unionByName(
+            katz_centrality(
+                ev.select(
+                    F.pmod(F.col("user_id").cast("long"), F.lit(300))
+                    .alias("src"),
+                    F.pmod(
+                        F.col("event_id").cast("long") * 7 + 3,
+                        F.lit(300),
+                    ).alias("dst"),
+                ),
+                alpha=0.0625,
+                max_iter=3,
+            ).select(
+                F.lit("katz").alias("leg"),
+                F.col("id").alias("entity_id"),
+                F.round("katz", 6).alias("rank"),
             )
         )
     )
@@ -947,6 +972,26 @@ def _pagerank_events_sql(
           left join hr{k} r on r.id = v.id),
         s{k} as (select sum(araw) as sa, sum(hraw) as sh from j{k}),
         h{k + 1} as (select id, hraw / sh as h from j{k}, s{k})""")
+    # katz: cyclic single-id-space graph; alpha = 1/16 is an exact
+    # dyadic, so pinned-round values over beta=1 are EXACT in binary64
+    # on both engines (round 6dp is a no-op formality)
+    parts.append("""
+        , ke as (
+          select distinct (user_id % 300)::bigint as src,
+                 ((event_id * 7 + 3) % 300)::bigint as dst
+          from events
+          where (user_id % 300)::bigint
+                <> ((event_id * 7 + 3) % 300)::bigint),
+        kverts as (select src as id from ke union select dst from ke),
+        k0 as (select id, 1.0 as x from kverts)""")
+    for k in range(3):
+        parts.append(f""",
+        kc{k} as (
+          select e.dst as id, sum(x.x) as s
+          from ke e join k{k} x on x.id = e.src group by 1),
+        k{k + 1} as (
+          select v.id, 1.0 + 0.0625 * coalesce(c.s, 0) as x
+          from kverts v left join kc{k} c on c.id = v.id)""")
     last = hits_iter - 1
     parts.append(f"""
         select 'global' as leg, id as entity_id,
@@ -962,7 +1007,10 @@ def _pagerank_events_sql(
                round(araw / sa, 6) as "rank" from j{last}, s{last}
         union all
         select 'weighted' as leg, id as entity_id,
-               round(pr, 6) as "rank" from w{n_iter}""")
+               round(pr, 6) as "rank" from w{n_iter}
+        union all
+        select 'katz' as leg, id as entity_id,
+               round(x, 6) as "rank" from k3""")
     return "".join(parts)
 
 

@@ -2211,3 +2211,77 @@ def betweenness_centrality(
             "id", F.lit(0.0).alias("betweenness")
         )
     return out.groupBy("id").agg(F.sum("delta").alias("betweenness"))
+
+
+def katz_centrality(
+    edges: DataFrame,
+    alpha: float = 0.0625,
+    beta: float = 1.0,
+    max_iter: int = 10,
+    tol: float = 0.0,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Katz centrality → (id, katz): x = Σ_j α^j (Aᵀ)^j β·1 — every
+    inbound walk contributes, damped α per hop. The centrality that
+    (unlike PageRank) does not dilute a supporter's vote by its
+    out-degree: an entity referenced by busy hubs still accumulates —
+    the right notion for KG evidence where one source asserting many
+    facts is not weaker evidence per fact.
+
+    Power iteration x ← α·Aᵀx + β: per round one int64 equi-join +
+    one map-side-combining sum + a left join back onto the vertex set
+    (katz of in-degree-0 vertices is exactly β). tol=0 (default) runs
+    exactly `max_iter` collect-FREE rounds — deterministic and
+    oracle-able by unrolled SQL; tol>0 folds the L1 delta into one
+    scalar collect per round (the pagerank discipline). Convergence
+    requires α < 1/λ_max; the default 1/16 is an exact binary64
+    dyadic, so pinned-round values over integer β are EXACT on every
+    engine — no summation-order ulps at all.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    x = verts.select("id", F.lit(float(beta)).alias("katz"))
+    for _ in range(max_iter):
+        contrib = (
+            e.join(x.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("katz").alias("s"))
+        )
+        nxt = (
+            verts.join(contrib, "id", "left")
+            .select(
+                "id",
+                (
+                    float(beta)
+                    + float(alpha) * F.coalesce("s", F.lit(0.0))
+                ).alias("katz"),
+            )
+            .localCheckpoint()
+        )
+        if tol > 0.0:
+            d = (
+                nxt.withColumnRenamed("katz", "new")
+                .join(x.withColumnRenamed("katz", "old"), "id")
+                .agg(F.sum(F.abs(F.col("new") - F.col("old"))))
+                .collect()[0][0]
+            )
+            x = nxt
+            if d is not None and d <= tol:
+                break
+        else:
+            x = nxt
+    return x

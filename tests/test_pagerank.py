@@ -140,3 +140,42 @@ def test_ppr_rejects_empty_seeds(spark):
     df = spark.createDataFrame([Row(subj_id=0, obj_id=1)])
     with pytest.raises(ValueError):
         personalized_pagerank(df, [])
+
+
+def test_katz_matches_numpy(spark):
+    import numpy as np
+    from gliner_spark.operators.graph import katz_centrality
+
+    pairs = [(i % 29, (i * 5 + 2) % 29) for i in range(70)]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        r["id"]: r["katz"]
+        for r in katz_centrality(e, alpha=0.0625, max_iter=4).collect()
+    }
+    und = sorted({p for p in pairs if p[0] != p[1]})
+    verts = sorted({v for p in und for v in p})
+    idx = {v: i for i, v in enumerate(verts)}
+    A = np.zeros((len(verts), len(verts)))
+    for a, b in und:
+        A[idx[a], idx[b]] = 1.0
+    x = np.ones(len(verts))
+    for _ in range(4):
+        x = 1.0 + 0.0625 * (A.T @ x)
+    for v in verts:
+        assert got[v] == x[idx[v]], v  # dyadic alpha: EXACT equality
+
+
+def test_katz_tol_converges_early(spark):
+    from gliner_spark.operators.graph import katz_centrality
+
+    # DAG: converges exactly after depth rounds; tol stops the loop
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    got = {
+        r["id"]: r["katz"]
+        for r in katz_centrality(
+            e, alpha=0.25, max_iter=50, tol=1e-12
+        ).collect()
+    }
+    assert got[1] == 1.0
+    assert got[2] == 1.25
+    assert got[3] == 1.0 + 0.25 * 1.25
