@@ -251,6 +251,14 @@ def _q_substring_dedup(spark, sf_dir):
                     from every doc; x1=n_lines, x2=n_dropped,
                     x3=length of the rewritten text.
 
+     leg='winnow'   MOSS winnowing fingerprints (dedup.
+                    winnow_fingerprints, k=5 grams / window=4,
+                    portable md5 hashes) over the planted corpus —
+                    truncated copies share most fingerprints with
+                    their originals; x1=gram pos (rightmost-min tie
+                    rule), x2=fp. DuckDB replays the window minima
+                    with a frame window + rightmost join.
+
      leg='url'      URL-keyed dedup (textstats.url_duplicates over
                     normalize_url, the C4 fetch-variant collapse):
                     every doc gets a synthetic URL for the same page
@@ -311,6 +319,15 @@ def _q_substring_dedup(spark, sf_dir):
         F.col("n_dropped").cast("bigint").alias("x2"),
         F.length("text").cast("bigint").alias("x3"),
     )
+    from gliner_spark.operators.dedup import winnow_fingerprints
+
+    winnow = winnow_fingerprints(corpus, k=5, window=4).select(
+        F.lit("winnow").alias("leg"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("pos").cast("bigint").alias("x1"),
+        F.col("fp").cast("bigint").alias("x2"),
+        F.lit(-1).cast("bigint").alias("x3"),
+    )
     from gliner_spark.operators.textstats import url_duplicates
 
     a = (F.col("doc_id") % 37).cast("string")
@@ -348,6 +365,7 @@ def _q_substring_dedup(spark, sf_dir):
     return (
         contain.unionByName(repeat)
         .unionByName(lines)
+        .unionByName(winnow)
         .unionByName(url_leg)
     )
 
@@ -3116,6 +3134,34 @@ def oracle_sql() -> dict[str, str]:
                       + greatest(count(*) filter (where keep) - 1, 0)
                        )::bigint as x3
               from lflag group by doc_id),
+            wgr as (
+              select doc_id, i,
+                     ('0x' || substr(md5(array_to_string(
+                        list_slice(regexp_extract_all(norm, '{_PAT_SQL}'),
+                                   i, i + 4), ' ')), 1, 15))::bigint as h
+              from base,
+                   unnest(generate_series(1,
+                     len(regexp_extract_all(norm, '{_PAT_SQL}')) - 4))
+                     as u(i)
+              where len(regexp_extract_all(norm, '{_PAT_SQL}')) >= 5),
+            wwin as (
+              select doc_id, i as ws,
+                     min(h) over fr as mh,
+                     count(*) over fr as cnt
+              from wgr
+              window fr as (partition by doc_id order by i
+                            rows between current row and 3 following)),
+            wsel as (
+              select w.doc_id, max(g.i) - 1 as pos, w.mh as fp
+              from wwin w
+              join wgr g on g.doc_id = w.doc_id
+                 and g.i between w.ws and w.ws + 3 and g.h = w.mh
+              where w.cnt = 4
+              group by w.doc_id, w.ws, w.mh),
+            winnow_leg as (
+              select distinct 'winnow' as leg, doc_id::bigint as doc_id,
+                     pos::bigint as x1, fp as x2, -1::bigint as x3
+              from wsel),
             -- url leg: expected canonical derived ARITHMETICALLY from
             -- doc_id (never through the regex chain under test):
             -- variants 0/1/2 all canonicalize to the bare page URL,
@@ -3142,6 +3188,8 @@ def oracle_sql() -> dict[str, str]:
             select * from repeat_leg
             union all
             select * from lines_leg
+            union all
+            select * from winnow_leg
             union all
             select * from url_leg
         """,

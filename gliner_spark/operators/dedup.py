@@ -1370,3 +1370,69 @@ def semantic_dedup_survivors(
         .select((-F.col("best.nid")).alias("vec_id"))
     )
     return embeddings.join(keep, "vec_id")
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    portable: bool = True,
+) -> DataFrame:
+    """MOSS winnowing fingerprints → (doc_id, pos, fp): from the
+    rolling k-token gram hashes, each length-`window` window selects
+    its minimum hash (RIGHTMOST occurrence on ties — the canonical
+    winnowing tie rule), and selections collapse to a distinct
+    (position, hash) set. Guarantee (Schleimer/Wilkerson/Aiken 2003):
+    any shared token run of ≥ window+k−1 tokens between two documents
+    yields at least one shared fingerprint — the partial-overlap
+    detector sitting between whole-doc hashing (`fingerprints`) and
+    full ExactSubstr spans (`repeated_ngram_spans`), at a stored cost
+    of ~2/(window+1) fingerprints per token.
+
+    Pure map: tokens → positional k-grams → hash array → one
+    `transform` over window starts (array_min + reverse/array_position
+    for the rightmost-tie pick) → array_distinct → explode. Zero
+    shuffles; joining fingerprints to find overlapping docs is the
+    same int64 equi-join as every LSH family here. `portable=True`
+    hashes via the md5 scheme DuckDB can replay bit-for-bit (the
+    oracle path); False uses xxhash64 (the scale path, same plan
+    shape).
+    """
+    if window < 1 or k < 1:
+        raise ValueError("k and window must be >= 1")
+    norm = normalized_text(F.col(text_col))
+    grams = word_ngrams(tokens(norm), k)
+    h = portable_token_hash if portable else F.xxhash64
+    hs = F.transform(grams, lambda g: h(g))
+    n_win = F.size(hs) - (window - 1)
+    sel = F.when(
+        n_win >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_win),
+                lambda i: F.struct(
+                    (
+                        i
+                        - 1
+                        + (
+                            F.lit(window)
+                            - F.array_position(
+                                F.reverse(F.slice(hs, i, window)),
+                                F.array_min(F.slice(hs, i, window)),
+                            )
+                        )
+                    ).cast("long").alias("pos"),
+                    F.array_min(F.slice(hs, i, window)).alias("fp"),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:bigint,fp:bigint>>"))
+    return (
+        docs.select("doc_id", F.explode(sel).alias("_s"))
+        .select(
+            "doc_id",
+            F.col("_s.pos").alias("pos"),
+            F.col("_s.fp").alias("fp"),
+        )
+    )
