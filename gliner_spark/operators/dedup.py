@@ -1436,3 +1436,54 @@ def winnow_fingerprints(
             F.col("_s.fp").alias("fp"),
         )
     )
+
+
+def winnow_near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 3,
+    max_fp_df: int = 1000,
+    portable: bool = False,
+) -> DataFrame:
+    """Partial-overlap candidates from winnowing fingerprints →
+    (doc_a, doc_b, n_shared): doc pairs sharing ≥ `min_shared`
+    distinct fingerprints — the consumer of `winnow_fingerprints`
+    that catches long copied PASSAGES inside otherwise-different
+    documents (MinHash's whole-doc Jaccard under-scores exactly that
+    shape; the guarantee says every shared ≥window+k−1-token run
+    leaves at least one shared fingerprint).
+
+    Same scale discipline as every LSH family here: fingerprints with
+    document frequency > `max_fp_df` are dropped BEFORE the self-join
+    (boilerplate grams otherwise explode the join quadratically —
+    the minhash band-cap / line-dedup df-cap rule), then one int64
+    equi-join on fp + one (a, b) map-side-combining pair count.
+    """
+    fps = (
+        winnow_fingerprints(
+            docs, text_col=text_col, k=k, window=window, portable=portable
+        )
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_fp_df)
+        .select("fp")
+    )
+    fps = fps.join(rare, "fp")
+    pairs = (
+        fps.alias("l")
+        .join(fps.alias("r"), "fp")
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .groupBy(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    return pairs
