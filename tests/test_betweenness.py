@@ -93,3 +93,28 @@ def test_max_hops_truncates(spark):
     )
     spc = shortest_path_counts(e, [0], max_hops=2)
     assert spc.where("id = 3").count() == 0
+
+
+def test_disconnected_source_all_zero(spark):
+    e = spark.createDataFrame([(5, 6)], "src long, dst long")
+    got = {
+        r["id"]: r["betweenness"]
+        for r in betweenness_centrality(e, [99], max_hops=3).collect()
+    }
+    assert all(v == 0.0 for v in got.values())
+
+
+def test_cycle_graph_symmetry(spark):
+    # directed 5-cycle, source 0: every interior vertex relays the
+    # paths beyond it; python parity already pinned, here pin symmetry
+    n = 5
+    pairs = [(i, (i + 1) % n) for i in range(n)]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        r["id"]: r["betweenness"]
+        for r in betweenness_centrality(e, [0], max_hops=n - 1).collect()
+    }
+    want = _py_brandes(pairs, [0], n - 1)
+    assert got == {v: pytest.approx(x) for v, x in want.items()}
+    # strictly decreasing dependency moving away from the source
+    assert got[1] > got[2] > got[3] > got[4] == 0.0

@@ -115,3 +115,66 @@ def test_minhash_estimates_jaccard():
     agree = sum(x == y for x, y in zip(sa, sb)) / len(sa)
     true_j = 80 / 120
     assert abs(agree - true_j) < 0.08
+
+
+# --- winnowing fingerprint guarantee (r4 continuation) ---------------
+
+def _winnow_py(toks, k, w):
+    import hashlib
+
+    grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+    out = set()
+    for i in range(len(hs) - w + 1):
+        sub = hs[i:i + w]
+        mn = min(sub)
+        out.add((i + max(j for j, v in enumerate(sub) if v == mn), mn))
+    return out
+
+
+_tok = st.text(alphabet="abcdefgh", min_size=1, max_size=3)
+
+
+@given(
+    st.lists(_tok, min_size=0, max_size=12),   # prefix of doc A
+    st.lists(_tok, min_size=8, max_size=20),   # the shared run
+    st.lists(_tok, min_size=0, max_size=12),   # suffix of doc B
+    st.integers(2, 4),                         # k
+    st.integers(2, 4),                         # window
+)
+@settings(max_examples=150, deadline=None)
+def test_winnow_shared_run_guarantee_property(pre, shared, suf, k, w):
+    """Schleimer et al. theorem: two docs sharing a token run of
+    >= w+k-1 tokens share at least one fingerprint HASH (positions
+    differ by the offset). Checked on the python restatement that
+    test_winnow.py pins bit-for-bit against the Spark operator."""
+    if len(shared) < w + k - 1:
+        return
+    a = pre + shared
+    b = shared + suf
+    fa = {h for _, h in _winnow_py(a, k, w)}
+    fb = {h for _, h in _winnow_py(b, k, w)}
+    assert fa & fb
+
+
+@given(st.lists(_tok, min_size=10, max_size=60), st.integers(2, 5))
+@settings(max_examples=100, deadline=None)
+def test_winnow_selection_is_suffix_stable_property(toks, w):
+    """Winnowing picks only window minima: every selected fingerprint
+    hash must be a gram hash, and selections are within bounds."""
+    k = 3
+    if len(toks) < k + w - 1:
+        return
+    import hashlib
+
+    grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+    sel = _winnow_py(toks, k, w)
+    assert sel  # at least one window exists
+    for pos, h in sel:
+        assert 0 <= pos < len(hs)
+        assert hs[pos] == h
+        # density guarantee: gaps between consecutive selected
+        # positions never exceed w (each window contributes)
+    ps = sorted(p for p, _ in sel)
+    assert all(b - a <= w for a, b in zip(ps, ps[1:]))
