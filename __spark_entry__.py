@@ -1793,6 +1793,12 @@ def _q_edge_agg(spark, sf_dir):
                      pairs included). DuckDB replays it with a
                      recursive min-hop closure; the FM-sketch mode is
                      the 100 TB path, pinned vs exact in test_anf.py.
+      leg='diff'     kgquality.kg_diff (r4): snapshot regression diff
+                     between the even-day and odd-day halves of the
+                     evidence (disjoint snapshots ⇒ all three statuses
+                     occur) — a=subj_id, b=obj_id, k=pred|status,
+                     n=old evidence count, m=new. Oracled by a DuckDB
+                     full-outer join; 'same' rows provably absent.
       leg='profile'  kgquality.predicate_profile (r4): PARIS-style
                      per-predicate ontology stats over the canonical
                      triples — k=pred, n=n_triples, m=n_subj, a=n_obj,
@@ -2031,6 +2037,23 @@ def _q_edge_agg(spark, sf_dir):
             F.lit(0.0).alias("val"),
         )
     )
+    from gliner_spark.operators.kgquality import kg_diff
+
+    day = F.substring(F.col("conv_id"), 9, 2).cast("int")
+    ev_w = triples.withColumn("w", F.lit(1))
+    diff_leg = kg_diff(
+        ev_w.where(F.pmod(day, 2) == 0),
+        ev_w.where(F.pmod(day, 2) == 1),
+        weight_col="w",
+    ).select(
+        F.lit("diff").alias("leg"),
+        F.col("subj_id").alias("a"),
+        F.col("obj_id").alias("b"),
+        F.concat_ws("|", "pred", "status").alias("k"),
+        F.col("old_weight").alias("n"),
+        F.col("new_weight").alias("m"),
+        F.lit(0.0).alias("val"),
+    )
     prof_leg = predicate_profile(triples).select(
         F.lit("profile").alias("leg"),
         F.col("n_obj").cast("long").alias("a"),
@@ -2063,6 +2086,7 @@ def _q_edge_agg(spark, sf_dir):
         .unionByName(dprof_leg)
         .unionByName(harm_leg)
         .unionByName(mod_leg)
+        .unionByName(diff_leg)
         .unionByName(prof_leg)
         .unionByName(fviol_leg)
     )
@@ -4284,6 +4308,25 @@ def oracle_sql() -> dict[str, str]:
                            - (d.dc::double * d.dc::double)
                              / (4.0 * mm.m * mm.m), 6) as val
               from mdc d left join mec e using (lab), mm),
+            dold as (
+              select subj_id, pred, obj_id, count(*)::bigint as ow
+              from t where (substr(conv_id, 9, 2)::int % 2) = 0
+              group by 1, 2, 3),
+            dnew as (
+              select subj_id, pred, obj_id, count(*)::bigint as nw
+              from t where (substr(conv_id, 9, 2)::int % 2) = 1
+              group by 1, 2, 3),
+            diff_leg as (
+              select 'diff' as leg, subj_id as a, obj_id as b,
+                     pred || '|' ||
+                       case when o.ow is null then 'added'
+                            when n.nw is null then 'removed'
+                            else 'changed' end as k,
+                     coalesce(o.ow, 0) as n, coalesce(n.nw, 0) as m,
+                     0.0 as val
+              from dold o full outer join dnew n
+                   using (subj_id, pred, obj_id)
+              where o.ow is null or n.nw is null or o.ow <> n.nw),
             prof_leg as (
               select 'profile' as leg,
                      count(distinct obj_id)::bigint as a,
@@ -4318,6 +4361,7 @@ def oracle_sql() -> dict[str, str]:
             union all select * from dprof_leg
             union all select * from harm_leg
             union all select * from mod_leg
+            union all select * from diff_leg
             union all select * from prof_leg
             union all select * from fviol_leg
         """,

@@ -208,3 +208,57 @@ def resolve_conflicts(
             F.lit(0.0).alias("won_by"),
         )
     )
+
+
+def kg_diff(
+    old_edges: DataFrame,
+    new_edges: DataFrame,
+    key_cols: Sequence[str] = ("subj_id", "pred", "obj_id"),
+    weight_col: str | None = "n_evidence",
+) -> DataFrame:
+    """Snapshot diff between two KG edge tables → one row per edge
+    that CHANGED: (key…, status, old_weight, new_weight) with status
+    in {'added', 'removed', 'changed'} — the regression gate a
+    production KG runs between pipeline versions or ingest
+    generations ("what did this code change do to the graph?").
+    Unchanged edges are filtered out, so the output is the review
+    set, not a copy of the corpus.
+
+    One full-outer join on the (int64/string) edge key, pre-aggregated
+    per side so parallel evidence rows fold first (map-side combine) —
+    two shuffles total, both on the natural edge key the tables are
+    already materialized by. With weight_col=None only
+    presence/absence is diffed ('changed' cannot occur).
+    """
+    keys = list(key_cols)
+
+    def _fold(df: DataFrame, out: str) -> DataFrame:
+        if weight_col is None:
+            return df.select(*keys).distinct().withColumn(
+                out, F.lit(1).cast("long")
+            )
+        return df.groupBy(*keys).agg(
+            F.sum(F.col(weight_col)).cast("long").alias(out)
+        )
+
+    o = _fold(old_edges, "old_weight")
+    n = _fold(new_edges, "new_weight")
+    joined = o.join(n, keys, "full_outer")
+    status = (
+        F.when(F.col("old_weight").isNull(), F.lit("added"))
+        .when(F.col("new_weight").isNull(), F.lit("removed"))
+        .when(
+            F.col("old_weight") != F.col("new_weight"), F.lit("changed")
+        )
+        .otherwise(F.lit("same"))
+    )
+    return (
+        joined.withColumn("status", status)
+        .where(F.col("status") != "same")
+        .select(
+            *keys,
+            "status",
+            F.coalesce("old_weight", F.lit(0)).alias("old_weight"),
+            F.coalesce("new_weight", F.lit(0)).alias("new_weight"),
+        )
+    )

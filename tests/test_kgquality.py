@@ -146,3 +146,51 @@ def test_resolve_conflicts_passthrough_and_tie(spark):
     # non-functional predicate passes through
     assert ("knows", 1, 9) in rows
     assert rows[("knows", 1, 9)]["n_rivals"] == 0
+
+
+def test_kg_diff_statuses(spark):
+    from gliner_spark.operators.kgquality import kg_diff
+
+    old = spark.createDataFrame(
+        [
+            (1, "p", 2, 3),
+            (1, "p", 3, 1),   # removed
+            (2, "q", 4, 2),   # weight changes (2 -> 5)
+            (2, "q", 4, 0),   # parallel row folds into the above
+        ],
+        "subj_id long, pred string, obj_id long, n_evidence long",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "p", 2, 3),   # unchanged -> absent from output
+            (2, "q", 4, 5),
+            (9, "p", 9, 1),   # added
+        ],
+        "subj_id long, pred string, obj_id long, n_evidence long",
+    )
+    got = {
+        (r["subj_id"], r["pred"], r["obj_id"]): (
+            r["status"], r["old_weight"], r["new_weight"]
+        )
+        for r in kg_diff(old, new).collect()
+    }
+    assert got == {
+        (1, "p", 3): ("removed", 1, 0),
+        (2, "q", 4): ("changed", 2, 5),
+        (9, "p", 9): ("added", 0, 1),
+    }
+
+
+def test_kg_diff_presence_only(spark):
+    from gliner_spark.operators.kgquality import kg_diff
+
+    old = spark.createDataFrame(
+        [(1, "p", 2, 7)],
+        "subj_id long, pred string, obj_id long, n_evidence long",
+    )
+    new = spark.createDataFrame(
+        [(1, "p", 2, 99)],
+        "subj_id long, pred string, obj_id long, n_evidence long",
+    )
+    # weight ignored -> no change rows at all
+    assert kg_diff(old, new, weight_col=None).count() == 0
