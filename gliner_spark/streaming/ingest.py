@@ -181,3 +181,26 @@ def stream_dedup(
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["content_hash"])
     )
+
+
+def stream_url_dedup(
+    stream: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming URL-keyed dedup: the C4 fetch-variant collapse
+    (textstats.normalize_url) as a state-bounded
+    `dropDuplicatesWithinWatermark` on the CANONICAL url — a crawl
+    frontier re-fetching the same page under tracking-param/port/
+    fragment variants within the window emits it once. Same canonical
+    form as the batch operator (textstats.url_duplicates), so batch
+    and stream agree on page identity; re-arrivals past the watermark
+    are the batch pass's job, exactly like `stream_dedup`."""
+    from ..operators.textstats import normalize_url
+
+    return (
+        stream.withColumn("canonical_url", normalize_url(F.col(url_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["canonical_url"])
+    )

@@ -390,3 +390,65 @@ def test_stream_budget_admit_carries_state_across_batches(
     assert len(got) == 3
     assert {c for _, c in got} == {5, 10, 15}
     assert {d for d, _ in got} <= {1, 2, 3, 4}
+
+
+def test_stream_url_dedup_collapses_fetch_variants(spark, tmp_path_factory):
+    """URL variants of the same page arriving across micro-batches
+    within the watermark collapse to one row; distinct pages survive;
+    batch and stream agree on the canonical key."""
+    import datetime
+
+    from gliner_spark.streaming.ingest import stream_url_dedup
+
+    land = str(tmp_path_factory.mktemp("url_land"))
+    ckpt = str(tmp_path_factory.mktemp("url_ckpt"))
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "fetch_id long, url string, ts timestamp"
+
+    def rows(batch, urls):
+        return [
+            (batch * 100 + i, u,
+             t0 + datetime.timedelta(seconds=batch * 60 + i))
+            for i, u in enumerate(urls)
+        ]
+
+    spark.createDataFrame(
+        rows(1, [
+            "https://site.com/page?utm_source=feed",
+            "https://other.com/x",
+        ]),
+        schema,
+    ).coalesce(1).write.mode("append").parquet(land)
+    spark.createDataFrame(
+        rows(2, [
+            "HTTPS://SITE.COM:443/page#top",   # same page as batch 1
+            "https://site.com/page/",          # and again
+            "https://third.com/y",
+        ]),
+        schema,
+    ).coalesce(1).write.mode("append").parquet(land)
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    q = (
+        stream_url_dedup(src)
+        .writeStream.format("memory")
+        .queryName("url_dedup_sink")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql(
+        "select canonical_url from url_dedup_sink"
+    ).collect()
+    canon = sorted(r["canonical_url"] for r in out)
+    assert canon == [
+        "https://other.com/x",
+        "https://site.com/page",
+        "https://third.com/y",
+    ]
