@@ -109,3 +109,100 @@ def generate_labels(
     return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
         run, GEN_SCHEMA
     )
+
+
+def sample_negative_types(
+    examples: DataFrame,
+    group_col: str = "batch_id",
+    types_col: str = "types",
+    n_neg: int = 5,
+    seed: int = 7,
+) -> DataFrame:
+    """In-batch negative type sampling → (group, negatives
+    array<string>): the union of distinct gold entity types across a
+    batch, deterministically shuffled, truncated to `n_neg` — the
+    reference's `get_negatives`
+    (/root/reference/gliner/data_processing/processor.py:74-82:
+    set-union of per-example types, random.shuffle, [:sampled_neg]),
+    with `random.shuffle` replaced by the repo's md5-keyed order so
+    shard regeneration is exact (SURVEY U3 — the "[train] N/A; if
+    needed: collect_set + shuffle" row, built as a data op).
+
+    Plan: explode → distinct (group, type) — one hash agg — then one
+    group agg folding the md5-sorted list; the per-group state is the
+    type vocabulary (tiny), never the example rows.
+    """
+    from pyspark.sql import functions as F
+
+    g, t = F.col(group_col), F.col(types_col)
+    distinct_types = (
+        examples.select(g.alias("grp"), F.explode(t).alias("ty"))
+        .distinct()
+    )
+    key = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("ty")))
+    return (
+        distinct_types.select(
+            "grp", F.struct(key.alias("k"), F.col("ty").alias("ty")).alias("s")
+        )
+        .groupBy("grp")
+        .agg(F.sort_array(F.collect_list("s")).alias("ss"))
+        .select(
+            F.col("grp").alias(group_col),
+            F.slice(
+                F.transform(F.col("ss"), lambda s: s["ty"]), 1, n_neg
+            ).alias("negatives"),
+        )
+    )
+
+
+def attach_negative_types(
+    examples: DataFrame,
+    group_col: str = "batch_id",
+    types_col: str = "types",
+    n_neg: int = 5,
+    max_types: int = 25,
+    neg_ratio: int = 1,
+    seed: int = 7,
+) -> DataFrame:
+    """Per-example label sets with in-batch negatives → the input plus
+    (negatives, label_set): the reference's
+    `batch_generate_class_mappings` data semantics
+    (/root/reference/gliner/data_processing/processor.py:214-241):
+    each example's candidate label list = its own gold types + up to
+    `len(gold) * neg_ratio` in-batch negatives, deduped,
+    deterministically shuffled, truncated to `max_types`. The RNG
+    (`random.randint(0, max_neg_type_ratio)`, `random.shuffle`) is
+    replaced by the fixed `neg_ratio` and the md5 order — every
+    stochastic choice becomes a pure column expression, so the same
+    shard always builds the same label sets (the property the
+    reference's data loader cannot offer).
+
+    One broadcast-sized join (per-group negative lists) + pure map.
+    """
+    from pyspark.sql import functions as F
+
+    negs = sample_negative_types(
+        examples, group_col=group_col, types_col=types_col,
+        n_neg=n_neg, seed=seed,
+    )
+    t = F.col(types_col)
+    take = F.least(
+        F.size("negatives"), F.size(t) * F.lit(int(neg_ratio))
+    )
+    merged = F.array_distinct(
+        F.concat(t, F.slice("negatives", F.lit(1), take))
+    )
+    key = lambda s: F.md5(  # noqa: E731
+        F.concat_ws("|", F.lit(str(seed) + "x"), s)
+    )
+    shuffled = F.transform(
+        F.array_sort(
+            F.transform(
+                merged, lambda s: F.struct(key(s).alias("k"), s.alias("ty"))
+            )
+        ),
+        lambda s: s["ty"],
+    )
+    return examples.join(F.broadcast(negs), group_col).withColumn(
+        "label_set", F.slice(shuffled, 1, int(max_types))
+    )
