@@ -1,0 +1,187 @@
+"""Count-min sketch: mergeable sub-linear frequency sketch.
+
+The missing piece between exact `groupBy().count()` (fine in batch,
+unbounded state in a stream) and HLL (distinct counts only): CMS
+answers "how often has THIS key appeared" within ε·N overestimate
+using depth·width counters total, regardless of key cardinality —
+the hot-key / heavy-hitter detector for streaming admission control
+(`streaming/ingest.py` token-budget shapes) and skew diagnosis.
+
+Representation is a SPARSE DataFrame (d, bucket, n) — at most
+depth·width rows ever, dense only if the data actually fills it.
+Build = one explode(depth) + one hash agg (map-side combining);
+merge = unionByName + the same agg (counters are additive);
+probe = one broadcast-sized equi-join + a min-over-depth agg.
+Guarantees (Cormode & Muthukrishnan 2005): estimate ≥ true count
+always; estimate ≤ true + εN with probability 1−δ for
+width = ⌈e/ε⌉, depth = ⌈ln 1/δ⌉.
+
+Streaming: `fold_countmin_batch` is the foreachBatch body — fold the
+micro-batch's sketch into a persisted sparse state with the repo's
+marker-last commit (state is bounded by construction, so unlike exact
+streaming counts it never needs a watermark to stay finite).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(key_col, d: int, width: int, seed: int):
+    return F.pmod(
+        F.xxhash64(key_col, F.lit(int(seed) * 1009 + d)), F.lit(int(width))
+    )
+
+
+def build_countmin(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 8192,
+    seed: int = 17,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Sketch the frequency of `key_col` values → sparse (d, bucket, n).
+
+    One explode over the `depth` hash rows per input row + ONE
+    map-side-combining hash agg on (d, bucket) — the shuffled state is
+    the sketch (≤ depth·width rows), never the key set.
+    """
+    if depth < 1 or width < 2:
+        raise ValueError("depth >= 1 and width >= 2 required")
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _bucket(F.col(key_col), d, width, seed).alias(
+                            "bucket"
+                        ),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("s"),
+        w.alias("w"),
+    )
+    return (
+        rows.select("s.d", "s.bucket", "w")
+        .groupBy("d", "bucket")
+        .agg(F.sum("w").alias("n"))
+    )
+
+
+def merge_countmin(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Counters are additive: merge = union + re-agg (same shape as
+    build, so merging is associative and commutative — the property
+    that makes the sketch partition- and micro-batch-friendly)."""
+    return (
+        a.unionByName(b)
+        .groupBy("d", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 8192,
+    seed: int = 17,
+) -> DataFrame:
+    """Point-query estimates → keys plus `est` (min over depth rows).
+
+    The sketch side is ≤ depth·width rows — broadcast it; the query
+    side explodes to depth rows per key, joins on (d, bucket), and a
+    missing counter row means 0 (min folds it first). est ≥ true
+    always; collisions only inflate.
+    """
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _bucket(F.col(key_col), d, width, seed).alias(
+                            "bucket"
+                        ),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("s"),
+    ).select(key_col, "s.d", "s.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce("n", F.lit(0))).alias("est"))
+    )
+
+
+def fold_countmin_batch(
+    batch: DataFrame,
+    state_path: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 8192,
+    seed: int = 17,
+) -> None:
+    """foreachBatch body: fold one micro-batch into the persisted
+    sparse sketch at `state_path` with the repo's marker-last commit
+    (`_gen=N` directories; a generation is visible iff its marker
+    file exists, so a crash between write and marker is an invisible
+    orphan and replaying the batch is idempotent at the GENERATION
+    level — the sketch itself is additive, so the fold order never
+    matters). State on disk is ≤ depth·width rows per generation and
+    exactly one live generation after each fold.
+    """
+    spark = batch.sparkSession
+    live = current_countmin(spark, state_path)
+    delta = build_countmin(
+        batch, key_col, depth=depth, width=width, seed=seed
+    )
+    merged = merge_countmin(live, delta) if live is not None else delta
+    gens = _live_generations(state_path)
+    nxt = (max(gens) + 1) if gens else 0
+    out = os.path.join(state_path, f"_gen={nxt}")
+    merged.coalesce(1).write.mode("overwrite").parquet(out)
+    with open(os.path.join(state_path, f"_gen={nxt}.ok"), "w") as f:
+        f.write("ok")
+    # GC: old generations are unreachable once the new marker exists;
+    # remove marker FIRST (a markerless dir is invisible)
+    for g in gens:
+        try:
+            os.remove(os.path.join(state_path, f"_gen={g}.ok"))
+        except FileNotFoundError:
+            pass
+
+
+def _live_generations(state_path: str) -> list[int]:
+    if not os.path.isdir(state_path):
+        return []
+    out = []
+    for name in os.listdir(state_path):
+        if name.startswith("_gen=") and name.endswith(".ok"):
+            out.append(int(name[len("_gen="):-len(".ok")]))
+    return sorted(out)
+
+
+def current_countmin(spark, state_path: str) -> DataFrame | None:
+    """The live committed sketch, or None before the first fold."""
+    gens = _live_generations(state_path)
+    if not gens:
+        return None
+    return spark.read.parquet(
+        os.path.join(state_path, f"_gen={max(gens)}")
+    )

@@ -1,0 +1,105 @@
+"""Count-min sketch (operators/sketches.py): overestimate guarantee,
+merge associativity, streaming fold parity, crash-orphan invisibility."""
+import collections
+
+from pyspark.sql import functions as F
+
+from gliner_spark.operators.sketches import (
+    build_countmin,
+    cms_lookup,
+    current_countmin,
+    fold_countmin_batch,
+    merge_countmin,
+)
+
+WORDS = [f"w{i % 37}" for i in range(500)] + ["hot"] * 200
+
+
+def _df(spark, words):
+    return spark.createDataFrame([(w,) for w in words], "word string")
+
+
+def test_estimates_bounded_below_by_truth_and_close(spark):
+    df = _df(spark, WORDS)
+    sk = build_countmin(df, "word", depth=4, width=1024)
+    keys = _df(spark, sorted(set(WORDS)))
+    est = {
+        r["word"]: r["est"]
+        for r in cms_lookup(sk, keys, "word", depth=4, width=1024).collect()
+    }
+    true = collections.Counter(WORDS)
+    n = len(WORDS)
+    for w, t in true.items():
+        assert est[w] >= t, w                    # never undercounts
+        assert est[w] <= t + (2.72 / 1024) * n + 3, w
+    # the hot key dominates and is found exactly (width >> keys)
+    assert est["hot"] == 200
+
+
+def test_absent_key_estimates_zero_or_collision(spark):
+    sk = build_countmin(_df(spark, WORDS), "word", width=1024)
+    est = cms_lookup(
+        sk, _df(spark, ["never-seen-key"]), "word", width=1024
+    ).collect()[0]["est"]
+    assert est >= 0
+    assert est <= 20  # only hash collisions can inflate it
+
+
+def test_merge_equals_oneshot_build(spark):
+    a, b = WORDS[:300], WORDS[300:]
+    merged = merge_countmin(
+        build_countmin(_df(spark, a), "word", width=256),
+        build_countmin(_df(spark, b), "word", width=256),
+    )
+    oneshot = build_countmin(_df(spark, WORDS), "word", width=256)
+    ma = {(r["d"], r["bucket"]): r["n"] for r in merged.collect()}
+    mo = {(r["d"], r["bucket"]): r["n"] for r in oneshot.collect()}
+    assert ma == mo
+
+
+def test_weighted_build(spark):
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 2), ("b", 1)], "word string, w long"
+    )
+    sk = build_countmin(df, "word", width=64, weight_col="w")
+    est = {
+        r["word"]: r["est"]
+        for r in cms_lookup(
+            sk, _df(spark, ["a", "b"]), "word", width=64
+        ).collect()
+    }
+    assert est["a"] >= 7 and est["b"] >= 1
+
+
+def test_streaming_fold_parity_and_crash_orphan(spark, tmp_path_factory):
+    state = str(tmp_path_factory.mktemp("cms_state"))
+    a, b = WORDS[:250], WORDS[250:]
+    fold_countmin_batch(_df(spark, a), state, "word", width=256)
+    fold_countmin_batch(_df(spark, b), state, "word", width=256)
+    live = current_countmin(spark, state)
+    oneshot = build_countmin(_df(spark, WORDS), "word", width=256)
+    got = {(r["d"], r["bucket"]): r["n"] for r in live.collect()}
+    want = {(r["d"], r["bucket"]): r["n"] for r in oneshot.collect()}
+    assert got == want
+    # exactly one live generation after the folds
+    import os
+
+    oks = [f for f in os.listdir(state) if f.endswith(".ok")]
+    assert len(oks) == 1
+    # crash orphan: a generation directory WITHOUT a marker is invisible
+    gen = int(oks[0][len("_gen="):-len(".ok")])
+    orphan = os.path.join(state, f"_gen={gen + 1}")
+    live.limit(1).write.mode("overwrite").parquet(orphan)  # no marker
+    still = current_countmin(spark, state)
+    assert {
+        (r["d"], r["bucket"]): r["n"] for r in still.collect()
+    } == want
+
+
+def test_single_shuffle_build_plan(spark):
+    df = _df(spark, WORDS)
+    plan = (
+        build_countmin(df, "word", width=256)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1  # only the (d, bucket) agg
