@@ -185,3 +185,52 @@ def current_countmin(spark, state_path: str) -> DataFrame | None:
     return spark.read.parquet(
         os.path.join(state_path, f"_gen={max(gens)}")
     )
+
+
+def heavy_hitters_fold(
+    state: DataFrame | None,
+    batch: DataFrame,
+    key_col: str,
+    k: int = 100,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Misra-Gries heavy-hitters fold → ≤ k rows (key, n): merge one
+    batch's exact counts into the candidate summary, then apply the
+    MG decrement (subtract the (k+1)-th largest count from everyone,
+    drop ≤0) — the ENUMERATION side CMS lacks: CMS answers point
+    queries but cannot list the heavy keys; MG maintains the
+    candidate set itself in k rows of state with the merged-summary
+    guarantee (Agarwal et al. 2012): true_count − εN ≤ n ≤
+    true_count with ε = 1/(k+1), so every key above εN survives.
+
+    Per fold: one exact hash agg over the BATCH (bounded by the
+    micro-batch, not the stream), one union + re-agg against ≤ k
+    state rows, one (k+1)-th-order-statistic lookup over ≤ k +
+    batch-keys rows, one subtract-and-filter. Deterministic: ties at
+    the cut survive or die together (the decrement is value-based,
+    never a row_number pick).
+    """
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    counts = batch.select(F.col(key_col).alias("key"), w.alias("n")).groupBy(
+        "key"
+    ).agg(F.sum("n").alias("n"))
+    if state is not None:
+        counts = (
+            counts.unionByName(state.select("key", "n"))
+            .groupBy("key")
+            .agg(F.sum("n").alias("n"))
+        )
+    counts = counts.localCheckpoint()
+    cut_rows = (
+        counts.orderBy(F.col("n").desc(), F.col("key"))
+        .limit(k + 1)
+        .collect()
+    )
+    cut = cut_rows[k]["n"] if len(cut_rows) > k else 0
+    return counts.select("key", (F.col("n") - cut).alias("n")).where(
+        F.col("n") > 0
+    )

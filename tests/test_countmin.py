@@ -103,3 +103,38 @@ def test_single_shuffle_build_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") == 1  # only the (d, bucket) agg
+
+
+def test_heavy_hitters_mg_guarantee(spark):
+    from gliner_spark.operators.sketches import heavy_hitters_fold
+
+    # stream: one dominant key + a long uniform tail, folded in 3 batches
+    words = (
+        ["hot"] * 120 + [f"t{i % 60}" for i in range(300)] + ["warm"] * 40
+    )
+    batches = [words[:150], words[150:300], words[300:]]
+    state = None
+    for b in batches:
+        state = heavy_hitters_fold(state, _df(spark, b), "word", k=20)
+    got = {r["key"]: r["n"] for r in state.collect()}
+    true = collections.Counter(words)
+    n = len(words)
+    eps_n = n / 21
+    assert len(got) <= 20
+    # every key above eps*N must survive, and estimates never overcount
+    for w, t in true.items():
+        if t > eps_n:
+            assert w in got, w
+        if w in got:
+            assert got[w] <= t
+            assert got[w] >= t - eps_n
+    assert "hot" in got and "warm" in got
+
+
+def test_heavy_hitters_small_input_is_exact(spark):
+    from gliner_spark.operators.sketches import heavy_hitters_fold
+
+    words = ["a", "a", "b", "c"]
+    state = heavy_hitters_fold(None, _df(spark, words), "word", k=10)
+    got = {r["key"]: r["n"] for r in state.collect()}
+    assert got == {"a": 2, "b": 1, "c": 1}  # fewer keys than k: no cut
