@@ -187,6 +187,100 @@ def current_countmin(spark, state_path: str) -> DataFrame | None:
     )
 
 
+def build_kmv(
+    df: DataFrame,
+    key_col: str,
+    k: int = 1024,
+    seed: int = 23,
+) -> DataFrame:
+    """Bottom-k (KMV) distinct-value sketch → ≤ k rows (v) of the k
+    smallest xxhash64 values of `key_col` (Beyer et al., "On Synopses
+    for Distinct-Value Estimation", SIGMOD 2007).
+
+    The set-operation side HLL lacks: `approx_count_distinct` merges
+    by register-max so it answers UNION cardinality only; a KMV
+    sketch is a uniform sample of the distinct-hash space, so two
+    sketches also yield INTERSECTION and Jaccard estimates
+    (`kmv_set_ops`) — the cross-corpus overlap report ("how much of
+    crawl B is already in crawl A") without rescanning either corpus.
+
+    Build = one map projection to int64 hashes + a map-side-combining
+    distinct + TakeOrderedAndProject(k): the shuffle moves only the
+    per-partition-distinct 8-byte hashes, and the final sort never
+    materializes more than k rows per partition. The persisted state
+    is ≤ k int64s; folding a new shard is `merge_kmv` over two tiny
+    tables, no corpus I/O.
+    """
+    if k < 2:
+        raise ValueError("k >= 2 required")
+    return (
+        df.select(F.xxhash64(F.col(key_col), F.lit(int(seed))).alias("v"))
+        .distinct()
+        .orderBy("v")
+        .limit(int(k))
+    )
+
+
+def merge_kmv(a: DataFrame, b: DataFrame, k: int = 1024) -> DataFrame:
+    """union → distinct → bottom-k: the k smallest distinct hashes of
+    A ∪ B — exactly `build_kmv` over the concatenated inputs, so the
+    merge is associative, commutative, and idempotent (re-folding the
+    same shard is a no-op). Both sides are ≤ k rows."""
+    return a.unionByName(b).distinct().orderBy("v").limit(int(k))
+
+
+def _kmv_u(h: int) -> float:
+    # signed int64 hash -> uniform (0, 1]; +1 keeps u_k > 0 even at
+    # the minimum hash so the estimator never divides by zero
+    return (h + 2**63 + 1) / 2.0**64
+
+
+def kmv_estimate(values: list[int], k: int) -> float:
+    """Distinct-count estimate from a sketch's sorted hash list: exact
+    |values| while the sketch is unsaturated (< k rows ⇒ it holds the
+    whole distinct-hash set), else the KMV estimator (k−1)/u_(k)."""
+    vs = sorted(values)
+    if len(vs) < k:
+        return float(len(vs))
+    return (k - 1) / _kmv_u(vs[k - 1])
+
+
+def kmv_set_ops(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 1024,
+) -> dict:
+    """Union / intersection / Jaccard estimates from two KMV sketches
+    (the ρ-combination of Beyer et al. §4): L = bottom-k of the merged
+    hash set is a size-|L| uniform sample of the distinct union, so
+    Jaccard ≈ |{v ∈ L present in both sketches}| / |L| and
+    intersection ≈ Jaccard · union_estimate. Exact (not approximate)
+    whenever the merged sketch is unsaturated — the whole union fits.
+
+    Everything here moves ≤ 3k rows; the collect is the sketch, never
+    the corpus. Returns {union_est, intersect_est, jaccard, sampled}.
+    """
+    av = {r["v"] for r in a.select("v").collect()}
+    bv = {r["v"] for r in b.select("v").collect()}
+    merged = sorted(av | bv)[: int(k)]
+    if not merged:
+        return {
+            "union_est": 0.0,
+            "intersect_est": 0.0,
+            "jaccard": 0.0,
+            "sampled": 0,
+        }
+    union_est = kmv_estimate(merged, k)
+    both = sum(1 for v in merged if v in av and v in bv)
+    jacc = both / len(merged)
+    return {
+        "union_est": union_est,
+        "intersect_est": jacc * union_est,
+        "jaccard": jacc,
+        "sampled": len(merged),
+    }
+
+
 def heavy_hitters_fold(
     state: DataFrame | None,
     batch: DataFrame,

@@ -138,3 +138,84 @@ def test_heavy_hitters_small_input_is_exact(spark):
     state = heavy_hitters_fold(None, _df(spark, words), "word", k=10)
     got = {r["key"]: r["n"] for r in state.collect()}
     assert got == {"a": 2, "b": 1, "c": 1}  # fewer keys than k: no cut
+
+
+# ---------------------------------------------------------------- KMV
+
+
+def _ids(spark, lo, hi, dup=1):
+    rows = [(f"id{i}",) for i in range(lo, hi)] * dup
+    return spark.createDataFrame(rows, "key string")
+
+
+def test_kmv_exact_while_unsaturated(spark):
+    from gliner_spark.operators.sketches import build_kmv, kmv_estimate
+
+    sk = build_kmv(_ids(spark, 0, 40, dup=3), "key", k=256)
+    vs = [r["v"] for r in sk.collect()]
+    assert len(vs) == 40  # duplicates collapse; sketch holds the set
+    assert kmv_estimate(vs, 256) == 40.0
+
+
+def test_kmv_estimate_accuracy_when_saturated(spark):
+    from gliner_spark.operators.sketches import build_kmv, kmv_estimate
+
+    n = 20000
+    sk = build_kmv(_ids(spark, 0, n), "key", k=512)
+    vs = [r["v"] for r in sk.collect()]
+    assert len(vs) == 512
+    est = kmv_estimate(vs, 512)
+    # stderr ~ n/sqrt(k-2) ≈ 4.4%; allow 4 sigma
+    assert abs(est - n) / n < 0.18
+
+
+def test_kmv_merge_equals_oneshot_and_idempotent(spark):
+    from gliner_spark.operators.sketches import build_kmv, merge_kmv
+
+    a = build_kmv(_ids(spark, 0, 3000), "key", k=128)
+    b = build_kmv(_ids(spark, 2000, 6000), "key", k=128)
+    one = build_kmv(_ids(spark, 0, 6000), "key", k=128)
+    merged = merge_kmv(a, b, k=128)
+    assert sorted(r["v"] for r in merged.collect()) == sorted(
+        r["v"] for r in one.collect()
+    )
+    again = merge_kmv(merged, b, k=128)
+    assert sorted(r["v"] for r in again.collect()) == sorted(
+        r["v"] for r in merged.collect()
+    )
+
+
+def test_kmv_set_ops_exact_when_union_fits(spark):
+    from gliner_spark.operators.sketches import build_kmv, kmv_set_ops
+
+    a = build_kmv(_ids(spark, 0, 60), "key", k=256)
+    b = build_kmv(_ids(spark, 40, 100), "key", k=256)
+    r = kmv_set_ops(a, b, k=256)
+    assert r["union_est"] == 100.0
+    assert r["intersect_est"] == 20.0
+    assert abs(r["jaccard"] - 0.2) < 1e-12
+
+
+def test_kmv_set_ops_planted_overlap_saturated(spark):
+    from gliner_spark.operators.sketches import build_kmv, kmv_set_ops
+
+    # |A|=|B|=8000, overlap 4000 -> union 12000, jaccard 1/3
+    a = build_kmv(_ids(spark, 0, 8000), "key", k=512)
+    b = build_kmv(_ids(spark, 4000, 12000), "key", k=512)
+    r = kmv_set_ops(a, b, k=512)
+    assert r["sampled"] == 512
+    assert abs(r["union_est"] - 12000) / 12000 < 0.18
+    assert abs(r["jaccard"] - 1 / 3) < 0.09  # binomial 4sigma ≈ 0.083
+    assert abs(r["intersect_est"] - 4000) / 4000 < 0.3
+
+
+def test_kmv_empty_and_disjoint(spark):
+    from gliner_spark.operators.sketches import build_kmv, kmv_set_ops
+
+    e = build_kmv(_ids(spark, 0, 0), "key", k=64)
+    r0 = kmv_set_ops(e, e, k=64)
+    assert r0["union_est"] == 0.0 and r0["sampled"] == 0
+    a = build_kmv(_ids(spark, 0, 30), "key", k=64)
+    b = build_kmv(_ids(spark, 1000, 1030), "key", k=64)
+    rd = kmv_set_ops(a, b, k=64)
+    assert rd["union_est"] == 60.0 and rd["intersect_est"] == 0.0
