@@ -2093,10 +2093,21 @@ def _q_edge_agg(spark, sf_dir):
 
 
 def _q_asof_enrich(spark, sf_dir):
-    """As-of join: each error event enriched with the user's most recent
+    """Temporal-join umbrella, columns (leg, user_id, event_id, n, val).
+
+    leg='asof': each error event enriched with the user's most recent
     click at-or-before it (union-sort-fill, one shuffle — Spark has no
-    native ASOF JOIN; DuckDB's is the oracle)."""
-    from gliner_spark.operators.temporal import as_of_join
+    native ASOF JOIN; DuckDB's is the oracle); n = match age in µs,
+    val = matched click value.
+
+    leg='range': bucketized interval join (temporal.interval_join) —
+    error events falling inside synthetic view-intervals
+    [ts, ts + (event_id % 7 + 1) hours] per user; Spark would plan the
+    raw range predicate as a BroadcastNestedLoopJoin, the operator
+    makes it a (user_id, hour-bucket) equi-join; DuckDB's plain
+    BETWEEN join is the oracle. n = matched view event_id,
+    val = the view's rounded value."""
+    from gliner_spark.operators.temporal import as_of_join, interval_join
 
     ev = _events(spark, sf_dir)
     left = ev.where("event_type = 'error'").select("event_id", "user_id", "ts")
@@ -2108,16 +2119,48 @@ def _q_asof_enrich(spark, sf_dir):
         .groupBy("user_id", "ts")
         .agg(F.max(F.round("value", 2)).alias("click_value"))
     )
-    out = as_of_join(left, right, "user_id", "ts", ("click_value",))
-    return out.select(
+    asof = as_of_join(left, right, "user_id", "ts", ("click_value",)).select(
+        F.lit("asof").alias("leg"),
         "user_id",
         "event_id",
-        "click_value",
         (
             F.unix_micros(F.col("ts").cast("timestamp"))
             - F.unix_micros(F.col("matched_ts").cast("timestamp"))
-        ).alias("age_us"),
+        ).alias("n"),
+        F.col("click_value").alias("val"),
     )
+
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    pts = ev.where("event_type = 'error'").select(
+        "event_id", "user_id", us.alias("pu")
+    )
+    hours_us = 3_600_000_000
+    iv = ev.where("event_type = 'view'").select(
+        "user_id",
+        F.col("event_id").alias("iv_id"),
+        us.alias("su"),
+        (us + (F.pmod("event_id", F.lit(7)) + 1) * F.lit(hours_us)).alias(
+            "eu"
+        ),
+        F.round("value", 2).alias("iv_val"),
+    )
+    rng = interval_join(
+        pts,
+        iv,
+        "pu",
+        "su",
+        "eu",
+        key_cols=("user_id",),
+        value_cols=("iv_id", "iv_val"),
+        bucket_us=hours_us,
+    ).select(
+        F.lit("range").alias("leg"),
+        "user_id",
+        "event_id",
+        F.col("iv_id").alias("n"),
+        F.col("iv_val").alias("val"),
+    )
+    return asof.unionByName(rng)
 
 
 def _q_event_rollup(spark, sf_dir):
@@ -4398,9 +4441,9 @@ def oracle_sql() -> dict[str, str]:
             group by n_name
         """,
         "asof_enrich": """
-            select l.user_id, l.event_id,
-                   r.click_value,
-                   epoch_us(l.ts) - epoch_us(r.ts) as age_us
+            select 'asof' as leg, l.user_id, l.event_id,
+                   (epoch_us(l.ts) - epoch_us(r.ts))::bigint as n,
+                   r.click_value as val
             from (select event_id, user_id, ts from events
                   where event_type = 'error') l
             asof left join (
@@ -4408,6 +4451,17 @@ def oracle_sql() -> dict[str, str]:
                   from events where event_type = 'click'
                   group by user_id, ts) r
               on l.user_id = r.user_id and l.ts >= r.ts
+            union all
+            select 'range' as leg, p.user_id, p.event_id,
+                   v.event_id as n, round(v.value, 2) as val
+            from (select event_id, user_id, epoch_us(ts) as pu
+                  from events where event_type = 'error') p
+            join (select user_id, event_id, value,
+                         epoch_us(ts) as su,
+                         (epoch_us(ts)
+                          + ((event_id % 7) + 1) * 3600000000)::bigint as eu
+                  from events where event_type = 'view') v
+              on p.user_id = v.user_id and p.pu between v.su and v.eu
         """,
         "event_rollup": """
             select event_type, date_trunc('hour', ts) as bucket,

@@ -16,6 +16,19 @@ time_rollup   multi-granularity rollup (the hypertable continuous-
               aggregate shape): GROUP BY ROLLUP over (dims…, bucket) —
               Catalyst's native `rollup` produces all grouping-set
               levels in one pass with map-side partial aggregation.
+
+interval_join points × intervals on start ≤ ts ≤ end (+ optional
+              equality keys). Spark plans a pure range predicate as a
+              BroadcastNestedLoopJoin — O(|P|·|I|) and a driver OOM the
+              moment neither side broadcasts. This is the bucketized
+              formulation: quantize time into fixed-width buckets,
+              explode each interval to the buckets it covers, equi-join
+              on (keys…, bucket), then apply the exact range filter.
+              Each (point, interval) pair meets in EXACTLY one bucket
+              (the point's), so no dedup pass is needed. Cost is one
+              hash-partitioned equi-join with fan-out Σ(lenᵢ/W + 1) —
+              pick W near the median interval length (the default
+              measures it with one approx_percentile scalar job).
 """
 
 from __future__ import annotations
@@ -96,6 +109,89 @@ def as_of_join(
     out_cols += [match.getField(c).alias(c) for c in value_cols]
     out_cols.append(match.getField("_rts").alias(matched_ts_col))
     return filled.select(*out_cols)
+
+
+def _us(c: Column, dtype) -> Column:
+    """Timestamp-ish column → int64 microseconds (numeric types pass
+    through as-is — the join only needs a consistent monotone axis)."""
+    name = dtype.typeName()
+    if name.startswith("timestamp"):
+        return F.unix_micros(c.cast("timestamp"))
+    return c.cast("long")
+
+
+def _bucket_of(us_col: Column, width_us: int) -> Column:
+    # floor-division via pmod so pre-epoch (negative) micros still land
+    # in the right bucket; the division is exact (numerator is a
+    # multiple of width, quotient magnitude ≪ 2^53)
+    return (
+        (us_col - F.pmod(us_col, F.lit(int(width_us)))) / F.lit(int(width_us))
+    ).cast("long")
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    key_cols: tuple[str, ...] = (),
+    value_cols: tuple[str, ...] = ("interval_id",),
+    bucket_us: int | None = None,
+) -> DataFrame:
+    """Inner range join: every (point, interval) pair with
+    interval.start ≤ point.ts ≤ interval.end (both bounds inclusive)
+    and equality on `key_cols` → point columns + `value_cols` carried
+    from the matched interval (caller aliases collisions away).
+
+    Intervals with end < start are invalid and dropped (zero-length
+    start == end intervals match points at exactly that instant).
+    NULL keys/timestamps never match, standard equi-join semantics.
+
+    `bucket_us=None` measures the median interval length with one
+    approx_percentile scalar job and uses max(median, 1µs) — points
+    then fan out 1×, intervals ~2× on average. Skewed interval-length
+    mixes (a few giants over mostly-short intervals) deserve an
+    explicit wider bucket: a giant interval explodes to len/W rows.
+    """
+    pdt = dict(zip(points.schema.names, [f.dataType for f in points.schema]))
+    idt = dict(
+        zip(intervals.schema.names, [f.dataType for f in intervals.schema])
+    )
+    su = _us(F.col(start_col), idt[start_col])
+    eu = _us(F.col(end_col), idt[end_col])
+    pu = _us(F.col(point_ts), pdt[point_ts])
+
+    iv = intervals.where(eu >= su)
+    if bucket_us is None:
+        row = iv.select(
+            F.approx_percentile(eu - su, F.lit(0.5)).alias("m")
+        ).first()
+        bucket_us = max(int(row["m"] or 0), 1)
+
+    pcols = points.columns
+    p = points.where(F.col(point_ts).isNotNull()).select(
+        F.struct(*pcols).alias("_prow"),
+        *[F.col(c).alias(f"_k_{i}") for i, c in enumerate(key_cols)],
+        pu.alias("_pu"),
+        _bucket_of(pu, bucket_us).alias("_b"),
+    )
+    i = iv.select(
+        *[F.col(c).alias(f"_k_{i}") for i, c in enumerate(key_cols)],
+        su.alias("_su"),
+        eu.alias("_eu"),
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("_ival"),
+        F.explode(
+            F.sequence(_bucket_of(su, bucket_us), _bucket_of(eu, bucket_us))
+        ).alias("_b"),
+    )
+    keys = [f"_k_{i}" for i in range(len(key_cols))] + ["_b"]
+    joined = p.join(i, keys, "inner").where(
+        (F.col("_pu") >= F.col("_su")) & (F.col("_pu") <= F.col("_eu"))
+    )
+    out = [F.col(f"_prow.{c}").alias(c) for c in pcols]
+    out += [F.col(f"_ival.{c}").alias(c) for c in value_cols]
+    return joined.select(*out)
 
 
 def time_rollup(

@@ -199,3 +199,98 @@ def test_as_of_join_fuzz_vs_duckdb_asof(spark):
                 assert got_v is None and got_mts is None, (trial, lid)
             else:
                 assert (got_mts, got_v) == exp, (trial, lid, exp, got[lid])
+
+
+# ------------------------------------------------------- interval_join
+
+
+def _rng_pairs(seed=7, n_pts=400, n_iv=120, keys=3, span=10_000):
+    import random
+
+    r = random.Random(seed)
+    pts = [
+        (j, r.randrange(keys), r.randrange(span))
+        for j in range(n_pts)
+    ]
+    ivs = []
+    for j in range(n_iv):
+        s = r.randrange(span)
+        ln = r.choice([0, 1, 5, 50, 500, 3000])
+        ivs.append((j, r.randrange(keys), s, s + ln))
+    # a few invalid (end < start) intervals that must be dropped
+    ivs += [(n_iv + j, r.randrange(keys), 100 + j, 90 + j) for j in range(4)]
+    return pts, ivs
+
+
+def _expected(pts, ivs):
+    return sorted(
+        (pid, iid)
+        for pid, pk, ts in pts
+        for iid, ik, s, e in ivs
+        if pk == ik and s <= e and s <= ts <= e
+    )
+
+
+def test_interval_join_matches_bruteforce(spark):
+    from gliner_spark.operators.temporal import interval_join
+
+    pts, ivs = _rng_pairs()
+    p = spark.createDataFrame(pts, "pid long, k long, ts long")
+    i = spark.createDataFrame(ivs, "iid long, k long, s long, e long")
+    for bucket in (1, 7, 100, 4096, None):
+        got = interval_join(
+            p, i, "ts", "s", "e", key_cols=("k",),
+            value_cols=("iid",), bucket_us=bucket,
+        )
+        rows = sorted((r["pid"], r["iid"]) for r in got.collect())
+        assert rows == _expected(pts, ivs), f"bucket={bucket}"
+
+
+def test_interval_join_no_keys_and_boundaries(spark):
+    from gliner_spark.operators.temporal import interval_join
+
+    p = spark.createDataFrame(
+        [(0, 10), (1, 20), (2, 21), (3, 9)], "pid long, ts long"
+    )
+    i = spark.createDataFrame([(0, 10, 20)], "iid long, s long, e long")
+    got = interval_join(
+        p, i, "ts", "s", "e", value_cols=("iid", "s", "e"), bucket_us=3
+    )
+    rows = sorted((r["pid"], r["iid"]) for r in got.collect())
+    assert rows == [(0, 0), (1, 0)]  # both bounds inclusive
+    assert set(got.columns) == {"pid", "ts", "iid", "s", "e"}
+
+
+def test_interval_join_timestamp_columns(spark):
+    from gliner_spark.operators.temporal import interval_join
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    p = spark.createDataFrame(
+        [(j, base + dt.timedelta(seconds=j * 30)) for j in range(10)],
+        "pid long, ts timestamp",
+    )
+    i = spark.createDataFrame(
+        [(0, base + dt.timedelta(seconds=45),
+          base + dt.timedelta(seconds=150))],
+        "iid long, s timestamp, e timestamp",
+    )
+    got = interval_join(p, i, "ts", "s", "e", value_cols=("iid",))
+    assert sorted(r["pid"] for r in got.collect()) == [2, 3, 4, 5]
+
+
+def test_interval_join_plan_is_equi_join(spark):
+    from gliner_spark.operators.temporal import interval_join
+
+    p = spark.range(1000).select(
+        F.col("id").alias("pid"), (F.col("id") * 13 % 9973).alias("ts")
+    )
+    i = spark.range(300).select(
+        F.col("id").alias("iid"),
+        (F.col("id") * 31 % 9973).alias("s"),
+        (F.col("id") * 31 % 9973 + 50).alias("e"),
+    )
+    got = interval_join(p, i, "ts", "s", "e", value_cols=("iid",),
+                        bucket_us=64)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
