@@ -1808,6 +1808,12 @@ def _q_edge_agg(spark, sf_dir):
                      asserting >=2 distinct objects for the declared-
                      functional predicate 'purchase' — a=subj_id,
                      b=n_distinct_obj, k=pred, n=n_evidence.
+      leg='assort'   graph.assortativity (r4): Newman degree-mixing
+                     coefficient of the undirected wedge graph — ONE
+                     row, a=Σ(j+k), b=Σ(j²+k²), n=m_edges, m=Σjk
+                     (exact ints), val=r in a pinned expression order
+                     (mu computed once, squared by multiplication on
+                     both engines — never pow()).
 
     The wedge/triangle/path graph is src=user_id%300,
     dst=(event_id*7+3)%300 (one shared vertex space so 2-hops and
@@ -2072,6 +2078,17 @@ def _q_edge_agg(spark, sf_dir):
         F.lit(-1).cast("long").alias("m"),
         F.lit(0.0).alias("val"),
     )
+    from gliner_spark.operators.graph import assortativity
+
+    assort_leg = assortativity(g).select(
+        F.lit("assort").alias("leg"),
+        F.col("s_j").alias("a"),
+        F.col("s_jj").alias("b"),
+        F.lit("").alias("k"),
+        F.col("m_edges").alias("n"),
+        F.col("s_jk").alias("m"),
+        F.round("r", 6).alias("val"),
+    )
     return (
         edge_leg.unionByName(wedge_leg)
         .unionByName(tri_leg)
@@ -2089,6 +2106,7 @@ def _q_edge_agg(spark, sf_dir):
         .unionByName(diff_leg)
         .unionByName(prof_leg)
         .unionByName(fviol_leg)
+        .unionByName(assort_leg)
     )
 
 
@@ -4389,7 +4407,27 @@ def oracle_sql() -> dict[str, str]:
                      -1::bigint as m, 0.0 as val
               from t where pred = 'purchase'
               group by pred, subj_id
-              having count(distinct obj_id) >= 2)
+              having count(distinct obj_id) >= 2),
+            asum as (
+              select count(*)::bigint as me,
+                     sum(dj.deg * dk.deg)::bigint as s_jk,
+                     sum(dj.deg + dk.deg)::bigint as s_j,
+                     sum(dj.deg * dj.deg + dk.deg * dk.deg)::bigint
+                       as s_jj
+              from u
+              join cdeg dj on dj.v = u.a
+              join cdeg dk on dk.v = u.b),
+            asum2 as (
+              select me, s_jk, s_j, s_jj,
+                     s_j::double / (2.0 * me) as mu
+              from asum),
+            assort_leg as (
+              select 'assort' as leg, s_j as a, s_jj as b, '' as k,
+                     me as n, s_jk as m,
+                     round((s_jk::double / me - mu * mu)
+                           / (s_jj::double / (2.0 * me) - mu * mu),
+                           6) as val
+              from asum2)
             select * from edge_leg
             union all select * from wedge_leg
             union all select * from tri_leg
@@ -4407,6 +4445,7 @@ def oracle_sql() -> dict[str, str]:
             union all select * from diff_leg
             union all select * from prof_leg
             union all select * from fviol_leg
+            union all select * from assort_leg
         """,
         "shipping_priority": """
             select l_orderkey,

@@ -2285,3 +2285,66 @@ def katz_centrality(
         else:
             x = nxt
     return x
+
+
+def assortativity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Degree assortativity (Newman, "Assortative mixing in networks",
+    PRL 2002) over the undirected simple view of `edges` → ONE row
+    (m_edges, s_jk, s_j, s_jj, r).
+
+    r is the Pearson correlation of endpoint degrees across edges:
+    positive = hubs link to hubs (social-graph shape), negative = hubs
+    link to leaves (star/hub shape — what an over-merged canonical
+    entity looks like in a KG). Alongside `modularity` and
+    `clustering_coefficient` it is the third one-number partition/
+    topology gate for canonicalization output.
+
+    Shape: dedupe to canonical (least, greatest) pairs, one degree
+    hash agg, two int64 equi-joins to carry endpoint degrees, ONE
+    final aggregate of pure-integer sums (Σjk, Σ(j+k), Σ(j²+k²)) —
+    r is derived from those exact ints in a pinned expression order,
+    so the binary64 result is bit-stable cross-engine. Degenerate
+    variance (e.g. regular graphs) yields r = NULL, not a throw.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("id"))
+        .unionByName(e.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    joined = e.join(
+        deg.select(F.col("id").alias("u"), F.col("deg").alias("dj")), "u"
+    ).join(deg.select(F.col("id").alias("v"), F.col("deg").alias("dk")), "v")
+    sums = joined.agg(
+        F.count(F.lit(1)).alias("m_edges"),
+        F.sum(F.col("dj") * F.col("dk")).alias("s_jk"),
+        F.sum(F.col("dj") + F.col("dk")).alias("s_j"),
+        F.sum(
+            F.col("dj") * F.col("dj") + F.col("dk") * F.col("dk")
+        ).alias("s_jj"),
+    )
+    # pinned order: mu = s_j/(2m); r = (s_jk/m - mu^2)/(s_jj/(2m) - mu^2)
+    mu = F.col("s_j").cast("double") / (F.lit(2.0) * F.col("m_edges"))
+    num = F.col("s_jk").cast("double") / F.col("m_edges") - mu * mu
+    den = F.col("s_jj").cast("double") / (
+        F.lit(2.0) * F.col("m_edges")
+    ) - mu * mu
+    return sums.select(
+        "m_edges",
+        "s_jk",
+        "s_j",
+        "s_jj",
+        F.when(den != 0.0, num / den).alias("r"),
+    )

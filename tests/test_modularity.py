@@ -77,3 +77,70 @@ def test_python_bruteforce_parity_on_lpa_output(spark):
         dc = sum(d for v, d in deg.items() if lab.get(v, -1) == c)
         want[c] = round(ec / m - (dc * dc) / (4.0 * m * m), 6)
     assert got == want
+
+
+# ------------------------------------------------------- assortativity
+
+
+def _assort_py(pairs):
+    import collections
+
+    e = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    deg = collections.Counter()
+    for u, v in e:
+        deg[u] += 1
+        deg[v] += 1
+    m = len(e)
+    s_jk = sum(deg[u] * deg[v] for u, v in e)
+    s_j = sum(deg[u] + deg[v] for u, v in e)
+    s_jj = sum(deg[u] ** 2 + deg[v] ** 2 for u, v in e)
+    mu = s_j / (2.0 * m)
+    den = s_jj / (2.0 * m) - mu * mu
+    if den == 0.0:
+        return None
+    return (s_jk / m - mu * mu) / den
+
+
+def test_assortativity_star_is_minus_one(spark):
+    from gliner_spark.operators.graph import assortativity
+
+    df = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "src long, dst long"
+    )
+    row = assortativity(df).first()
+    assert row["m_edges"] == 4
+    assert abs(row["r"] - (-1.0)) < 1e-12
+
+
+def test_assortativity_regular_graph_is_null(spark):
+    from gliner_spark.operators.graph import assortativity
+
+    cyc = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)], "src long, dst long"
+    )
+    assert assortativity(cyc).first()["r"] is None
+
+
+def test_assortativity_matches_python_on_pseudorandom(spark):
+    from gliner_spark.operators.graph import assortativity
+
+    pairs = [((i * 37) % 50, (i * i * 11 + 3) % 50) for i in range(300)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    row = assortativity(df).first()
+    expect = _assort_py(pairs)
+    assert abs(row["r"] - expect) < 1e-12
+
+
+def test_assortativity_dedup_and_self_loops(spark):
+    from gliner_spark.operators.graph import assortativity
+
+    # duplicates (both orientations) + self loops must not change r
+    base = [(0, 1), (1, 2), (2, 3), (0, 3), (0, 2)]
+    noisy = base + [(b, a) for a, b in base] + [(4, 4), (1, 1)] + base
+    r1 = assortativity(
+        spark.createDataFrame(base, "src long, dst long")
+    ).first()
+    r2 = assortativity(
+        spark.createDataFrame(noisy, "src long, dst long")
+    ).first()
+    assert r1 == r2
