@@ -1,0 +1,132 @@
+"""Spectral embeddings (operators/embeddings.py): PPMI python replay,
+randomized-SVD parity vs numpy, Levy-Goldberg reconstruction, e2e
+graph → walks → pairs → vectors."""
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gliner_spark.operators.embeddings import ppmi, svd_embed
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(
+        rows, "center long, context long, n long"
+    )
+
+
+def test_ppmi_matches_python(spark):
+    rows = [(0, 1, 4), (0, 2, 1), (1, 0, 4), (2, 0, 1), (1, 2, 3)]
+    got = {
+        (r["i"], r["j"]): r["w"]
+        for r in ppmi(_pairs(spark, rows), shift=1.0).collect()
+    }
+    N = sum(n for _, _, n in rows)
+    ni = {}
+    nj = {}
+    for i, j, n in rows:
+        ni[i] = ni.get(i, 0) + n
+        nj[j] = nj.get(j, 0) + n
+    for i, j, n in rows:
+        v = math.log(n * N / (ni[i] * nj[j]))
+        if v > 0:
+            assert abs(got[(i, j)] - v) < 1e-12
+        else:
+            assert (i, j) not in got
+    assert ppmi(_pairs(spark, rows), shift=8.0).count() <= len(got)
+
+
+def _to_dense(entries, n, m):
+    M = np.zeros((n, m))
+    for i, j, w in entries:
+        M[i, j] = w
+    return M
+
+
+def _collect_emb(df, n, k):
+    out = np.zeros((n, k))
+    for r in df.collect():
+        out[r["id"]] = np.array(r["vec"])
+    return out
+
+
+def test_svd_exact_rank_recovery(spark):
+    rng = np.random.RandomState(3)
+    A = rng.rand(12, 3)
+    B = rng.rand(3, 10)
+    M = A @ B  # exact rank 3
+    entries = [
+        (i, j, float(M[i, j])) for i in range(12) for j in range(10)
+    ]
+    df = spark.createDataFrame(entries, "i long, j long, w double")
+    word, ctx, sig = svd_embed(df, k=3, iters=6, seed=5)
+    s_np = np.linalg.svd(M, compute_uv=False)[:3]
+    assert np.allclose(sorted(sig, reverse=True), s_np, rtol=1e-8)
+    E = _collect_emb(word, 12, 3)
+    C = _collect_emb(ctx, 10, 3)
+    assert np.max(np.abs(E @ C.T - M)) < 1e-8
+
+
+def test_svd_truncation_close_to_numpy_optimum(spark):
+    rng = np.random.RandomState(11)
+    M = rng.rand(30, 25)
+    entries = [
+        (i, j, float(M[i, j])) for i in range(30) for j in range(25)
+    ]
+    df = spark.createDataFrame(entries, "i long, j long, w double")
+    word, ctx, sig = svd_embed(df, k=5, iters=8, seed=2)
+    E = _collect_emb(word, 30, 5)
+    C = _collect_emb(ctx, 25, 5)
+    err = np.linalg.norm(E @ C.T - M)
+    s = np.linalg.svd(M, compute_uv=False)
+    opt = np.linalg.norm(np.diag(s[5:]))  # Eckart-Young optimum
+    assert err <= opt * 1.05
+
+
+def test_svd_deterministic(spark):
+    entries = [
+        ((i * 7) % 9, (i * 13) % 8, float(1 + i % 5)) for i in range(60)
+    ]
+    df = spark.createDataFrame(entries, "i long, j long, w double")
+    w1, _, s1 = svd_embed(df, k=4, iters=4, seed=9)
+    w2, _, s2 = svd_embed(df, k=4, iters=4, seed=9)
+    # reproducible up to float-aggregation combine order (the Gram
+    # sums are hash-agg reductions, so last-bit wobble is expected)
+    assert np.allclose(s1, s2, rtol=1e-9)
+    r1 = {r["id"]: np.array(r["vec"]) for r in w1.collect()}
+    r2 = {r["id"]: np.array(r["vec"]) for r in w2.collect()}
+    assert set(r1) == set(r2)
+    for i in r1:
+        assert np.allclose(r1[i], r2[i], rtol=1e-6, atol=1e-9)
+
+
+def test_e2e_walk_embeddings_separate_cliques(spark):
+    from gliner_spark.operators.graph import random_walks, skipgram_pairs
+
+    # two disjoint 5-cliques (directed both ways)
+    edges = []
+    for base in (0, 100):
+        for a in range(5):
+            for b in range(5):
+                if a != b:
+                    edges.append((base + a, base + b))
+    g = spark.createDataFrame(edges, "src long, dst long")
+    walks = random_walks(
+        g, walk_len=6, walks_per_vertex=4, seed=3,
+        src_col="src", dst_col="dst",
+    )
+    pairs = skipgram_pairs(walks, window=2)
+    mat = ppmi(pairs)
+    word, _, _ = svd_embed(mat, k=4, iters=4, seed=1)
+    vecs = {r["id"]: np.array(r["vec"]) for r in word.collect()}
+
+    def cos(a, b):
+        return float(
+            vecs[a] @ vecs[b]
+            / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b]))
+        )
+
+    within = [cos(0, i) for i in range(1, 5)]
+    across = [cos(0, 100 + i) for i in range(5)]
+    assert min(within) > max(across)
