@@ -2124,7 +2124,17 @@ def _q_asof_enrich(spark, sf_dir):
     raw range predicate as a BroadcastNestedLoopJoin, the operator
     makes it a (user_id, hour-bucket) equi-join; DuckDB's plain
     BETWEEN join is the oracle. n = matched view event_id,
-    val = the view's rounded value."""
+    val = the view's rounded value.
+
+    leg='funnel': ordered sequence match (sessions.funnel, the
+    ClickHouse windowFunnel shape) through signup → click → purchase,
+    each step strictly after the matched previous one — n = completed
+    prefix length (0–3), val = seconds from the matched signup to the
+    deepest matched step (round 6; integer-µs difference divided by
+    1e6 on both engines). DuckDB replays the greedy earliest-chain
+    walk with sorted list aggregates + list_filter lambdas chained
+    through CTEs; event_id = -1."""
+    from gliner_spark.operators.sessions import funnel
     from gliner_spark.operators.temporal import as_of_join, interval_join
 
     ev = _events(spark, sf_dir)
@@ -2178,7 +2188,18 @@ def _q_asof_enrich(spark, sf_dir):
         F.col("iv_id").alias("n"),
         F.col("iv_val").alias("val"),
     )
-    return asof.unionByName(rng)
+
+    fun = funnel(ev, ("signup", "click", "purchase")).select(
+        F.lit("funnel").alias("leg"),
+        "user_id",
+        F.lit(-1).cast("long").alias("event_id"),
+        F.col("stage").cast("long").alias("n"),
+        F.round(
+            (F.col("ts_last_us") - F.col("ts_first_us")) / F.lit(1000000.0),
+            6,
+        ).alias("val"),
+    )
+    return asof.unionByName(rng).unionByName(fun)
 
 
 def _q_event_rollup(spark, sf_dir):
@@ -4501,6 +4522,32 @@ def oracle_sql() -> dict[str, str]:
                           + ((event_id % 7) + 1) * 3600000000)::bigint as eu
                   from events where event_type = 'view') v
               on p.user_id = v.user_id and p.pu between v.su and v.eu
+            union all
+            select leg, user_id, event_id, n, val from (
+              with fa as (
+                select user_id,
+                       list_sort(list(epoch_us(ts))
+                         filter (where event_type = 'signup')) as a0,
+                       list_sort(list(epoch_us(ts))
+                         filter (where event_type = 'click')) as a1,
+                       list_sort(list(epoch_us(ts))
+                         filter (where event_type = 'purchase')) as a2
+                from events
+                where event_type in ('signup', 'click', 'purchase')
+                group by user_id),
+              fb as (select user_id, a1, a2, list_min(a0) as s0 from fa),
+              fc as (select user_id, a2, s0,
+                            list_min(list_filter(a1, x -> x > s0)) as s1
+                     from fb),
+              fd as (select user_id, s0, s1,
+                            list_min(list_filter(a2, x -> x > s1)) as s2
+                     from fc)
+              select 'funnel' as leg, user_id, -1::bigint as event_id,
+                     ((s0 is not null)::int + (s1 is not null)::int
+                      + (s2 is not null)::int)::bigint as n,
+                     round((coalesce(s2, s1, s0) - s0) / 1000000.0, 6)
+                       as val
+              from fd)
         """,
         "event_rollup": """
             select event_type, date_trunc('hour', ts) as bucket,

@@ -61,3 +61,80 @@ def session_stats(
             - F.unix_micros(F.min(ts_col).cast("timestamp"))
         ).alias("duration_us"),
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: tuple[str, ...],
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel / sequence match (the ClickHouse `windowFunnel`
+    shape): per key, how far through `steps` did the entity progress,
+    where step k must occur STRICTLY AFTER the matched step k−1 event
+    (the earliest valid chain: each stage greedily takes its earliest
+    admissible timestamp — earliest-first is optimal here, so greedy ==
+    "did any chain exist") → (key, stage, ts_first, ts_last):
+    stage ∈ [0, len(steps)] completed prefix length, ts_first = the
+    matched first-step time, ts_last = completion time of the deepest
+    matched step (NULL when stage=0).
+
+    ONE shuffle: events pre-filtered to the step types, grouped per
+    key into one sorted per-step timestamp array each (map-side
+    combining collect_list + array_sort — per-key event counts are
+    session-scale, the same boundedness sessionize assumes), then the
+    chain walk is a pure array expression: t_k = array_min(filter(
+    arr_k, x > t_{k-1})). Keys with no step-0 event report stage 0.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = events.where(
+        F.col(type_col).isin(list(steps)) & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("key"),
+        F.col(type_col).alias("_t"),
+        us.alias("_us"),
+    )
+    arrs = [
+        F.array_sort(
+            F.collect_list(F.when(F.col("_t") == s, F.col("_us")))
+        ).alias(f"_a{i}")
+        for i, s in enumerate(steps)
+    ]
+    g = base.groupBy("key").agg(*arrs)
+    t_prev = None
+    t_cols = []
+    for i in range(len(steps)):
+        if t_prev is None:
+            # array_min == first element of the sorted array; element_at
+            # would THROW on empty arrays under ANSI mode
+            expr = F.array_min(F.col(f"_a{i}"))
+        else:
+            # single-parameter lambda only: pyspark reads a second
+            # parameter (even a defaulted one) as the (element, index)
+            # HOF variant and passes the array index into it. F.filter
+            # consumes the lambda eagerly, so closing over t_prev is
+            # safe despite the loop rebinding.
+            bound = t_prev
+            expr = F.array_min(
+                F.filter(F.col(f"_a{i}"), lambda x: x > bound)
+            )
+        g = g.withColumn(f"_s{i}", expr)
+        t_prev = F.col(f"_s{i}")
+        t_cols.append(f"_s{i}")
+    stage = sum(
+        (F.when(F.col(c).isNotNull(), 1).otherwise(0) for c in t_cols),
+        F.lit(0),
+    )
+    # the chain breaks at the first missing step: later non-null t_k
+    # cannot exist (filter on a NULL bound yields NULL), so stage ==
+    # completed prefix length by construction
+    last = F.coalesce(*[F.col(c) for c in reversed(t_cols)])
+    return g.select(
+        F.col("key").alias(key_col),
+        stage.cast("int").alias("stage"),
+        F.col("_s0").alias("ts_first_us"),
+        F.when(stage > 0, last).alias("ts_last_us"),
+    )

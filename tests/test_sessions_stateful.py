@@ -149,3 +149,120 @@ def test_near_dedup_survivors_transitive(spark):
         ).collect()
     )
     assert surv == [1, 4]
+
+
+# --------------------------------------------------------------- funnel
+
+
+def _fev(spark, rows):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [
+            (u, t, base + dt.timedelta(seconds=s))
+            for u, t, s in rows
+        ],
+        "user_id long, event_type string, ts timestamp",
+    )
+
+
+def _funnel_py(rows, steps):
+    import collections
+
+    by_user = collections.defaultdict(
+        lambda: {s: [] for s in steps}
+    )
+    for u, t, s in rows:
+        if t in steps:
+            by_user[u][t].append(s)
+    out = {}
+    for u, arrs in by_user.items():
+        prev = None
+        stage = 0
+        first = last = None
+        for s in steps:
+            cand = [
+                x for x in sorted(arrs[s])
+                if prev is None or x > prev
+            ]
+            if not cand:
+                break
+            prev = cand[0]
+            stage += 1
+            if first is None:
+                first = prev
+            last = prev
+        out[u] = (stage, first, last)
+    return out
+
+
+def test_funnel_basic_and_order_enforced(spark):
+    from gliner_spark.operators.sessions import funnel
+
+    rows = [
+        (1, "signup", 0), (1, "click", 10), (1, "purchase", 20),
+        (2, "click", 0), (2, "signup", 10), (2, "purchase", 20),
+        (3, "purchase", 0), (3, "click", 1), (3, "signup", 2),
+        (4, "signup", 5),
+        (5, "other", 1),
+    ]
+    got = {
+        r["user_id"]: (r["stage"], r["ts_first_us"], r["ts_last_us"])
+        for r in funnel(
+            _fev(spark, rows), ("signup", "click", "purchase")
+        ).collect()
+    }
+    assert got[1][0] == 3
+    # user 2's only click precedes their signup, so the chain stops at
+    # stage 1 even though a purchase exists later
+    assert got[2][0] == 1
+    assert got[3][0] == 1
+    assert got[4][0] == 1
+    assert 5 not in got  # no step events at all
+    # full python replay
+    expect = _funnel_py(rows, ("signup", "click", "purchase"))
+    base_us = int(
+        __import__("datetime").datetime(
+            2024, 1, 1
+        ).timestamp() * 1_000_000
+    )
+    for u, (st, fi, la) in expect.items():
+        assert got[u][0] == st
+        if st > 0:
+            assert got[u][1] == base_us + fi * 1_000_000
+            assert got[u][2] == base_us + la * 1_000_000
+
+
+def test_funnel_matches_python_pseudorandom(spark):
+    from gliner_spark.operators.sessions import funnel
+
+    steps = ("a", "b", "c", "d")
+    types = ["a", "b", "c", "d", "x"]
+    rows = [
+        (i % 17, types[(i * 7 + i * i) % 5], (i * 13) % 400)
+        for i in range(600)
+    ]
+    # dedupe (user, type, ts) collisions to keep the replay simple
+    rows = sorted(set(rows))
+    got = {
+        r["user_id"]: (r["stage"], r["ts_first_us"], r["ts_last_us"])
+        for r in funnel(_fev(spark, rows), steps).collect()
+    }
+    expect = _funnel_py(rows, steps)
+    assert set(got) == {
+        u for u, v in expect.items()
+    }
+    for u, (st, fi, la) in expect.items():
+        assert got[u][0] == st, u
+
+
+def test_funnel_strictly_after_ties_do_not_chain(spark):
+    from gliner_spark.operators.sessions import funnel
+
+    rows = [(1, "a", 0), (1, "b", 0), (2, "a", 0), (2, "b", 1)]
+    got = {
+        r["user_id"]: r["stage"]
+        for r in funnel(_fev(spark, rows), ("a", "b")).collect()
+    }
+    assert got == {1: 1, 2: 2}
