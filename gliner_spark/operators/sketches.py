@@ -281,6 +281,47 @@ def kmv_set_ops(
     }
 
 
+def fold_kmv_batch(
+    batch: DataFrame,
+    state_path: str,
+    key_col: str,
+    k: int = 1024,
+    seed: int = 23,
+) -> None:
+    """foreachBatch body: fold one micro-batch's KMV sketch into the
+    persisted bottom-k state at `state_path` — same marker-last
+    `_gen=N` commit as `fold_countmin_batch` (state ≤ k rows, crash
+    orphans invisible); the merge is idempotent (hash-set union), so
+    replaying a batch after a crash is a no-op even at the VALUE
+    level, not just the generation level."""
+    spark = batch.sparkSession
+    live = current_kmv(spark, state_path)
+    delta = build_kmv(batch, key_col, k=k, seed=seed)
+    merged = merge_kmv(live, delta, k=k) if live is not None else delta
+    gens = _live_generations(state_path)
+    nxt = (max(gens) + 1) if gens else 0
+    out = os.path.join(state_path, f"_gen={nxt}")
+    merged.coalesce(1).write.mode("overwrite").parquet(out)
+    with open(os.path.join(state_path, f"_gen={nxt}.ok"), "w") as f:
+        f.write("ok")
+    for g in gens:
+        try:
+            os.remove(os.path.join(state_path, f"_gen={g}.ok"))
+        except FileNotFoundError:
+            pass
+
+
+def current_kmv(spark, state_path: str) -> DataFrame | None:
+    """The live committed bottom-k sketch, or None before the first
+    fold."""
+    gens = _live_generations(state_path)
+    if not gens:
+        return None
+    return spark.read.parquet(
+        os.path.join(state_path, f"_gen={max(gens)}")
+    )
+
+
 def heavy_hitters_fold(
     state: DataFrame | None,
     batch: DataFrame,

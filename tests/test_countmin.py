@@ -219,3 +219,36 @@ def test_kmv_empty_and_disjoint(spark):
     b = build_kmv(_ids(spark, 1000, 1030), "key", k=64)
     rd = kmv_set_ops(a, b, k=64)
     assert rd["union_est"] == 60.0 and rd["intersect_est"] == 0.0
+
+
+def test_kmv_streaming_fold_matches_batch(spark, tmp_path):
+    from gliner_spark.operators.sketches import (
+        build_kmv,
+        current_kmv,
+        fold_kmv_batch,
+    )
+
+    state = str(tmp_path / "kmv_state")
+    fold_kmv_batch(_ids(spark, 0, 2000), state, "key", k=128)
+    fold_kmv_batch(_ids(spark, 1500, 4000), state, "key", k=128)
+    # replay of the second batch must be a value-level no-op
+    fold_kmv_batch(_ids(spark, 1500, 4000), state, "key", k=128)
+    live = sorted(r["v"] for r in current_kmv(spark, state).collect())
+    one = sorted(
+        r["v"] for r in build_kmv(_ids(spark, 0, 4000), "key", k=128).collect()
+    )
+    assert live == one
+
+
+def test_kmv_fold_crash_orphan_invisible(spark, tmp_path):
+    import os
+
+    from gliner_spark.operators.sketches import current_kmv, fold_kmv_batch
+
+    state = str(tmp_path / "kmv_crash")
+    fold_kmv_batch(_ids(spark, 0, 100), state, "key", k=64)
+    before = sorted(r["v"] for r in current_kmv(spark, state).collect())
+    # simulate a crash between parquet write and marker creation
+    os.makedirs(os.path.join(state, "_gen=99"), exist_ok=True)
+    after = sorted(r["v"] for r in current_kmv(spark, state).collect())
+    assert before == after
