@@ -186,3 +186,106 @@ def stream_budget_admit(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("stage", T.IntegerType(), False),
+        T.StructField("t0", T.LongType(), False),
+        T.StructField("tprev", T.LongType(), False),
+    ]
+)
+
+FUNNEL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.LongType(), False),
+        T.StructField("stage", T.IntegerType(), False),
+        T.StructField("ts_first_us", T.LongType(), True),
+        T.StructField("ts_last_us", T.LongType(), True),
+    ]
+)
+
+_T_UNSET = -(2**63)
+
+
+def stream_funnel(
+    events: DataFrame,
+    steps: tuple[str, ...],
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming twin of `sessions.funnel`: per-key funnel progression
+    maintained as grouped state while events ARRIVE — the live
+    conversion tracker. State per key is THREE scalars (stage,
+    first-match µs, last-match µs): bounded by construction, no
+    timeout needed, and advancing is monotone so replaying a
+    micro-batch after a crash is a value-level no-op (any advance the
+    replay could make was already made from the same state).
+
+    Within one micro-batch the greedy earliest-chain walk is the batch
+    rule exactly, so ONE availableNow batch over a corpus reproduces
+    `funnel`'s output bit-for-bit (parity-pinned). Across batches
+    arrival order decides: a stage consumed in generation g cannot
+    backtrack onto a later-arriving earlier timestamp — a stream
+    cannot see the future; stated, same stance as stream_budget_admit.
+
+    Emits a snapshot row whenever a key's state changes (and on first
+    sight, so stage-0 keys with step-type events appear once).
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    step_list = [str(s) for s in steps]
+    prep = events.where(
+        F.col(type_col).isin(step_list) & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(key_col).cast("long").alias("key"),
+        F.col(type_col).cast("string").alias("t"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+    )
+
+    def upd(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        existed = state.exists
+        stage, t0, tprev = state.get if existed else (0, _T_UNSET, _T_UNSET)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        arrs = {
+            s: np.sort(pdf.loc[pdf["t"] == s, "us"].to_numpy())
+            for s in step_list
+        }
+        changed = False
+        for si in range(stage, len(step_list)):
+            a = arrs[step_list[si]]
+            cand = a[a > tprev]
+            if len(cand) == 0:
+                break
+            tprev = int(cand[0])
+            stage += 1
+            if t0 == _T_UNSET:
+                t0 = tprev
+            changed = True
+        state.update((stage, t0, tprev))
+        if changed or not existed:
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "stage": [stage],
+                    "ts_first_us": [None if t0 == _T_UNSET else t0],
+                    "ts_last_us": [
+                        None if stage == 0 else tprev
+                    ],
+                }
+            )
+
+    return prep.groupBy("key").applyInPandasWithState(
+        upd,
+        FUNNEL_OUTPUT_SCHEMA,
+        FUNNEL_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

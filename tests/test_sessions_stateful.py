@@ -266,3 +266,86 @@ def test_funnel_strictly_after_ties_do_not_chain(spark):
         for r in funnel(_fev(spark, rows), ("a", "b")).collect()
     }
     assert got == {1: 1, 2: 2}
+
+
+def _funnel_stream_run(spark, tmpdir, landing, ckpt, run_id, out_dir):
+    import pyspark.sql.functions as SF
+
+    schema = "user_id long, event_type string, ts timestamp"
+    stream = spark.readStream.schema(schema).parquet(landing)
+    from gliner_spark.streaming.stateful import stream_funnel
+
+    snap = stream_funnel(stream, ("signup", "click", "purchase"))
+
+    def sink(batch_df, batch_id):
+        batch_df.withColumn("run_id", SF.lit(run_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    q = (
+        snap.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(out_dir)
+        .where(F.col("run_id") == run_id)
+        .collect()
+    )
+
+
+def test_stream_funnel_one_batch_parity_with_batch_op(
+    spark, tmp_path_factory
+):
+    from gliner_spark.operators.sessions import funnel
+
+    rows = [
+        (i % 23, ["signup", "click", "purchase", "view"][(i * 7) % 4],
+         (i * 13) % 500)
+        for i in range(700)
+    ]
+    ev = _fev(spark, sorted(set(rows)))
+    landing = str(tmp_path_factory.mktemp("funnel_landing"))
+    ckpt = str(tmp_path_factory.mktemp("funnel_ckpt"))
+    out = str(tmp_path_factory.mktemp("funnel_out"))
+    ev.write.mode("append").parquet(landing)
+
+    got = {
+        r["key"]: (r["stage"], r["ts_first_us"], r["ts_last_us"])
+        for r in _funnel_stream_run(spark, None, landing, ckpt, 0, out)
+    }
+    expect = {
+        r["user_id"]: (r["stage"], r["ts_first_us"], r["ts_last_us"])
+        for r in funnel(ev, ("signup", "click", "purchase")).collect()
+    }
+    assert got == expect
+
+
+def test_stream_funnel_accumulates_across_batches(
+    spark, tmp_path_factory
+):
+    landing = str(tmp_path_factory.mktemp("funnel_landing2"))
+    ckpt = str(tmp_path_factory.mktemp("funnel_ckpt2"))
+    out = str(tmp_path_factory.mktemp("funnel_out2"))
+
+    _fev(spark, [(1, "signup", 0), (2, "signup", 5)]).write.mode(
+        "append"
+    ).parquet(landing)
+    r1 = {
+        r["key"]: r["stage"]
+        for r in _funnel_stream_run(spark, None, landing, ckpt, 1, out)
+    }
+    assert r1 == {1: 1, 2: 1}
+
+    _fev(spark, [(1, "click", 10), (1, "purchase", 20)]).write.mode(
+        "append"
+    ).parquet(landing)
+    r2 = {
+        r["key"]: r["stage"]
+        for r in _funnel_stream_run(spark, None, landing, ckpt, 2, out)
+    }
+    # only user 1 changed -> only user 1 re-emitted, fully advanced
+    assert r2 == {1: 3}
