@@ -2793,7 +2793,38 @@ def _q_ivf_kmeans(spark, sf_dir):
         F.col("vec_id").alias("id_b"),
         F.col("score").alias("value"),
     )
-    return km.unionByName(knn).unionByName(pq)
+
+    # part='spectral' (r4): the full closed-form embedding chain —
+    # graph → deterministic walks → skip-gram pairs → PPMI →
+    # randomized truncated SVD (embeddings.svd_embed) — one row per
+    # (vertex, dimension). Rows-only: the factorization is iterative
+    # float linear algebra (not SQL-replayable); numpy parity and
+    # Eckart-Young optimality are pytest-pinned in test_embeddings.py.
+    from gliner_spark.operators.embeddings import ppmi, svd_embed
+    from gliner_spark.operators.graph import random_walks, skipgram_pairs
+
+    ev = _events(spark, sf_dir)
+    g = ev.select(
+        F.pmod(F.col("user_id").cast("long"), F.lit(300)).alias("src"),
+        F.pmod(F.col("event_id").cast("long") * 7 + 3, F.lit(300)).alias(
+            "dst"
+        ),
+    ).distinct()
+    walks = random_walks(
+        g, walk_len=4, walks_per_vertex=1, seed=7,
+        src_col="src", dst_col="dst",
+    )
+    mat = ppmi(skipgram_pairs(walks, window=2))
+    word, _ctx, _sig = svd_embed(mat, k=4, iters=2, seed=7)
+    spectral = word.select(
+        F.col("id").alias("id_a"), F.posexplode("vec").alias("_d", "_v")
+    ).select(
+        F.lit("spectral").alias("part"),
+        "id_a",
+        F.col("_d").cast("bigint").alias("id_b"),
+        F.round("_v", 6).alias("value"),
+    )
+    return km.unionByName(knn).unionByName(pq).unionByName(spectral)
 
 
 def _q_kernel_surface_matrix(spark, sf_dir):
