@@ -2203,12 +2203,23 @@ def _q_asof_enrich(spark, sf_dir):
 
 
 def _q_event_rollup(spark, sf_dir):
-    """Multi-level time rollup (GROUP BY ROLLUP): per (event_type, hour),
-    per event_type, and grand total in one aggregation pass."""
+    """Time-aggregation umbrella, columns (leg, k, bucket, n, val).
+
+    leg='rollup': multi-level time rollup (GROUP BY ROLLUP): per
+    (event_type, hour), per event_type, and grand total in one
+    aggregation pass — k=event_type (NULL at rolled-up levels),
+    bucket=hour, n=count, val=rounded value sum.
+
+    leg='cohort': sessions.cohort_retention (r4) — users bucketed by
+    first-seen day, tracked across active days; k=cohort day as a
+    yyyy-MM-dd string, bucket=activity day, n=n_active,
+    val=round(retention, 6) (a ratio of exact ints, bit-stable
+    cross-engine)."""
+    from gliner_spark.operators.sessions import cohort_retention
     from gliner_spark.operators.temporal import time_rollup
 
     ev = _events(spark, sf_dir)
-    return time_rollup(
+    roll = time_rollup(
         ev,
         ("event_type",),
         "ts",
@@ -2217,7 +2228,21 @@ def _q_event_rollup(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 2).alias("sum_value"),
         ],
-    ).select("event_type", "bucket", "n", "sum_value")
+    ).select(
+        F.lit("rollup").alias("leg"),
+        F.col("event_type").alias("k"),
+        "bucket",
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_value").alias("val"),
+    )
+    coh = cohort_retention(ev).select(
+        F.lit("cohort").alias("leg"),
+        F.date_format("cohort", "yyyy-MM-dd").alias("k"),
+        F.col("period").alias("bucket"),
+        F.col("n_active").cast("long").alias("n"),
+        F.round("retention", 6).alias("val"),
+    )
+    return roll.unionByName(coh)
 
 
 def _q_dedup_survivors(spark, sf_dir):
@@ -4581,11 +4606,31 @@ def oracle_sql() -> dict[str, str]:
               from fd)
         """,
         "event_rollup": """
-            select event_type, date_trunc('hour', ts) as bucket,
-                   count(*) as n,
-                   round(sum(value), 2) as sum_value
+            select 'rollup' as leg, event_type as k,
+                   date_trunc('hour', ts) as bucket,
+                   count(*)::bigint as n,
+                   round(sum(value), 2) as val
             from events
             group by rollup(event_type, date_trunc('hour', ts))
+            union all
+            select 'cohort' as leg, k, bucket, n, val from (
+              with act as (
+                select distinct user_id as key,
+                       date_trunc('day', ts) as period
+                from events where ts is not null),
+              firstp as (
+                select key, min(period) as cohort from act group by key),
+              sizes as (
+                select cohort, count(*)::bigint as n_cohort
+                from firstp group by cohort),
+              mat as (
+                select f.cohort, a.period, count(*)::bigint as n_active
+                from act a join firstp f using (key)
+                group by f.cohort, a.period)
+              select strftime(m.cohort, '%Y-%m-%d') as k,
+                     m.period as bucket, m.n_active as n,
+                     round(m.n_active::double / s.n_cohort, 6) as val
+              from mat m join sizes s using (cohort))
         """,
         "knn_ivf_exact": """
             with u as (

@@ -138,3 +138,47 @@ def funnel(
         F.col("_s0").alias("ts_first_us"),
         F.when(stage > 0, last).alias("ts_last_us"),
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "day",
+) -> DataFrame:
+    """Cohort retention matrix: entities grouped by their FIRST-seen
+    period (the cohort), tracked by which later periods they were
+    active in → (cohort, period, n_active, n_cohort, retention) —
+    the standard activation/churn report over any event feed.
+
+    Three map-side-combining hash aggs and one broadcast-friendly
+    join: per-key first period, distinct (key, period) activity,
+    per-cohort size, then the (cohort, period) distinct-active count;
+    retention = n_active/n_cohort is a ratio of exact ints, bit-stable
+    cross-engine. The (key, period) distinct runs FIRST so no later
+    stage sees more than one row per key-period."""
+    day = F.date_trunc(period, F.col(ts_col).cast("timestamp"))
+    act = (
+        events.where(F.col(ts_col).isNotNull())
+        .select(F.col(key_col).alias("key"), day.alias("period"))
+        .distinct()
+    )
+    first = act.groupBy("key").agg(F.min("period").alias("cohort"))
+    sizes = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    return (
+        act.join(first, "key")
+        .groupBy("cohort", "period")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(sizes, "cohort")
+        .select(
+            "cohort",
+            "period",
+            "n_active",
+            "n_cohort",
+            (
+                F.col("n_active").cast("double") / F.col("n_cohort")
+            ).alias("retention"),
+        )
+    )

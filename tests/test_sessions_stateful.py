@@ -349,3 +349,56 @@ def test_stream_funnel_accumulates_across_batches(
     }
     # only user 1 changed -> only user 1 re-emitted, fully advanced
     assert r2 == {1: 3}
+
+
+# ------------------------------------------------------ cohort_retention
+
+
+def test_cohort_retention_matches_python(spark):
+    from gliner_spark.operators.sessions import cohort_retention
+
+    rows = []
+    for i in range(400):
+        u = i % 29
+        d = (i * 7 + u * u) % 21
+        rows.append((u, "x", d * 86400 + (i % 5) * 3600))
+    ev = _fev(spark, rows)
+    got = {
+        (r["cohort"], r["period"]): (
+            r["n_active"], r["n_cohort"], r["retention"]
+        )
+        for r in cohort_retention(ev).collect()
+    }
+    import collections
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    act = {(u, s // 86400) for u, _t, s in rows}
+    first = {}
+    for u, d in sorted(act):
+        first.setdefault(u, d)
+    sizes = collections.Counter(first.values())
+    mat = collections.Counter(
+        (first[u], d) for u, d in act
+    )
+    assert len(got) == len(mat)
+    for (c, d), n in mat.items():
+        key = (base + dt.timedelta(days=c), base + dt.timedelta(days=d))
+        na, nc, ret = got[key]
+        assert na == n and nc == sizes[c]
+        assert abs(ret - n / sizes[c]) < 1e-12
+
+
+def test_cohort_retention_full_first_period(spark):
+    from gliner_spark.operators.sessions import cohort_retention
+
+    rows = [(1, "x", 0), (2, "x", 10), (1, "x", 86400 + 5)]
+    out = {
+        (r["cohort"], r["period"]): r["retention"]
+        for r in cohort_retention(_fev(spark, rows)).collect()
+    }
+    import datetime as dt
+
+    b = dt.datetime(2024, 1, 1)
+    assert out[(b, b)] == 1.0  # cohort period itself is always 100%
+    assert out[(b, b + dt.timedelta(days=1))] == 0.5
