@@ -767,3 +767,56 @@ def test_corpus_overlap_estimates_at_scale(spark):
     assert rep["sampled"] == 512
     assert abs(rep["union_est"] - 8000) / 8000 < 0.2
     assert abs(rep["containment_b_in_a"] - 2000 / 5000) < 0.12
+
+
+def test_temperature_budgets_waterfill_and_caps(spark):
+    from gliner_spark.operators.curation import temperature_budgets
+
+    rows = []
+    for d, (src, ndocs, nw) in enumerate(
+        [("big", 80, 20), ("mid", 20, 10), ("tiny", 4, 5)]
+    ):
+        for i in range(ndocs):
+            rows.append(
+                (d * 1000 + i, src, " ".join(["w"] * nw))
+            )
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    sizes = {"big": 1600, "mid": 200, "tiny": 20}
+
+    # alpha=1 ==> proportional allocation
+    b1 = temperature_budgets(df, total_tokens=910, alpha=1.0)
+    assert sum(b1.values()) == 910
+    assert abs(b1["big"] - 800) <= 2 and abs(b1["mid"] - 100) <= 2
+
+    # alpha -> 0 flattens: tiny domain caps at its real size and the
+    # surplus waterfills into the others
+    b2 = temperature_budgets(df, total_tokens=900, alpha=0.01)
+    assert b2["tiny"] == sizes["tiny"]
+    assert sum(b2.values()) == 900
+    assert b2["big"] >= 400 and b2["mid"] == sizes["mid"]
+
+    # budget above the whole corpus -> everything, fully capped
+    b3 = temperature_budgets(df, total_tokens=10_000, alpha=0.3)
+    assert b3 == sizes
+
+
+def test_temperature_budgets_feed_mixture_sample(spark):
+    from gliner_spark.operators.curation import (
+        mixture_sample,
+        temperature_budgets,
+    )
+
+    rows = [
+        (i, "a" if i < 40 else "b", " ".join(["w"] * 10))
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    budgets = temperature_budgets(
+        df, total_tokens=200, alpha=0.5
+    )
+    out = mixture_sample(df, "source", budgets)
+    kept = out.groupBy("source").count().collect()
+    by = {r["source"]: r["count"] for r in kept}
+    # alpha=0.5 upsamples b relative to proportional (40 vs 100 tokens)
+    assert by["b"] >= 6  # b fully... budget_b = 200*sqrt(.2)/(sqrt(.8)+sqrt(.2)) ≈ 67 -> 6 docs admitted at 10 tok each
+    assert sum(by.values()) >= 18
