@@ -157,6 +157,7 @@ def svd_embed(
     i_col: str = "i",
     j_col: str = "j",
     w_col: str = "w",
+    init: DataFrame | None = None,
 ):
     """Rank-k factorization of the sparse matrix (i_col, j_col, w_col)
     → (word_df (id, vec), context_df (id, vec), sigma list), with
@@ -166,6 +167,16 @@ def svd_embed(
     `localCheckpoint` cuts the lineage each round (driver-loop shape
     shared with pagerank/CC). Rows or columns with no surviving
     entries have zero vectors and are omitted from the output.
+
+    `init` warm-starts the subspace from a previous run's CONTEXT
+    factor (any (id, vec) frame with k-dim arrays spanning roughly the
+    right column subspace — the first orthonormalization absorbs
+    scaling, so the Σ^(1−α) weighting is harmless): after a small
+    graph/corpus append the old subspace is nearly invariant and one
+    or two iterations recover what a cold start needs several for —
+    the embedding twin of `pagerank(init_ranks=…)`. Column ids absent
+    from `init` (new vertices) fall back to the deterministic sign
+    block; stale ids in `init` are ignored.
     """
     m = mat.select(
         F.col(i_col).alias("i"),
@@ -173,7 +184,18 @@ def svd_embed(
         F.col(w_col).cast("double").alias("w"),
     ).localCheckpoint()
 
-    x = _omega(m, "j", k, seed)
+    if init is None:
+        x = _omega(m, "j", k, seed)
+    else:
+        fresh = _omega(m, "j", k, seed)
+        x = (
+            fresh.join(
+                init.select(F.col("id"), F.col("vec").alias("_xi")),
+                "id",
+                "left",
+            )
+            .select("id", F.coalesce("_xi", F.col("x")).alias("x"))
+        )
     y = _matvec(m, x, "i", "j", k)
     q = _orth(y, k).localCheckpoint()
     for _ in range(max(int(iters), 1)):

@@ -130,3 +130,57 @@ def test_e2e_walk_embeddings_separate_cliques(spark):
     within = [cos(0, i) for i in range(1, 5)]
     across = [cos(0, 100 + i) for i in range(5)]
     assert min(within) > max(across)
+
+
+def test_svd_warm_start_beats_cold_at_one_iteration(spark):
+    rng = np.random.RandomState(17)
+    A = rng.rand(25, 4)
+    B = rng.rand(4, 20)
+    M0 = A @ B + 0.01 * rng.rand(25, 20)
+
+    def df_of(M):
+        return spark.createDataFrame(
+            [
+                (i, j, float(M[i, j]))
+                for i in range(M.shape[0])
+                for j in range(M.shape[1])
+            ],
+            "i long, j long, w double",
+        )
+
+    _, ctx0, _ = svd_embed(df_of(M0), k=4, iters=6, seed=3)
+    # small append: perturb a few cells (the subspace barely moves)
+    M1 = M0.copy()
+    M1[:3, :3] += 0.05
+    ref_w, ref_c, _ = svd_embed(df_of(M1), k=4, iters=8, seed=3)
+    warm_w, warm_c, _ = svd_embed(df_of(M1), k=4, iters=1, seed=3, init=ctx0)
+    cold_w, cold_c, _ = svd_embed(df_of(M1), k=4, iters=1, seed=4)
+
+    def recon_err(w, c):
+        E = _collect_emb(w, 25, 4)
+        C = _collect_emb(c, 20, 4)
+        return np.linalg.norm(E @ C.T - M1)
+
+    e_ref = recon_err(ref_w, ref_c)
+    e_warm = recon_err(warm_w, warm_c)
+    e_cold = recon_err(cold_w, cold_c)
+    assert e_warm <= e_cold + 1e-12
+    assert e_warm <= e_ref * 1.001  # warm 1-iter ≈ converged
+
+
+def test_svd_warm_start_handles_new_and_stale_ids(spark):
+    entries = [(i, j, float(1 + (i * j) % 7)) for i in range(10)
+               for j in range(8)]
+    df = spark.createDataFrame(entries, "i long, j long, w double")
+    _, ctx, _ = svd_embed(df, k=3, iters=4, seed=1)
+    # grow the column space (new j=8,9) and drop j=0 from the matrix
+    entries2 = [
+        (i, j, float(1 + (i * j) % 7))
+        for i in range(10)
+        for j in range(1, 10)
+    ]
+    df2 = spark.createDataFrame(entries2, "i long, j long, w double")
+    w2, c2, s2 = svd_embed(df2, k=3, iters=3, seed=1, init=ctx)
+    ids = sorted(r["id"] for r in c2.collect())
+    assert ids == list(range(1, 10))
+    assert all(s >= 0 for s in s2)
