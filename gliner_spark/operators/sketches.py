@@ -281,6 +281,80 @@ def kmv_set_ops(
     }
 
 
+def build_ams(
+    df: DataFrame,
+    key_col: str,
+    d: int = 64,
+    seed: int = 31,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """AMS / tug-of-war sketch (Alon-Matias-Szegedy 1996): ONE row of
+    d signed counters Z_j = Σ_x s_j(x)·f(x) with s_j(x) = ±1 from
+    xxhash64 parity. E[Z_j²] = F₂ = Σ f(x)² (the self-join size), and
+    for two sketches with the SAME (d, seed), E[Z_aj·Z_bj] =
+    Σ_x f_a(x)·f_b(x) — the equi-join OUTPUT size. That makes this
+    the pre-flight skew/join-size probe: estimate how big a join will
+    be from two one-row sketches instead of running it.
+
+    Build = one map projection to d signed weights + ONE combining
+    aggregate (d sums). Merge = add the rows elementwise (sums are
+    linear — also how a DELETE folds in: negative weights). Estimator
+    variance is 2F₂²/d; mean-of-d is within ~20% at d=64 w.h.p.
+    """
+    if d < 1:
+        raise ValueError("d >= 1 required")
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    signs = [
+        (
+            F.lit(1.0)
+            - F.lit(2.0)
+            * F.pmod(
+                F.xxhash64(F.col(key_col), F.lit(seed * 1009 + j)),
+                F.lit(2),
+            ).cast("double")
+        )
+        for j in range(d)
+    ]
+    return df.agg(
+        *[F.sum(w * s).alias(f"z{j}") for j, s in enumerate(signs)]
+    )
+
+
+def _ams_row(sketch: DataFrame) -> list[float]:
+    row = sketch.first()
+    return [float(v or 0.0) for v in row]
+
+
+def merge_ams(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Elementwise sum of the two one-row sketches (linearity)."""
+    cols = a.columns
+    return (
+        a.unionByName(b)
+        .agg(*[F.sum(c).alias(c) for c in cols])
+    )
+
+
+def ams_f2(sketch: DataFrame) -> float:
+    """Self-join size estimate F̂₂ = mean_j Z_j² — the skew number:
+    F₂/N² of a uniform key is 1/#keys; a heavy hitter drags it up."""
+    zs = _ams_row(sketch)
+    return sum(z * z for z in zs) / len(zs)
+
+
+def ams_join_size(a: DataFrame, b: DataFrame) -> float:
+    """Equi-join output-size estimate mean_j Z_aj·Z_bj for two
+    sketches built with identical (d, seed)."""
+    za = _ams_row(a)
+    zb = _ams_row(b)
+    if len(za) != len(zb):
+        raise ValueError("sketches have different depth")
+    return sum(x * y for x, y in zip(za, zb)) / len(za)
+
+
 def fold_kmv_batch(
     batch: DataFrame,
     state_path: str,

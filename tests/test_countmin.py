@@ -252,3 +252,79 @@ def test_kmv_fold_crash_orphan_invisible(spark, tmp_path):
     os.makedirs(os.path.join(state, "_gen=99"), exist_ok=True)
     after = sorted(r["v"] for r in current_kmv(spark, state).collect())
     assert before == after
+
+
+# ---------------------------------------------------------------- AMS
+
+
+def test_ams_f2_accuracy_uniform_and_skewed(spark):
+    from gliner_spark.operators.sketches import ams_f2, build_ams
+
+    uni = _ids(spark, 0, 1000)  # f=1 each -> F2 = 1000
+    sk = build_ams(uni, "key", d=256)
+    est = ams_f2(sk)
+    assert abs(est - 1000) / 1000 < 0.35  # var 2F2^2/d
+
+    hot = spark.createDataFrame(
+        [("hot",)] * 200 + [(f"k{i}",) for i in range(100)],
+        "key string",
+    )
+    # F2 = 200^2 + 100 = 40100
+    est2 = ams_f2(build_ams(hot, "key", d=256))
+    assert abs(est2 - 40100) / 40100 < 0.35
+
+
+def test_ams_join_size_estimate(spark):
+    from gliner_spark.operators.sketches import ams_join_size, build_ams
+
+    # A: keys 0..199 twice each; B: keys 100..399 three times each
+    a = _ids(spark, 0, 200, dup=2)
+    b = _ids(spark, 100, 400, dup=3)
+    sa = build_ams(a, "key", d=512, seed=5)
+    sb = build_ams(b, "key", d=512, seed=5)
+    # true join size = 100 shared keys * 2 * 3 = 600
+    est = ams_join_size(sa, sb)
+    assert abs(est - 600) < 0.5 * 600 + 200  # high-variance estimator
+
+
+def test_ams_merge_linearity_and_weighted_delete(spark):
+    from gliner_spark.operators.sketches import (
+        ams_f2,
+        build_ams,
+        merge_ams,
+    )
+
+    a = _ids(spark, 0, 50)
+    b = _ids(spark, 50, 120)
+    one = build_ams(_ids(spark, 0, 120), "key", d=64, seed=9)
+    merged = merge_ams(
+        build_ams(a, "key", d=64, seed=9),
+        build_ams(b, "key", d=64, seed=9),
+    )
+    za = one.first()
+    zb = merged.first()
+    for c in one.columns:
+        assert abs(za[c] - zb[c]) < 1e-9
+
+    # delete = negative weight: folding -1 copies of b cancels it
+    neg = b.withColumn("w", F.lit(-1.0))
+    cancelled = merge_ams(
+        merged, build_ams(neg, "key", d=64, seed=9, weight_col="w")
+    )
+    only_a = build_ams(a, "key", d=64, seed=9)
+    zc = cancelled.first()
+    zd = only_a.first()
+    for c in only_a.columns:
+        assert abs(zc[c] - zd[c]) < 1e-9
+    assert abs(ams_f2(cancelled) - ams_f2(only_a)) < 1e-9
+
+
+def test_ams_mismatched_depth_raises(spark):
+    from gliner_spark.operators.sketches import ams_join_size, build_ams
+
+    a = build_ams(_ids(spark, 0, 10), "key", d=8)
+    b = build_ams(_ids(spark, 0, 10), "key", d=16)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        ams_join_size(a, b)
