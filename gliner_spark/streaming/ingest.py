@@ -204,3 +204,59 @@ def stream_url_dedup(
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["canonical_url"])
     )
+
+
+def stream_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    key_cols: tuple[str, ...] = ("user_id",),
+    max_span_seconds: int = 3600,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of `temporal.interval_join`: a watermarked
+    stream-stream INNER join matching each arriving point to the
+    interval rows that contain it (start ≤ ts ≤ end, equality on
+    `key_cols`) — the live enrichment shape (events against open
+    maintenance windows, turns against active experiment windows).
+
+    State boundedness is the whole design: both sides carry an
+    event-time watermark and the join condition pins
+    end ≤ start + `max_span_seconds`, so Spark can derive that a
+    buffered interval is joinable only while
+    start ≥ watermark − max_span and evict everything older — without
+    the span bound the interval side would be unbounded state. The
+    bound is a CONTRACT (longer intervals are dropped by the filter,
+    loudly part of the semantics, the same stance as the batch
+    operator's skew note).
+
+    One availableNow pass over static-in-a-dir data equals the batch
+    operator filtered to the same max-span (parity-pinned in tests).
+    """
+    p = points.withWatermark(point_ts, watermark_delay)
+    i = intervals.where(
+        (F.col(end_col) >= F.col(start_col))
+        & (
+            F.col(end_col).cast("long")
+            <= F.col(start_col).cast("long") + F.lit(int(max_span_seconds))
+        )
+    ).withWatermark(start_col, watermark_delay)
+    pa = p.alias("p")
+    ia = i.alias("i")
+    cond = (
+        (F.col(f"p.{point_ts}") >= F.col(f"i.{start_col}"))
+        & (F.col(f"p.{point_ts}") <= F.col(f"i.{end_col}"))
+        # implied by end <= start + span, but stated IN the join
+        # condition so the streaming planner can derive the state
+        # eviction bound between the two watermarked columns
+        & (
+            F.col(f"p.{point_ts}")
+            <= F.col(f"i.{start_col}")
+            + F.expr(f"INTERVAL {int(max_span_seconds)} SECONDS")
+        )
+    )
+    for kc in key_cols:
+        cond = cond & (F.col(f"p.{kc}") == F.col(f"i.{kc}"))
+    return pa.join(ia, cond, "inner")

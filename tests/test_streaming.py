@@ -452,3 +452,67 @@ def test_stream_url_dedup_collapses_fetch_variants(spark, tmp_path_factory):
         "https://site.com/page",
         "https://third.com/y",
     ]
+
+
+def test_stream_interval_join_parity_with_batch(spark, tmp_path_factory):
+    import datetime as dt
+
+    from gliner_spark.operators.temporal import interval_join
+    from gliner_spark.streaming.ingest import stream_interval_join
+
+    base = dt.datetime(2024, 1, 1)
+    pts = [
+        (j, j % 5, base + dt.timedelta(seconds=(j * 37) % 4000))
+        for j in range(200)
+    ]
+    ivs = []
+    for j in range(60):
+        s = (j * 61) % 4000
+        ln = [0, 30, 300, 2000, 7200][j % 5]  # 7200 exceeds max_span
+        ivs.append(
+            (j, j % 5, base + dt.timedelta(seconds=s),
+             base + dt.timedelta(seconds=s + ln))
+        )
+    pdir = str(tmp_path_factory.mktemp("sij_points"))
+    idir = str(tmp_path_factory.mktemp("sij_ivs"))
+    ckpt = str(tmp_path_factory.mktemp("sij_ckpt"))
+    out = str(tmp_path_factory.mktemp("sij_out"))
+    p_schema = "pid long, user_id long, ts timestamp"
+    i_schema = "iid long, user_id long, start timestamp, end timestamp"
+    spark.createDataFrame(pts, p_schema).write.mode("append").parquet(pdir)
+    spark.createDataFrame(ivs, i_schema).write.mode("append").parquet(idir)
+
+    joined = stream_interval_join(
+        spark.readStream.schema(p_schema).parquet(pdir),
+        spark.readStream.schema(i_schema).parquet(idir),
+        max_span_seconds=3600,
+    ).select(F.col("pid"), F.col("iid"))
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        (r["pid"], r["iid"]) for r in spark.read.parquet(out).collect()
+    )
+
+    # batch reference: same span contract applied up front
+    ivdf = spark.createDataFrame(ivs, i_schema).where(
+        F.col("end").cast("long") <= F.col("start").cast("long") + 3600
+    )
+    expect = sorted(
+        (r["pid"], r["iid"])
+        for r in interval_join(
+            spark.createDataFrame(pts, p_schema),
+            ivdf,
+            "ts",
+            "start",
+            "end",
+            key_cols=("user_id",),
+            value_cols=("iid",),
+        ).collect()
+    )
+    assert got == expect and len(got) > 0
