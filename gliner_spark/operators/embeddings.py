@@ -228,3 +228,127 @@ def svd_embed(
         "id", F.col("x").alias("vec")
     )
     return word, ctx, [float(s) for s in sigma]
+
+
+def link_auc(
+    edges: DataFrame,
+    vectors: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    neg_per_pos: int = 1,
+    seed: int = 13,
+) -> DataFrame:
+    """Link-prediction AUC of an embedding table (id, vec): the
+    probability that a true edge outscores a random non-edge under the
+    dot product — the standard intrinsic quality number for
+    DeepWalk/node2vec-style vectors (higher = the geometry reflects
+    the graph). → ONE row (n_pos, n_neg, auc).
+
+    Negatives are DETERMINISTIC: each positive edge is re-targeted at
+    `neg_per_pos` md5-picked vertices (the random_walks pick pattern,
+    so the eval set is reproducible across runs/engines), then known
+    edges are removed with a left_anti join. Scoring is two equi-joins
+    against the vector table; AUC is the exact Mann-Whitney rank-sum
+    over one global sort of the P+N scores (ties get half credit) —
+    an eval-sized sort, not a corpus one.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    from pyspark.sql import Window as _W
+
+    n_verts = verts.count()
+    iverts = verts.select(
+        "id",
+        (
+            F.row_number().over(_W.orderBy("id")) - 1
+        ).alias("idx"),
+    )
+    reps = e.select(
+        "src",
+        "dst",
+        F.explode(
+            F.array(*[F.lit(r) for r in range(int(neg_per_pos))])
+        ).alias("rep"),
+    )
+    pick = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.lit(int(seed)),
+                        F.col("src"),
+                        F.col("dst"),
+                        F.col("rep"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(int(n_verts)),
+    )
+    cand = reps.select("src", pick.alias("idx")).join(iverts, "idx").select(
+        "src", F.col("id").alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+    negs = cand.join(e, ["src", "dst"], "left_anti")
+
+    v_s = vectors.select(F.col("id").alias("src"), F.col("vec").alias("_vs"))
+    v_d = vectors.select(F.col("id").alias("dst"), F.col("vec").alias("_vd"))
+
+    def score(df, label):
+        return (
+            df.join(v_s, "src")
+            .join(v_d, "dst")
+            .select(
+                F.lit(label).alias("y"),
+                F.zip_with(
+                    "_vs", "_vd", lambda a, b: a * b
+                ).alias("_p"),
+            )
+            .select(
+                "y",
+                F.aggregate(
+                    "_p", F.lit(0.0), lambda acc, x: acc + x
+                ).alias("s"),
+            )
+        )
+
+    allx = score(e, 1).unionByName(score(negs, 0))
+    # average rank handles ties with half credit (Mann-Whitney U)
+    ranked = allx.withColumn(
+        "r",
+        F.avg(F.row_number().over(_W.orderBy("s", "y"))).over(
+            _W.partitionBy("s")
+        ),
+    )
+    agg = ranked.agg(
+        F.sum("y").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("y")).alias("n_neg"),
+        F.sum(F.col("r") * F.col("y")).alias("rank_pos"),
+    )
+    return agg.select(
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        (
+            (
+                F.col("rank_pos")
+                - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0
+            )
+            / (F.col("n_pos") * F.col("n_neg"))
+        ).alias("auc"),
+    )

@@ -184,3 +184,95 @@ def test_svd_warm_start_handles_new_and_stale_ids(spark):
     ids = sorted(r["id"] for r in c2.collect())
     assert ids == list(range(1, 10))
     assert all(s >= 0 for s in s2)
+
+
+# ------------------------------------------------------------ link_auc
+
+
+def _auc_py(edges, vecs, neg_per_pos, seed, n_verts, iverts):
+    import hashlib
+
+    e = {(s, d) for s, d in edges if s != d}
+    cand = []
+    for s, d in sorted(e):
+        for rep in range(neg_per_pos):
+            h = hashlib.md5(f"{seed}|{s}|{d}|{rep}".encode()).hexdigest()
+            t = iverts[int(h[:8], 16) % n_verts]
+            if t != s and (s, t) not in e:
+                cand.append((s, t))
+    scores = []
+    for s, d in sorted(e):
+        scores.append((float(vecs[s] @ vecs[d]), 1))
+    for s, d in cand:
+        scores.append((float(vecs[s] @ vecs[d]), 0))
+    scores.sort()
+    # average ranks with ties
+    ranks = {}
+    i = 0
+    while i < len(scores):
+        j = i
+        while j < len(scores) and scores[j][0] == scores[i][0]:
+            j += 1
+        avg = (i + 1 + j) / 2.0
+        for t in range(i, j):
+            ranks[t] = avg
+        i = j
+    P = sum(y for _s, y in scores)
+    N = len(scores) - P
+    rp = sum(ranks[t] for t, (_s, y) in enumerate(scores) if y == 1)
+    return (rp - P * (P + 1) / 2.0) / (P * N)
+
+
+def test_link_auc_exact_python_replay(spark):
+    import numpy as np
+
+    from gliner_spark.operators.embeddings import link_auc
+
+    rng = np.random.RandomState(5)
+    edges = sorted(
+        {((i * 7) % 15, (i * 11 + 3) % 15) for i in range(40)}
+    )
+    edges = [(s, d) for s, d in edges if s != d]
+    verts = sorted({v for e in edges for v in e})
+    vecs = {v: rng.rand(4) for v in verts}
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    vdf = spark.createDataFrame(
+        [(v, [float(x) for x in vecs[v]]) for v in verts],
+        "id long, vec array<double>",
+    )
+    row = link_auc(edf, vdf, neg_per_pos=2, seed=13).first()
+    expect = _auc_py(
+        edges, vecs, 2, 13, len(verts), verts
+    )
+    assert abs(row["auc"] - expect) < 1e-9
+    assert row["n_pos"] == len(set(edges))
+
+
+def test_link_auc_separates_good_from_random(spark):
+    import numpy as np
+
+    from gliner_spark.operators.embeddings import link_auc
+
+    # two 8-cliques: edges only within cliques
+    edges = []
+    for base in (0, 50):
+        for a in range(8):
+            for b in range(8):
+                if a != b:
+                    edges.append((base + a, base + b))
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    verts = sorted({v for e in edges for v in e})
+    # "good" embedding: clique indicator -> within-clique dot = 1
+    good = spark.createDataFrame(
+        [(v, [1.0, 0.0] if v < 50 else [0.0, 1.0]) for v in verts],
+        "id long, vec array<double>",
+    )
+    rng = np.random.RandomState(3)
+    rand = spark.createDataFrame(
+        [(v, [float(x) for x in rng.rand(2)]) for v in verts],
+        "id long, vec array<double>",
+    )
+    auc_good = link_auc(edf, good, neg_per_pos=3, seed=1).first()["auc"]
+    auc_rand = link_auc(edf, rand, neg_per_pos=3, seed=1).first()["auc"]
+    assert auc_good > 0.85
+    assert auc_good > auc_rand
