@@ -4499,10 +4499,14 @@ def oracle_sql() -> dict[str, str]:
                      s_j::double / (2.0 * me) as mu
               from asum),
             assort_leg as (
+              -- nullif mirrors the Spark side's when(den != 0, ...):
+              -- a regular graph has zero degree variance and must
+              -- yield NULL, not a division error
               select 'assort' as leg, s_j as a, s_jj as b, '' as k,
                      me as n, s_jk as m,
                      round((s_jk::double / me - mu * mu)
-                           / (s_jj::double / (2.0 * me) - mu * mu),
+                           / nullif(s_jj::double / (2.0 * me)
+                                    - mu * mu, 0.0),
                            6) as val
               from asum2)
             select * from edge_leg
@@ -4590,6 +4594,7 @@ def oracle_sql() -> dict[str, str]:
                          filter (where event_type = 'purchase')) as a2
                 from events
                 where event_type in ('signup', 'click', 'purchase')
+                  and ts is not null
                 group by user_id),
               fb as (select user_id, a1, a2, list_min(a0) as s0 from fa),
               fc as (select user_id, a2, s0,

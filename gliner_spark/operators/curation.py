@@ -981,8 +981,11 @@ def corpus_overlap(
 
     ga = _grams(corpus_a)
     gb = _grams(corpus_b)
-    sa = build_kmv(ga, "gram", k=k, seed=seed)
-    sb = build_kmv(gb, "gram", k=k, seed=seed)
+    # localCheckpoint pins the ≤k-row sketches: kmv_set_ops and the
+    # containment estimate below each collect sb, and without the pin
+    # the SECOND collect re-runs corpus B's full gram scan
+    sa = build_kmv(ga, "gram", k=k, seed=seed).localCheckpoint()
+    sb = build_kmv(gb, "gram", k=k, seed=seed).localCheckpoint()
     rep = kmv_set_ops(sa, sb, k=k)
     b_est = kmv_estimate([r["v"] for r in sb.collect()], k)
     rep["containment_b_in_a"] = (

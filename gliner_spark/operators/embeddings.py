@@ -188,21 +188,31 @@ def svd_embed(
         x = _omega(m, "j", k, seed)
     else:
         fresh = _omega(m, "j", k, seed)
+        # size guard: an init vector of the wrong dimension would NULL
+        # out components silently (array index past the end) — treat
+        # it like a missing id and fall back to the sign block
+        xi = F.when(F.size("_xi") == k, F.col("_xi"))
         x = (
             fresh.join(
                 init.select(F.col("id"), F.col("vec").alias("_xi")),
                 "id",
                 "left",
             )
-            .select("id", F.coalesce("_xi", F.col("x")).alias("x"))
+            .select("id", F.coalesce(xi, F.col("x")).alias("x"))
         )
-    y = _matvec(m, x, "i", "j", k)
-    q = _orth(y, k).localCheckpoint()
+    # checkpoint the MATVEC outputs, not the orth outputs: each _orth
+    # is a Gram collect + a lazy projection, so checkpointing after
+    # _orth would re-run the expensive join+agg once per downstream
+    # consumer (~2.5x redundant shuffle work per round, measured by
+    # review); _orth over a checkpointed matvec only replays the cheap
+    # k x k projection
+    y = _matvec(m, x, "i", "j", k).localCheckpoint()
+    q = _orth(y, k)
     for _ in range(max(int(iters), 1)):
-        z = _matvec(m, q, "j", "i", k)  # Mᵀ·Q
+        z = _matvec(m, q, "j", "i", k).localCheckpoint()  # Mᵀ·Q
         wblk = _orth(z, k)
-        y = _matvec(m, wblk, "i", "j", k)
-        q = _orth(y, k).localCheckpoint()
+        y = _matvec(m, wblk, "i", "j", k).localCheckpoint()
+        q = _orth(y, k)
 
     import numpy as np
 
@@ -341,7 +351,13 @@ def link_auc(
         F.sum(F.lit(1) - F.col("y")).alias("n_neg"),
         F.sum(F.col("r") * F.col("y")).alias("rank_pos"),
     )
+    # n_edges makes inner-join attrition VISIBLE: edges whose endpoint
+    # has no vector are silently excluded from scoring (svd_embed omits
+    # zero-row vertices), so coverage = n_pos / n_edges is part of the
+    # result, not something the caller must infer
+    n_edges = e.count()
     return agg.select(
+        F.lit(int(n_edges)).alias("n_edges"),
         F.col("n_pos").cast("long").alias("n_pos"),
         F.col("n_neg").cast("long").alias("n_neg"),
         (

@@ -152,19 +152,31 @@ def fold_countmin_batch(
         batch, key_col, depth=depth, width=width, seed=seed
     )
     merged = merge_countmin(live, delta) if live is not None else delta
+    _commit_generation(merged, state_path)
+
+
+def _commit_generation(df: DataFrame, state_path: str) -> None:
+    """Shared marker-last generation commit for sketch folds: write
+    `_gen=N`, create its `.ok` marker, then GC the superseded
+    generations — marker FIRST (a markerless dir is invisible), then
+    the directory itself (without the rmtree every fold leaks one
+    orphan parquet dir forever)."""
+    import shutil
+
     gens = _live_generations(state_path)
     nxt = (max(gens) + 1) if gens else 0
     out = os.path.join(state_path, f"_gen={nxt}")
-    merged.coalesce(1).write.mode("overwrite").parquet(out)
+    df.coalesce(1).write.mode("overwrite").parquet(out)
     with open(os.path.join(state_path, f"_gen={nxt}.ok"), "w") as f:
         f.write("ok")
-    # GC: old generations are unreachable once the new marker exists;
-    # remove marker FIRST (a markerless dir is invisible)
     for g in gens:
         try:
             os.remove(os.path.join(state_path, f"_gen={g}.ok"))
         except FileNotFoundError:
             pass
+        shutil.rmtree(
+            os.path.join(state_path, f"_gen={g}"), ignore_errors=True
+        )
 
 
 def _live_generations(state_path: str) -> list[int]:
@@ -372,17 +384,7 @@ def fold_kmv_batch(
     live = current_kmv(spark, state_path)
     delta = build_kmv(batch, key_col, k=k, seed=seed)
     merged = merge_kmv(live, delta, k=k) if live is not None else delta
-    gens = _live_generations(state_path)
-    nxt = (max(gens) + 1) if gens else 0
-    out = os.path.join(state_path, f"_gen={nxt}")
-    merged.coalesce(1).write.mode("overwrite").parquet(out)
-    with open(os.path.join(state_path, f"_gen={nxt}.ok"), "w") as f:
-        f.write("ok")
-    for g in gens:
-        try:
-            os.remove(os.path.join(state_path, f"_gen={g}.ok"))
-        except FileNotFoundError:
-            pass
+    _commit_generation(merged, state_path)
 
 
 def current_kmv(spark, state_path: str) -> DataFrame | None:

@@ -196,15 +196,6 @@ FUNNEL_STATE_SCHEMA = T.StructType(
     ]
 )
 
-FUNNEL_OUTPUT_SCHEMA = T.StructType(
-    [
-        T.StructField("key", T.LongType(), False),
-        T.StructField("stage", T.IntegerType(), False),
-        T.StructField("ts_first_us", T.LongType(), True),
-        T.StructField("ts_last_us", T.LongType(), True),
-    ]
-)
-
 _T_UNSET = -(2**63)
 
 
@@ -236,10 +227,22 @@ def stream_funnel(
     if not steps:
         raise ValueError("steps must be non-empty")
     step_list = [str(s) for s in steps]
+    # key keeps its NATIVE type (string conv ids included) — an ANSI
+    # cast to long here would crash on the very keys the batch twin
+    # accepts; the output schema is built from the input's key type
+    key_type = events.schema[key_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("key", key_type, True),
+            T.StructField("stage", T.IntegerType(), False),
+            T.StructField("ts_first_us", T.LongType(), True),
+            T.StructField("ts_last_us", T.LongType(), True),
+        ]
+    )
     prep = events.where(
         F.col(type_col).isin(step_list) & F.col(ts_col).isNotNull()
     ).select(
-        F.col(key_col).cast("long").alias("key"),
+        F.col(key_col).alias("key"),
         F.col(type_col).cast("string").alias("t"),
         F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
     )
@@ -284,7 +287,7 @@ def stream_funnel(
 
     return prep.groupBy("key").applyInPandasWithState(
         upd,
-        FUNNEL_OUTPUT_SCHEMA,
+        out_schema,
         FUNNEL_STATE_SCHEMA,
         "append",
         GroupStateTimeout.NoTimeout,

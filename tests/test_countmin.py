@@ -238,6 +238,15 @@ def test_kmv_streaming_fold_matches_batch(spark, tmp_path):
         r["v"] for r in build_kmv(_ids(spark, 0, 4000), "key", k=128).collect()
     )
     assert live == one
+    # generation GC removes superseded parquet dirs, not just markers
+    import os
+
+    dirs = [
+        d
+        for d in os.listdir(state)
+        if d.startswith("_gen=") and not d.endswith(".ok")
+    ]
+    assert len(dirs) == 1
 
 
 def test_kmv_fold_crash_orphan_invisible(spark, tmp_path):
