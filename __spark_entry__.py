@@ -1148,14 +1148,24 @@ def _q_event_cooccur(spark, sf_dir):
 
 
 def _q_eval_prf(spark, sf_dir):
-    """J5 (pred↔gold equi-join) + A2 (micro P/R/F1) shape: heuristic
-    language prediction vs the gold lang column, one metrics row."""
+    """Evaluation umbrella, columns (leg, k, n, m, val).
+
+    leg='micro': J5 (pred↔gold equi-join) + A2 micro accuracy —
+    k='all', n=n_docs, m=tp, val=accuracy.
+
+    leg='calib': evaluation.calibration_table (r4) — reliability bins
+    over a deterministic md5-uniform confidence (bit-identical
+    cross-engine, the curation.stratified_sample trick) with
+    correct = (pred_lang == lang); k=bin, n=bin count, m=n_correct,
+    val=accuracy (a ratio of exact ints — the float mean_score/ECE
+    stay pytest-gated for aggregation-order reasons)."""
+    from gliner_spark.operators.evaluation import calibration_table
     from gliner_spark.operators.textstats import language_id
 
     docs = _docs(spark, sf_dir)
     pred = language_id(docs).select("doc_id", "pred_lang")
     j = docs.select("doc_id", "lang").join(pred, "doc_id")
-    return j.agg(
+    micro = j.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(
             F.when(F.col("pred_lang") == F.col("lang"), 1).otherwise(0)
@@ -1165,7 +1175,28 @@ def _q_eval_prf(spark, sf_dir):
             / F.count(F.lit(1)),
             6,
         ).alias("accuracy"),
+    ).select(
+        F.lit("micro").alias("leg"),
+        F.lit("all").alias("k"),
+        F.col("n_docs").cast("long").alias("n"),
+        F.col("tp").cast("long").alias("m"),
+        F.col("accuracy").alias("val"),
     )
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("double") / F.lit(float(1 << 32))
+    scored = j.select(
+        u.alias("score"),
+        (F.col("pred_lang") == F.col("lang")).cast("int").alias("correct"),
+    )
+    calib = calibration_table(scored, n_bins=10).select(
+        F.lit("calib").alias("leg"),
+        F.col("bin").cast("string").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        F.col("n_correct").cast("long").alias("m"),
+        F.round("accuracy", 6).alias("val"),
+    )
+    return micro.unionByName(calib)
 
 
 def _q_prf_per_class(spark, sf_dir):
@@ -3828,15 +3859,29 @@ def oracle_sql() -> dict[str, str]:
                        from documents),
             h as (select doc_id, lang, text, {hit_cols} from t),
             p as (select doc_id, lang, {pred_lang} as pred_lang from h)
-            select count(*) as n_docs,
+            select 'micro' as leg, 'all' as k,
+                   count(*) as n,
                    -- ::bigint — DuckDB sum() yields HUGEINT (int128) which
                    -- pandas-converts to float64 (3.0 vs Spark's bigint 3):
                    -- the r01 hash mismatch. count(*) is already bigint.
                    sum(case when pred_lang = lang then 1 else 0
-                     end)::bigint as tp,
+                     end)::bigint as m,
                    round(sum(case when pred_lang = lang then 1 else 0
-                     end)::double / count(*), 6) as accuracy
+                     end)::double / count(*), 6) as val
             from p
+            union all
+            select 'calib' as leg, bin::varchar as k,
+                   count(*) as n,
+                   sum(correct)::bigint as m,
+                   round(sum(correct)::double / count(*), 6) as val
+            from (
+              select least(floor((('0x' || substr(md5(doc_id::varchar),
+                       1, 8))::bigint / 4294967296.0) * 10), 9)::int
+                       as bin,
+                     case when pred_lang = lang then 1 else 0 end
+                       as correct
+              from p)
+            group by bin
         """,
         "prf_per_class": f"""
             with t as (select doc_id, text, lang, {_TOKS_SQL} as toks

@@ -109,3 +109,55 @@ def evaluate_triples(pred: DataFrame, gold: DataFrame) -> DataFrame:
         F.round(rec, 6).alias("recall"),
         F.round(f1, 6).alias("f1"),
     )
+
+
+def calibration_table(
+    scored: DataFrame,
+    score_col: str = "score",
+    correct_col: str = "correct",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability table for confidence calibration (Guo et al. 2017):
+    predictions bucketed into fixed-width confidence bins →
+    (bin, n, n_correct, mean_score, accuracy, gap). A well-calibrated
+    scorer has accuracy ≈ mean confidence per bin; `gap` is the
+    per-bin |difference| that `expected_calibration_error` weights.
+
+    ONE map-side-combining hash agg on the bin id; bin = floor(s·B)
+    clamped into [0, B) so s = 1.0 lands in the top bin. n, n_correct
+    and the accuracy ratio are exact integers / int ratios (bit-stable
+    cross-engine); mean_score is a float average (rounded 6dp,
+    aggregation-order sensitive in the last bits — the reason oracle
+    checks pin the integer columns)."""
+    if n_bins < 2:
+        raise ValueError("n_bins >= 2")
+    b = F.least(
+        F.floor(F.col(score_col) * n_bins).cast("int"),
+        F.lit(int(n_bins) - 1),
+    )
+    agg = scored.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(correct_col).cast("int")).alias("n_correct"),
+        F.avg(F.col(score_col)).alias("_ms"),
+    )
+    acc = F.col("n_correct").cast("double") / F.col("n")
+    return agg.select(
+        "bin",
+        "n",
+        "n_correct",
+        F.round("_ms", 6).alias("mean_score"),
+        acc.alias("accuracy"),
+        F.round(F.abs(acc - F.col("_ms")), 6).alias("gap"),
+    )
+
+
+def expected_calibration_error(table: DataFrame) -> float:
+    """ECE = Σ_b (n_b/N)·|acc_b − conf_b| over a `calibration_table`
+    result — one ≤n_bins-row collect."""
+    rows = table.select("n", "accuracy", "mean_score").collect()
+    total = sum(r["n"] for r in rows)
+    if not total:
+        return 0.0
+    return sum(
+        r["n"] * abs(r["accuracy"] - r["mean_score"]) for r in rows
+    ) / total

@@ -76,3 +76,57 @@ def test_char_span_to_word_span():
     assert char_span_to_word_span(text, 6, 9) == (1, 1)      # inside "Chen"
     assert char_span_to_word_span(text, 37, 38) == (5, 5)    # "."
     assert char_span_to_word_span("", 0, 3) is None
+
+
+# ---------------------------------------------------------- calibration
+
+
+def test_calibration_table_matches_python(spark):
+    from gliner_spark.operators.evaluation import (
+        calibration_table,
+        expected_calibration_error,
+    )
+
+    rows = []
+    for i in range(500):
+        s = ((i * 37) % 100) / 100.0
+        c = 1 if ((i * 13) % 100) / 100.0 < s else 0  # roughly calibrated
+        rows.append((i, s, c))
+    df = spark.createDataFrame(rows, "id long, score double, correct int")
+    tab = calibration_table(df, n_bins=10)
+    got = {
+        r["bin"]: (r["n"], r["n_correct"], r["accuracy"])
+        for r in tab.collect()
+    }
+    import collections
+
+    exp = collections.defaultdict(lambda: [0, 0, 0.0])
+    for _i, s, c in rows:
+        b = min(int(s * 10), 9)
+        exp[b][0] += 1
+        exp[b][1] += c
+        exp[b][2] += s
+    for b, (n, nc, ssum) in exp.items():
+        assert got[b][0] == n and got[b][1] == nc
+        assert abs(got[b][2] - nc / n) < 1e-12
+    ece = expected_calibration_error(tab)
+    exp_ece = sum(
+        n * abs(nc / n - round(ssum / n, 6)) for n, nc, ssum in exp.values()
+    ) / sum(n for n, _nc, _s in exp.values())
+    assert abs(ece - exp_ece) < 1e-9
+
+
+def test_calibration_top_bin_and_perfect_scorer(spark):
+    from gliner_spark.operators.evaluation import (
+        calibration_table,
+        expected_calibration_error,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 1.0, 1), (1, 1.0, 1), (2, 0.0, 0)],
+        "id long, score double, correct int",
+    )
+    tab = calibration_table(df, n_bins=5)
+    got = {r["bin"]: r["n"] for r in tab.collect()}
+    assert got == {4: 2, 0: 1}  # score 1.0 clamps into the top bin
+    assert expected_calibration_error(tab) < 1e-12
