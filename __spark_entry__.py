@@ -2230,7 +2230,27 @@ def _q_asof_enrich(spark, sf_dir):
             6,
         ).alias("val"),
     )
-    return asof.unionByName(rng).unionByName(fun)
+
+    # leg='coalesce' (r4): temporal.coalesce_intervals gaps-and-islands
+    # merge of the SAME view intervals the range leg probes — per
+    # merged validity span: event_id=island index, n=start µs,
+    # val=duration seconds (integer-µs difference / 1e6, round 6).
+    from gliner_spark.operators.temporal import coalesce_intervals
+
+    coal = coalesce_intervals(
+        iv.select("user_id", "su", "eu"), ("user_id",), "su", "eu"
+    ).select(
+        F.lit("coalesce").alias("leg"),
+        "user_id",
+        F.col("island").cast("long").alias("event_id"),
+        F.col("start_us").alias("n"),
+        F.round(
+            (F.col("end_us") - F.col("start_us")) / F.lit(1000000.0), 6
+        ).alias("val"),
+    )
+    return (
+        asof.unionByName(rng).unionByName(fun).unionByName(coal)
+    )
 
 
 def _q_event_rollup(spark, sf_dir):
@@ -4654,6 +4674,38 @@ def oracle_sql() -> dict[str, str]:
                      round((coalesce(s2, s1, s0) - s0) / 1000000.0, 6)
                        as val
               from fd)
+            union all
+            select leg, user_id, event_id, n, val from (
+              with ci as (
+                select user_id, epoch_us(ts) as su,
+                       (epoch_us(ts)
+                        + ((event_id % 7) + 1) * 3600000000)::bigint
+                         as eu
+                from events where event_type = 'view'),
+              cj as (
+                select user_id, su, eu,
+                       max(eu) over (partition by user_id
+                         order by su, eu
+                         rows between unbounded preceding
+                         and 1 preceding) as pme
+                from ci),
+              ck as (
+                select user_id, su, eu,
+                       case when pme is null or su > pme then 1
+                            else 0 end as g
+                from cj),
+              cl as (
+                select user_id, su, eu,
+                       sum(g) over (partition by user_id
+                         order by su, eu
+                         rows between unbounded preceding
+                         and current row) as island
+                from ck)
+              select 'coalesce' as leg, user_id,
+                     island::bigint as event_id,
+                     min(su)::bigint as n,
+                     round((max(eu) - min(su)) / 1000000.0, 6) as val
+              from cl group by user_id, island)
         """,
         "event_rollup": """
             select 'rollup' as leg, event_type as k,

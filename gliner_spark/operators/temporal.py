@@ -209,3 +209,56 @@ def time_rollup(
         aggs = [F.count(F.lit(1)).alias("n")]
     bucket = F.date_trunc(granularity, F.col(ts_col)).alias("bucket")
     return df.rollup(*[F.col(d) for d in dims], bucket).agg(*aggs)
+
+
+def coalesce_intervals(
+    intervals: DataFrame,
+    key_cols: tuple[str, ...] = ("key",),
+    start_col: str = "start",
+    end_col: str = "end",
+) -> DataFrame:
+    """Merge overlapping/touching intervals per key into maximal
+    disjoint spans (gaps-and-islands) → key cols + (island, start,
+    end, n_merged). The temporal-KG maintenance op: per-evidence
+    validity windows collapse into an edge's effective validity
+    ranges; also the generic "merge maintenance windows / sessions
+    with known bounds" shape. Touching intervals (next.start ==
+    prev.end) merge; invalid rows (end < start) are dropped.
+
+    ONE shuffle (window by key ordered by start): island id =
+    running count of gap starts, where a gap start is
+    start > max(end) over all preceding rows — the running-max
+    handles containment (a short interval inside a long one must not
+    end the island). Then one hash agg per (key, island).
+    """
+    su = _us(F.col(start_col), dict(
+        zip(intervals.schema.names,
+            [f.dataType for f in intervals.schema]))[start_col])
+    eu = _us(F.col(end_col), dict(
+        zip(intervals.schema.names,
+            [f.dataType for f in intervals.schema]))[end_col])
+    base = intervals.where(eu >= su).select(
+        *[F.col(c) for c in key_cols],
+        su.alias("_su"),
+        eu.alias("_eu"),
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("_su").asc(), F.col("_eu").asc()
+    )
+    prev_max_end = F.max("_eu").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    gap = F.when(
+        prev_max_end.isNull() | (F.col("_su") > prev_max_end), 1
+    ).otherwise(0)
+    islands = base.withColumn("_g", gap).withColumn(
+        "island",
+        F.sum("_g").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return islands.groupBy(*key_cols, "island").agg(
+        F.min("_su").alias("start_us"),
+        F.max("_eu").alias("end_us"),
+        F.count(F.lit(1)).alias("n_merged"),
+    )

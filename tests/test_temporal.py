@@ -294,3 +294,67 @@ def test_interval_join_plan_is_equi_join(spark):
                         bucket_us=64)
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --------------------------------------------------- coalesce_intervals
+
+
+def _coalesce_py(rows):
+    import collections
+
+    by_key = collections.defaultdict(list)
+    for k, s, e in rows:
+        if e >= s:
+            by_key[k].append((s, e))
+    out = []
+    for k, ivs in by_key.items():
+        ivs.sort()
+        cur_s, cur_e, n = None, None, 0
+        for s, e in ivs:
+            if cur_s is None:
+                cur_s, cur_e, n = s, e, 1
+            elif s > cur_e:
+                out.append((k, cur_s, cur_e, n))
+                cur_s, cur_e, n = s, e, 1
+            else:
+                cur_e = max(cur_e, e)
+                n += 1
+        if cur_s is not None:
+            out.append((k, cur_s, cur_e, n))
+    return sorted(out)
+
+
+def test_coalesce_intervals_matches_python(spark):
+    from gliner_spark.operators.temporal import coalesce_intervals
+
+    import random
+
+    r = random.Random(3)
+    rows = []
+    for i in range(400):
+        s = r.randrange(1000)
+        rows.append((i % 7, s, s + r.choice([0, 1, 5, 40, 200])))
+    rows += [(0, 50, 40), (1, 10, 5)]  # invalid, dropped
+    df = spark.createDataFrame(rows, "key long, start long, end long")
+    got = sorted(
+        (r2["key"], r2["start_us"], r2["end_us"], r2["n_merged"])
+        for r2 in coalesce_intervals(df, ("key",), "start", "end").collect()
+    )
+    assert got == _coalesce_py(rows)
+
+
+def test_coalesce_touching_and_contained(spark):
+    from gliner_spark.operators.temporal import coalesce_intervals
+
+    rows = [
+        (0, 0, 10), (0, 10, 20),        # touching -> one island
+        (0, 30, 100), (0, 40, 50),      # contained
+        (0, 60, 200),                   # overlaps via containment walk
+        (0, 300, 301),
+    ]
+    df = spark.createDataFrame(rows, "key long, start long, end long")
+    got = sorted(
+        (r["start_us"], r["end_us"], r["n_merged"])
+        for r in coalesce_intervals(df, ("key",), "start", "end").collect()
+    )
+    assert got == [(0, 20, 2), (30, 200, 3), (300, 301, 1)]
