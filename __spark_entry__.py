@@ -733,10 +733,28 @@ def _q_bm25_search(spark, sf_dir):
     idx_leg = bm25_against_index(
         spark, idx_path, terms, top_k=10
     ).select(F.lit("indexed").alias("leg"), "doc_id", "score", "rk")
+
+    # leg='context' (r4): retrieval.assemble_context — the BM25 top-20
+    # walked in rank order under a 64-token budget (doc token counts
+    # joined from the documents table); survivors keep their original
+    # (score, rk), so the oracle replays the window cumsum to decide
+    # the same subset.
+    from gliner_spark.operators.retrieval import assemble_context
+    from gliner_spark.functions.text import token_count
+
+    toks = docs.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    ctx_leg = assemble_context(
+        bm20.join(toks, "doc_id").withColumn("qid", F.lit(0)),
+        64,
+        query_col="qid",
+    ).select(F.lit("context").alias("leg"), "doc_id", "score", "rk")
     return (
         bm_leg.unionByName(dense_leg)
         .unionByName(rrf_leg)
         .unionByName(idx_leg)
+        .unionByName(ctx_leg)
     )
 
 
@@ -3736,6 +3754,14 @@ def oracle_sql() -> dict[str, str]:
             union all
             select 'indexed' as leg, doc_id, score, rk from bmx
             where rk <= 10
+            union all
+            select 'context' as leg, doc_id, score, rk from (
+              select bm.doc_id, bm.score, bm.rk, pt.dl,
+                     sum(pt.dl) over (order by bm.rk
+                       rows between unbounded preceding and current row)
+                       as cum
+              from bm join pt using (doc_id) where bm.rk <= 20)
+            where cum - dl < 64
         """,
         "tfidf_topterms": f"""
             with tf as (

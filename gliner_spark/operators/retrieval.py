@@ -591,3 +591,35 @@ def ranking_metrics(
             (F.coalesce("dcg", F.lit(0.0)) / ideal).alias("ndcg_at_k"),
         )
     )
+
+
+def assemble_context(
+    ranked: DataFrame,
+    budget_tokens: int,
+    query_col: str = "query_id",
+    rank_col: str = "rk",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """RAG context assembly: walk each query's candidates in rank
+    order and keep documents until the token budget fills → input
+    columns + `cum_tokens` (the running total INCLUDING the row).
+
+    Admission rule is the repo's budget rule (mixture_sample /
+    stream_budget_admit): a doc is kept iff the total BEFORE it is
+    under budget — the crossing doc ships, so the best-ranked chunk
+    always makes it even when it alone exceeds the budget. One window
+    cumsum per query (the partition is a candidate list, k-sized by
+    construction — the ranker already did the corpus-scale work).
+    """
+    from pyspark.sql import Window as _W
+
+    w = (
+        _W.partitionBy(query_col)
+        .orderBy(F.col(rank_col).asc())
+        .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    )
+    cum = F.sum(F.col(tokens_col).cast("long")).over(w)
+    out = ranked.withColumn("cum_tokens", cum)
+    return out.where(
+        F.col("cum_tokens") - F.col(tokens_col) < F.lit(int(budget_tokens))
+    )

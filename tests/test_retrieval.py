@@ -486,3 +486,52 @@ def test_ranking_metrics_on_real_bm25_output(spark):
     assert row["n_rel"] == 2
     assert row["recall_at_k"] == 1.0  # both relevant docs retrieved
     assert row["mrr"] == 1.0          # a relevant doc ranks first
+
+
+# ------------------------------------------------------ assemble_context
+
+
+def test_assemble_context_budget_rule(spark):
+    from gliner_spark.operators.retrieval import assemble_context
+
+    rows = [
+        # query 0: budget 100 -> keep rk1 (60), rk2 crosses at 110 ->
+        # kept (before-total 60 < 100), rk3 dropped
+        (0, 101, 1, 60), (0, 102, 2, 50), (0, 103, 3, 10),
+        # query 1: first chunk alone exceeds the budget -> still kept
+        (1, 201, 1, 500), (1, 202, 2, 5),
+        # query 2: everything fits
+        (2, 301, 1, 10), (2, 302, 2, 20),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id long, doc_id long, rk int, n_tokens long"
+    )
+    got = {
+        (r["query_id"], r["doc_id"]): r["cum_tokens"]
+        for r in assemble_context(df, 100).collect()
+    }
+    assert set(got) == {
+        (0, 101), (0, 102), (1, 201), (2, 301), (2, 302)
+    }
+    assert got[(0, 102)] == 110
+    assert got[(1, 201)] == 500
+
+
+def test_assemble_context_over_real_bm25(spark):
+    from pyspark.sql import functions as F
+
+    from gliner_spark.operators.retrieval import assemble_context, bm25_rank
+
+    docs = spark.createDataFrame(
+        [
+            (i, "alpha beta " + " ".join(["w"] * (5 + i % 7)))
+            for i in range(30)
+        ],
+        "doc_id long, text string",
+    )
+    ranked = bm25_rank(docs, ["alpha"], top_k=10).withColumn(
+        "query_id", F.lit(0)
+    ).withColumn("n_tokens", F.lit(6))
+    kept = assemble_context(ranked, 20, rank_col="rk").collect()
+    # 6-token docs, budget 20 -> before-totals 0,6,12,18 admit 4 docs
+    assert len(kept) == 4
