@@ -2283,8 +2283,17 @@ def _q_event_rollup(spark, sf_dir):
     first-seen day, tracked across active days; k=cohort day as a
     yyyy-MM-dd string, bucket=activity day, n=n_active,
     val=round(retention, 6) (a ratio of exact ints, bit-stable
-    cross-engine)."""
-    from gliner_spark.operators.sessions import cohort_retention
+    cross-engine).
+
+    leg='transition': sessions.event_transitions (r4) — first-order
+    per-user event-type transition counts (lead over (ts, event_id),
+    fully deterministic under timestamp ties); k='from|to',
+    bucket=NULL, n=count, val=round(row-normalized p, 6) — again an
+    exact-int ratio."""
+    from gliner_spark.operators.sessions import (
+        cohort_retention,
+        event_transitions,
+    )
     from gliner_spark.operators.temporal import time_rollup
 
     ev = _events(spark, sf_dir)
@@ -2311,7 +2320,14 @@ def _q_event_rollup(spark, sf_dir):
         F.col("n_active").cast("long").alias("n"),
         F.round("retention", 6).alias("val"),
     )
-    return roll.unionByName(coh)
+    trans = event_transitions(ev, order_cols=("event_id",)).select(
+        F.lit("transition").alias("leg"),
+        F.concat_ws("|", "from_type", "to_type").alias("k"),
+        F.lit(None).cast("timestamp").alias("bucket"),
+        F.col("n").cast("long").alias("n"),
+        F.round("p", 6).alias("val"),
+    )
+    return roll.unionByName(coh).unionByName(trans)
 
 
 def _q_dedup_survivors(spark, sf_dir):
@@ -4759,6 +4775,23 @@ def oracle_sql() -> dict[str, str]:
                      m.period as bucket, m.n_active as n,
                      round(m.n_active::double / s.n_cohort, 6) as val
               from mat m join sizes s using (cohort))
+            union all
+            select 'transition' as leg, k, null::timestamp as bucket,
+                   n, val from (
+              with seq as (
+                select event_type as ft,
+                       lead(event_type) over (
+                         partition by user_id
+                         order by ts, event_id) as tt
+                from events where ts is not null),
+              cnt as (
+                select ft, tt, count(*)::bigint as n from seq
+                where tt is not null group by ft, tt),
+              tot as (
+                select ft, sum(n)::bigint as t from cnt group by ft)
+              select cnt.ft || '|' || cnt.tt as k, cnt.n,
+                     round(cnt.n::double / tot.t, 6) as val
+              from cnt join tot using (ft))
         """,
         "knn_ivf_exact": """
             with u as (

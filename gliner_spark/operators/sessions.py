@@ -182,3 +182,38 @@ def cohort_retention(
             ).alias("retention"),
         )
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """First-order transition matrix over per-key event sequences →
+    (from_type, to_type, n, p): how often does `to_type` immediately
+    follow `from_type` within the same key's timeline — the user-flow
+    /sankey report and the Markov baseline for next-event prediction.
+    p = n / Σ_to n (row-normalized), a ratio of exact ints.
+
+    One window shuffle on the key (lead over (ts, order_cols…)) + one
+    map-side-combining (from, to) count + a broadcast-sized row-total
+    join. Pass the event id in `order_cols` for a fully deterministic
+    sequence under timestamp ties."""
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in order_cols]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    seq = events.where(F.col(ts_col).isNotNull()).select(
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("_tot"))
+    return counts.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.col("_tot")).alias("p"),
+    )

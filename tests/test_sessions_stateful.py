@@ -402,3 +402,38 @@ def test_cohort_retention_full_first_period(spark):
     b = dt.datetime(2024, 1, 1)
     assert out[(b, b)] == 1.0  # cohort period itself is always 100%
     assert out[(b, b + dt.timedelta(days=1))] == 0.5
+
+
+# ------------------------------------------------------ event_transitions
+
+
+def test_event_transitions_matches_python(spark):
+    from gliner_spark.operators.sessions import event_transitions
+
+    rows = []
+    for i in range(300):
+        rows.append(
+            (i % 13, ["a", "b", "c"][(i * 7) % 3], i)  # unique ts per user? no: i seconds, distinct overall
+        )
+    ev = _fev(spark, rows)
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["p"])
+        for r in event_transitions(ev).collect()
+    }
+    import collections
+
+    seqs = collections.defaultdict(list)
+    for u, t, s in rows:
+        seqs[u].append((s, t))
+    cnt = collections.Counter()
+    for u, evs in seqs.items():
+        evs.sort()
+        for (_s1, a), (_s2, b) in zip(evs, evs[1:]):
+            cnt[(a, b)] += 1
+    tot = collections.Counter()
+    for (a, _b), n in cnt.items():
+        tot[a] += n
+    assert len(got) == len(cnt)
+    for k, n in cnt.items():
+        assert got[k][0] == n
+        assert abs(got[k][1] - n / tot[k[0]]) < 1e-12
