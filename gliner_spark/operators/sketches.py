@@ -445,3 +445,71 @@ def heavy_hitters_fold(
     return counts.select("key", (F.col("n") - cut).alias("n")).where(
         F.col("n") > 0
     )
+
+
+def build_hll(
+    df: DataFrame,
+    key_col: str,
+    group_cols: tuple[str, ...] = (),
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-group HLL distinct sketch (Datasketches binary, Spark's
+    native `hll_sketch_agg`) → group cols + `hll` — the PERSISTED
+    counterpart of `approx_count_distinct`: the binary column survives
+    a parquet round-trip, so per-shard/per-day sketches fold into
+    running distinct counts without rescanning history (the
+    incremental vocabulary tracker; KMV covers intersections, HLL
+    covers high-accuracy unions at 2^lg_k registers)."""
+    return df.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.hll_sketch_agg(F.col(key_col), F.lit(int(lg_k))).alias("hll")
+    )
+
+
+def merge_hll(
+    shards: DataFrame,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Union per-group sketches across shards → group cols + `hll`
+    (register-max merge — associative, commutative, idempotent)."""
+    return shards.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.hll_union_agg(F.col("hll")).alias("hll")
+    )
+
+
+def hll_estimate(sketches: DataFrame) -> DataFrame:
+    """Append `est` (distinct-count estimate) to a sketch frame."""
+    return sketches.withColumn(
+        "est", F.hll_sketch_estimate(F.col("hll"))
+    )
+
+
+def fold_hll_batch(
+    batch: DataFrame,
+    state_path: str,
+    key_col: str,
+    group_cols: tuple[str, ...] = (),
+    lg_k: int = 12,
+) -> None:
+    """foreachBatch body: fold one micro-batch's per-group HLL
+    sketches into the persisted state (marker-last `_gen=N` commit,
+    idempotent at the value level — register-max union replays are
+    no-ops)."""
+    spark = batch.sparkSession
+    live = current_hll(spark, state_path)
+    delta = build_hll(batch, key_col, group_cols, lg_k=lg_k)
+    merged = (
+        merge_hll(live.unionByName(delta), group_cols)
+        if live is not None
+        else delta
+    )
+    _commit_generation(merged, state_path)
+
+
+def current_hll(spark, state_path: str) -> DataFrame | None:
+    """The live committed per-group sketch table, or None."""
+    gens = _live_generations(state_path)
+    if not gens:
+        return None
+    return spark.read.parquet(
+        os.path.join(state_path, f"_gen={max(gens)}")
+    )

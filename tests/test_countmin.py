@@ -337,3 +337,45 @@ def test_ams_mismatched_depth_raises(spark):
 
     with _pt.raises(ValueError):
         ams_join_size(a, b)
+
+
+# ---------------------------------------------------------------- HLL
+
+
+def test_hll_estimate_and_merge_accuracy(spark):
+    from gliner_spark.operators.sketches import (
+        build_hll,
+        hll_estimate,
+        merge_hll,
+    )
+
+    a = build_hll(_ids(spark, 0, 30000), "key", lg_k=12)
+    est = hll_estimate(a).first()["est"]
+    assert abs(est - 30000) / 30000 < 0.05
+
+    b = build_hll(_ids(spark, 20000, 50000), "key", lg_k=12)
+    m = hll_estimate(merge_hll(a.unionByName(b))).first()["est"]
+    assert abs(m - 50000) / 50000 < 0.05
+
+
+def test_hll_grouped_parquet_roundtrip_fold(spark, tmp_path):
+    from gliner_spark.operators.sketches import (
+        current_hll,
+        fold_hll_batch,
+        hll_estimate,
+    )
+
+    def shard(lo, hi):
+        rows = [(f"g{i % 2}", f"id{i}") for i in range(lo, hi)]
+        return spark.createDataFrame(rows, "grp string, key string")
+
+    state = str(tmp_path / "hll_state")
+    fold_hll_batch(shard(0, 4000), state, "key", ("grp",))
+    fold_hll_batch(shard(3000, 8000), state, "key", ("grp",))
+    # replay: register-max union is a value-level no-op
+    fold_hll_batch(shard(3000, 8000), state, "key", ("grp",))
+    live = hll_estimate(current_hll(spark, state))
+    got = {r["grp"]: r["est"] for r in live.collect()}
+    assert set(got) == {"g0", "g1"}
+    for g, est in got.items():
+        assert abs(est - 4000) / 4000 < 0.06
