@@ -131,9 +131,15 @@ def calibration_table(
     checks pin the integer columns)."""
     if n_bins < 2:
         raise ValueError("n_bins >= 2")
-    b = F.least(
-        F.floor(F.col(score_col) * n_bins).cast("int"),
-        F.lit(int(n_bins) - 1),
+    # clamp BOTH ends: s = 1.0 belongs in the top bin, and an
+    # out-of-range score (a logit passed by mistake) must not create
+    # negative bin ids silently
+    b = F.greatest(
+        F.least(
+            F.floor(F.col(score_col) * n_bins).cast("int"),
+            F.lit(int(n_bins) - 1),
+        ),
+        F.lit(0),
     )
     agg = scored.groupBy(b.alias("bin")).agg(
         F.count(F.lit(1)).alias("n"),

@@ -231,12 +231,11 @@ def coalesce_intervals(
     handles containment (a short interval inside a long one must not
     end the island). Then one hash agg per (key, island).
     """
-    su = _us(F.col(start_col), dict(
-        zip(intervals.schema.names,
-            [f.dataType for f in intervals.schema]))[start_col])
-    eu = _us(F.col(end_col), dict(
-        zip(intervals.schema.names,
-            [f.dataType for f in intervals.schema]))[end_col])
+    idt = dict(
+        zip(intervals.schema.names, [f.dataType for f in intervals.schema])
+    )
+    su = _us(F.col(start_col), idt[start_col])
+    eu = _us(F.col(end_col), idt[end_col])
     base = intervals.where(eu >= su).select(
         *[F.col(c) for c in key_cols],
         su.alias("_su"),

@@ -89,6 +89,7 @@ def zorder_key(
     df: DataFrame,
     cols: tuple[str, ...],
     bits: int = 8,
+    method: str = "exact",
 ) -> DataFrame:
     """Append `_zkey`: the Morton/Z-order interleave of each column's
     `bits`-bit rank bucket — the multi-column data-skipping layout key
@@ -98,21 +99,62 @@ def zorder_key(
     ALL participating columns' per-file ranges narrow simultaneously,
     so predicate-pushdown row-group pruning works on any of them.
 
-    Buckets come from `ntile(2^bits)` per column (rank-based, so skew
-    and outliers cannot stretch a bucket) — one window per column over
-    its natural sort; the interleave itself is a pure bit expression.
+    method='exact': buckets from `ntile(2^bits)` per column — rank-
+    exact, but each column's window is a PARTITIONLESS sort (one task
+    holds every row). Fine up to ~10⁷ rows; it is NOT the 100 TB path.
+
+    method='approx' (the scale path): 2^bits−1 cut points per column
+    from `approxQuantile` (one pass, relative error 1e-3), riding as
+    a ONE-ROW broadcast-joined array column (CLAUDE.md: big constant
+    tensors never as expression literals); bucket = count of cuts ≤
+    value, a linear array fold — fully distributed, no global window.
+    Bucket edges are approximate, which perturbs layout only at bucket
+    boundaries; the skipping property is unchanged.
     """
     if not cols or len(cols) > 4:
         raise ValueError("1..4 z-order columns supported")
+    if bits * len(cols) > 63:
+        # bit position bits*m-1 would reach the int64 sign bit and the
+        # highest-Z rows would sort FIRST — corrupt layout, no error
+        raise ValueError("bits * len(cols) must be <= 63")
     from pyspark.sql import Window as _W
 
     n = 1 << bits
     out = df
-    for i, c in enumerate(cols):
-        out = out.withColumn(
-            f"_zb{i}",
-            (F.ntile(n).over(_W.orderBy(F.col(c))) - 1).cast("long"),
+    if method == "exact":
+        for i, c in enumerate(cols):
+            out = out.withColumn(
+                f"_zb{i}",
+                (F.ntile(n).over(_W.orderBy(F.col(c))) - 1).cast("long"),
+            )
+    elif method == "approx":
+        cuts = {
+            c: df.approxQuantile(
+                c, [j / n for j in range(1, n)], 1e-3
+            )
+            for c in cols
+        }
+        carrier = df.sparkSession.createDataFrame(
+            [tuple([float(v) for v in cuts[c]] for c in cols)],
+            ", ".join(f"_cut{i} array<double>" for i in range(len(cols))),
         )
+        out = out.crossJoin(F.broadcast(carrier))
+        for i, c in enumerate(cols):
+            # single-parameter lambda only (a second parameter selects
+            # pyspark's (element, index) HOF variant); F.filter
+            # consumes it eagerly, so closing over the loop var is safe
+            bound = F.col(c).cast("double")
+            out = out.withColumn(
+                f"_zb{i}",
+                F.least(
+                    F.size(
+                        F.filter(F.col(f"_cut{i}"), lambda x: x <= bound)
+                    ).cast("long"),
+                    F.lit(n - 1).cast("long"),
+                ),
+            ).drop(f"_cut{i}")
+    else:
+        raise ValueError("method must be 'exact' or 'approx'")
     m = len(cols)
     # interleave bit b of column i at position b*m + i
     parts = []
@@ -139,6 +181,7 @@ def zorder_write(
     cols: tuple[str, ...],
     n_files: int = 16,
     bits: int = 8,
+    method: str = "exact",
 ) -> None:
     """Write `df` as `n_files` parquet files range-partitioned and
     sorted along the Z-curve of `cols`: every file covers a compact
@@ -147,12 +190,12 @@ def zorder_write(
     most files before reading a row. The `_zkey` column is dropped
     from the output — it is a layout device, not data.
 
-    Note the ntile windows make the KEY assignment a global sort of
-    (col) pairs per column — the same cost class as the final
-    range-partitioned write itself (a layout-optimization job is
-    expected to be sort-bound; it runs once per table, not per
-    query)."""
-    keyed = zorder_key(df, cols, bits=bits)
+    Pass method='approx' beyond ~10⁷ rows: the exact ntile key
+    assignment is a one-task window per column (see `zorder_key`),
+    while the approx path is one approxQuantile pass + a distributed
+    array fold — the final repartitionByRange write is the only
+    global movement either way."""
+    keyed = zorder_key(df, cols, bits=bits, method=method)
     (
         keyed.repartitionByRange(int(n_files), F.col("_zkey"))
         .sortWithinPartitions("_zkey")

