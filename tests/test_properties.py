@@ -178,3 +178,78 @@ def test_winnow_selection_is_suffix_stable_property(toks, w):
         # positions never exceed w (each window contributes)
     ps = sorted(p for p, _ in sel)
     assert all(b - a <= w for a, b in zip(ps, ps[1:]))
+
+
+# ---------------------------------------------- batch-2 temporal ops
+
+
+from hypothesis import given as _given, settings as _settings
+from hypothesis import strategies as _st
+
+_iv = _st.tuples(
+    _st.integers(0, 3),                       # key
+    _st.integers(0, 300),                     # start
+    _st.integers(-5, 120),                    # length (neg = invalid)
+)
+_pt = _st.tuples(_st.integers(0, 3), _st.integers(0, 330))
+
+
+@_settings(max_examples=12, deadline=None)
+@_given(
+    pts=_st.lists(_pt, min_size=0, max_size=25),
+    ivs=_st.lists(_iv, min_size=0, max_size=15),
+    bucket=_st.sampled_from([1, 7, 64, None]),
+)
+def test_interval_join_property_vs_bruteforce(spark, pts, ivs, bucket):
+    from gliner_spark.operators.temporal import interval_join
+
+    prows = [(j, k, ts) for j, (k, ts) in enumerate(pts)]
+    irows = [(j, k, s, s + ln) for j, (k, s, ln) in enumerate(ivs)]
+    p = spark.createDataFrame(prows, "pid long, k long, ts long") \
+        if prows else spark.createDataFrame([], "pid long, k long, ts long")
+    i = spark.createDataFrame(irows, "iid long, k long, s long, e long") \
+        if irows else spark.createDataFrame(
+            [], "iid long, k long, s long, e long")
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in interval_join(
+            p, i, "ts", "s", "e", key_cols=("k",),
+            value_cols=("iid",), bucket_us=bucket,
+        ).collect()
+    )
+    want = sorted(
+        (pid, iid)
+        for pid, pk, ts in prows
+        for iid, ik, s, e in irows
+        if pk == ik and s <= e and s <= ts <= e
+    )
+    assert got == want
+
+
+@_settings(max_examples=12, deadline=None)
+@_given(ivs=_st.lists(_iv, min_size=0, max_size=30))
+def test_coalesce_property_invariants(spark, ivs):
+    from gliner_spark.operators.temporal import coalesce_intervals
+
+    rows = [(k, s, s + ln) for k, s, ln in ivs]
+    df = spark.createDataFrame(rows, "key long, start long, end long") \
+        if rows else spark.createDataFrame(
+            [], "key long, start long, end long")
+    out = coalesce_intervals(df, ("key",), "start", "end").collect()
+    valid = [(k, s, e) for k, s, e in rows if e >= s]
+    # (1) merged spans are disjoint and non-touching per key
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["key"], []).append(
+            (r["start_us"], r["end_us"])
+        )
+    for k, spans in by_key.items():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert s2 > e1
+    # (2) every valid input interval is covered by exactly one span
+    for k, s, e in valid:
+        spans = by_key[k]
+        assert sum(1 for a, b in spans if a <= s and e <= b) == 1
+    # (3) n_merged sums to the valid input count
+    assert sum(r["n_merged"] for r in out) == len(valid)
