@@ -2904,6 +2904,29 @@ def _q_ivf_kmeans(spark, sf_dir):
         F.col("score").alias("value"),
     )
 
+    # part='knn_ivfpq' (r5): the COMPOSED scale path — a persisted
+    # cell-partitioned IVF-PQ index (packed BIGINT codes, residual
+    # codebooks) queried with static partition pruning + the Arrow ADC
+    # partial-top-k (similarity._adc_topk_arrow). Rows-only; recall and
+    # arrow/sql parity are pytest-pinned (test_corpus_ops PQ block).
+    import tempfile
+
+    from gliner_spark.operators.similarity import (
+        build_ivfpq_index,
+        knn_ivfpq_indexed,
+    )
+
+    idx_dir = tempfile.mkdtemp(prefix="gate_ivfpq_") + "/index"
+    build_ivfpq_index(emb, idx_dir, n_cells=8, m=8, nbits=4, seed=5)
+    ivfpq = knn_ivfpq_indexed(
+        spark, idx_dir, queries, k=5, n_probe=3
+    ).select(
+        F.lit("knn_ivfpq").alias("part"),
+        F.col("query_id").alias("id_a"),
+        F.col("vec_id").alias("id_b"),
+        F.col("score").alias("value"),
+    )
+
     # part='spectral' (r4): the full closed-form embedding chain —
     # graph → deterministic walks → skip-gram pairs → PPMI →
     # randomized truncated SVD (embeddings.svd_embed) — one row per
@@ -2934,7 +2957,12 @@ def _q_ivf_kmeans(spark, sf_dir):
         F.col("_d").cast("bigint").alias("id_b"),
         F.round("_v", 6).alias("value"),
     )
-    return km.unionByName(knn).unionByName(pq).unionByName(spectral)
+    return (
+        km.unionByName(knn)
+        .unionByName(pq)
+        .unionByName(ivfpq)
+        .unionByName(spectral)
+    )
 
 
 def _q_kernel_surface_matrix(spark, sf_dir):
@@ -3079,9 +3107,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_verify": _q_jaccard_verify,
         "tfidf_topterms": _q_tfidf_topterms,
         # non-SQL-expressible (hashed scorer / sketches / iteration).
-        # Exactly 9 rows-only entries: 41 oracle + 9 = 50 = the driver
+        # Exactly 8 rows-only entries: 42 oracle + 8 = 50 = the driver
         # gate's query window, so EVERY registered query is driver-
-        # executed every round (r3 verdict #4).
+        # executed every round (r3 verdict #4). sequence_pack sits in
+        # this block for grouping but is ORACLE-checked since r4 (its
+        # bin-pack fold is replayed by a DuckDB recursive CTE). Each
+        # rows-only query's sf0.01 row count is pinned in
+        # rows_only_expected() below (r4 verdict #3).
         "ner_modes": _q_ner_modes,
         "kg_pipeline": _q_kg_pipeline,
         "near_dup_candidates": _q_near_dup_candidates,
@@ -3091,6 +3123,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": _q_sequence_pack,
         "curation_profile": _q_curation_profile,
         "multimodal_resize": _q_multimodal_resize,
+    }
+
+
+def rows_only_expected() -> dict[str, int]:
+    """Pinned sf0.01 row counts for the 8 rows-only (no-oracle) queries
+    — the weaker gate's analogue of the oracle's value hash: a silent
+    count regression between rounds fails tools/check_contract.py
+    loudly instead of sailing through as `ok-`. Update a pin ONLY with
+    a deliberate, explained change to the query (r4 verdict #3)."""
+    return {
+        "ner_modes": 16388,
+        "kg_pipeline": 22822,
+        "near_dup_candidates": 990,
+        # 1552 kmeans/ivf/pq/spectral + 40 knn_ivfpq (r5 leg)
+        "ivf_kmeans": 1592,
+        "multitask_docs": 1000,
+        "kernel_surface_matrix": 13,
+        "curation_profile": 2033,
+        "multimodal_resize": 760,
     }
 
 

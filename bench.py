@@ -130,14 +130,31 @@ def build_queries(spark, sf_dir: str, n_convs: int, parts: int):
         )
         return knn_bruteforce(emb, queries, k=10).count()
 
-    def q_knn_pq():
+    # knn_pq split into BUILD (pay-once codebook training, amortized at
+    # scale) and QUERY (the per-batch ADC path) so a query-path
+    # regression can't hide inside training noise (VERDICT r4 item #2).
+    # build_queries dict order runs build first; a BENCH_QUERIES subset
+    # selecting only the query leg trains lazily on its first repeat
+    # (best-of-N then measures the warm query wall).
+    pq_state: dict = {}
+
+    def q_knn_pq_build():
+        from gliner_spark.operators.similarity import train_pq
+
+        pq_state["books"] = train_pq(emb, m=8, nbits=4, kmeans_iter=3)
+        return len(pq_state["books"])
+
+    def q_knn_pq_query():
         from gliner_spark.operators.similarity import knn_pq, train_pq
 
+        if "books" not in pq_state:
+            pq_state["books"] = train_pq(emb, m=8, nbits=4, kmeans_iter=3)
         queries = emb.where("vec_id < 32").select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
-        books = train_pq(emb, m=8, nbits=4, kmeans_iter=3)
-        return knn_pq(emb, queries, books, k=10, refine=4).count()
+        return knn_pq(
+            emb, queries, pq_state["books"], k=10, refine=4
+        ).count()
 
     def q_event_cooccur():
         e = ev.select(
@@ -277,7 +294,8 @@ def build_queries(spark, sf_dir: str, n_convs: int, parts: int):
         "minhash_dedup": q_minhash_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "knn": q_knn,
-        "knn_pq": q_knn_pq,
+        "knn_pq_build": q_knn_pq_build,
+        "knn_pq_query": q_knn_pq_query,
         "event_cooccur": q_event_cooccur,
         "session_agg": q_session_agg,
         "repetition_stats": q_repetition_stats,

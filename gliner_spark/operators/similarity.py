@@ -722,12 +722,244 @@ def pq_encode(
     )
 
 
+# -------------------------------------------------------- Arrow ADC path
+
+
+def _np_round6(s):
+    """HALF-AWAY-FROM-ZERO 6dp rounding in numpy — the same convention
+    as Spark's BigDecimal HALF_UP round(col, 6), so Arrow-side partial
+    top-k selection orders candidates exactly like the JVM window that
+    ranks them afterwards. (np.round is banker's — wrong convention.)"""
+    import numpy as np
+
+    return np.copysign(np.floor(np.abs(s) * 1e6 + 0.5), s) / 1e6
+
+
+def _collect_query_units(queries: DataFrame):
+    """Bounded-row collect of the QUERY side — the contract's small
+    broadcast side (knn_bruteforce broadcasts this same frame; a query
+    batch that doesn't fit on the driver wouldn't fit in a broadcast
+    either). Unit vectors are computed by the JVM `_unit` expression
+    before collecting so both impls normalize with identical arithmetic.
+    Returns (ids list, units (Q, d) float64)."""
+    import numpy as np
+
+    rows = queries.select("query_id", _unit().alias("q_unit")).collect()
+    ids = [r.query_id for r in rows]
+    units = (
+        np.asarray([list(r.q_unit) for r in rows], dtype=np.float64)
+        if rows
+        else np.zeros((0, 0), dtype=np.float64)
+    )
+    return ids, units
+
+
+def _pq_luts_np(q_units, codebooks):
+    """luts[q][j][i] = <q_sub_j, codebook_j[i]> for every query at once —
+    the numpy twin of _pq_lut_expr, built ONCE on the driver and shipped
+    to workers inside the mapInArrow closure (Q · m · 2^nbits doubles —
+    a few KB; rides task serialization like a broadcast)."""
+    import numpy as np
+
+    nb = np.asarray(codebooks, dtype=np.float64)  # (m, k, sub_d)
+    m, _k, sub_d = nb.shape
+    subs = q_units.reshape(q_units.shape[0], m, sub_d)
+    return np.einsum("qjd,jkd->qjk", subs, nb)
+
+
+def _empty_ranked(spark, qid_field):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", qid_field.dataType),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
+    )
+    return spark.createDataFrame([], schema)
+
+
+def _adc_topk_arrow(
+    codes_df: DataFrame,
+    qids: list,
+    luts,
+    kk: int,
+    qid_dtype,
+    packed_nbits: int | None = None,
+    cell_probe: dict | None = None,
+) -> DataFrame:
+    """Arrow-vectorized ADC with per-partition partial top-k: one
+    mapInArrow over the code table gathers lut[q, j, codes[:, j]] for a
+    whole batch with ONE take_along_axis per batch (µs/row instead of the
+    interpreted HOF's ~ms/row), keeps a running per-query top-kk inside
+    the partition, and emits only partitions × Q × kk candidate rows —
+    the map-side-combine shape: at 1M corpus rows the global rank window
+    sees ~2k rows per query instead of 1M (VERDICT r4 item #1).
+
+    codes_df: (vec_id, codes array<int>) when packed_nbits is None, else
+    (cell, vec_id, packed bigint) with codes unpacked by shift+mask in
+    numpy. cell_probe maps cell -> (query-index array, qdotc array) for
+    the IVF-PQ residual score  <q, c_cell> + Σ_j lut[j][code_j];  None
+    scores every row against every query (flat PQ).
+
+    Scores are 6dp-rounded IN the mapper (same HALF_UP convention as the
+    JVM, _np_round6) so the partial selection and the final global window
+    rank on identical values. Returns (query_id, vec_id, score)."""
+    from pyspark.sql import types as T
+
+    spark = codes_df.sparkSession
+    nq = len(qids)
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", qid_dtype),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    if packed_nbits is None:
+        src = codes_df.select(
+            F.col("vec_id").cast("long").alias("vec_id"), "codes"
+        )
+    else:
+        src = codes_df.select(
+            F.col("cell").cast("int").alias("cell"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            "packed",
+        )
+    m = luts.shape[1]
+    nbits = packed_nbits
+
+    def mapper(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        best_s = [np.empty(0, dtype=np.float64) for _ in range(nq)]
+        best_v = [np.empty(0, dtype=np.int64) for _ in range(nq)]
+
+        def merge(qi, scores, vids):
+            cs = np.concatenate([best_s[qi], scores])
+            cv = np.concatenate([best_v[qi], vids])
+            order = np.lexsort((cv, -cs))[:kk]
+            best_s[qi], best_v[qi] = cs[order], cv[order]
+
+        for batch in batches:
+            n = batch.num_rows
+            if not n:
+                continue
+            vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            if nbits is None:
+                codes = (
+                    batch.column("codes")
+                    .flatten()
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                    .reshape(n, m)
+                )
+            else:
+                packed = batch.column("packed").to_numpy(
+                    zero_copy_only=False
+                )
+                shifts = nbits * np.arange(m, dtype=np.int64)
+                codes = (packed[:, None] >> shifts[None, :]) & (
+                    (1 << nbits) - 1
+                )
+            if cell_probe is None:
+                # (Q, m, n) gather, summed over subspaces -> (Q, n)
+                s = _np_round6(
+                    np.take_along_axis(
+                        luts, codes.T[None, :, :], axis=2
+                    ).sum(axis=1)
+                )
+                for qi in range(nq):
+                    merge(qi, s[qi], vid)
+            else:
+                cells = batch.column("cell").to_numpy(
+                    zero_copy_only=False
+                )
+                for c in np.unique(cells):
+                    probe = cell_probe.get(int(c))
+                    if probe is None:
+                        continue
+                    q_idx, qdotc = probe
+                    sel = cells == c
+                    sub_codes = codes[sel]
+                    sub_vid = vid[sel]
+                    s = _np_round6(
+                        np.take_along_axis(
+                            luts[q_idx],
+                            sub_codes.T[None, :, :],
+                            axis=2,
+                        ).sum(axis=1)
+                        + qdotc[:, None]
+                    )
+                    for row, qi in enumerate(q_idx):
+                        merge(int(qi), s[row], sub_vid)
+
+        out_ids, out_vids, out_s = [], [], []
+        for qi in range(nq):
+            out_ids.extend([qids[qi]] * len(best_v[qi]))
+            out_vids.append(best_v[qi])
+            out_s.append(best_s[qi])
+        if out_ids:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_ids),
+                    pa.array(np.concatenate(out_vids)),
+                    pa.array(np.concatenate(out_s)),
+                ],
+                names=["query_id", "vec_id", "score"],
+            )
+
+    return src.mapInArrow(mapper, out_schema)
+
+
+def _rank_topk(
+    scored: DataFrame, k: int, score_col: str = "score"
+) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col(score_col).desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", score_col, "rank")
+    )
+
+
+def _refine_exact(
+    ranked: DataFrame,
+    source: DataFrame,
+    queries: DataFrame,
+    k: int,
+    refine: int,
+) -> DataFrame:
+    """Re-rank the top refine·k ADC candidates by exact cosine — point
+    lookups of just those vec_ids against the full-vector table."""
+    cand = ranked.where(F.col("rank") <= refine * k).select(
+        "query_id", "vec_id"
+    )
+    q = queries.select("query_id", _unit().alias("q_unit"))
+    exact = (
+        cand.join(source.select("vec_id", _unit()), "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(_dot("unit", "q_unit"), 6).alias("score"),
+        )
+    )
+    return _rank_topk(exact, k)
+
+
 def knn_pq(
     embeddings: DataFrame,
     queries: DataFrame,
     codebooks: list[list[list[float]]],
     k: int = 5,
     refine: int = 0,
+    impl: str = "arrow",
 ) -> DataFrame:
     """ANN by asymmetric distance computation (ADC) over PQ codes:
     approx_cos(q, x) = Σ_j  <q_j , codebook_j[code_j(x)]>  — the dot
@@ -745,49 +977,48 @@ def knn_pq(
     PQ recall recovery; refine=0 returns pure-ADC ranks.
     Returns (query_id, vec_id, score, rank) where score is approx cos
     (refine=0) or exact cos (refine>0), rounded to 6dp.
-    """
+
+    impl="arrow" (default) scores through _adc_topk_arrow — the batched
+    numpy LUT gather with per-partition partial top-k (vec_id cast to
+    long). impl="sql" is the pure-Catalyst twin: full Q×n scoring via
+    one interpreted HOF per row, kept as the engine-independent
+    definition and the parity oracle (same ranks, pinned in
+    test_corpus_ops)."""
     m = len(codebooks)
-    corpus_codes = pq_encode(embeddings, codebooks)
-    q = queries.select("query_id", _unit().alias("q_unit"))
-    sub_d = len(codebooks[0][0])
-    q_lut = _with_books(q, codebooks).select(
-        "query_id", "q_unit", _pq_lut_expr(m, sub_d).alias("lut")
-    )
-    adc = F.expr(
-        "aggregate(zip_with(codes, lut, (c, l) -> l[c]), "
-        "0D, (acc, v) -> acc + v)"
-    )
-    scored = corpus_codes.join(
-        F.broadcast(q_lut.select("query_id", "lut"))
-    ).select("query_id", "vec_id", F.round(adc, 6).alias("score"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("vec_id").asc()
-    )
-    ranked = scored.withColumn("rank", F.row_number().over(w))
+    kk = refine * k if refine else k
+    if impl == "arrow":
+        qids, q_units = _collect_query_units(queries)
+        if not qids:
+            return _empty_ranked(
+                embeddings.sparkSession, queries.schema["query_id"]
+            )
+        luts = _pq_luts_np(q_units, codebooks)
+        corpus_codes = pq_encode(embeddings, codebooks)
+        scored = _adc_topk_arrow(
+            corpus_codes,
+            qids,
+            luts,
+            kk,
+            queries.schema["query_id"].dataType,
+        )
+    else:
+        corpus_codes = pq_encode(embeddings, codebooks)
+        q = queries.select("query_id", _unit().alias("q_unit"))
+        sub_d = len(codebooks[0][0])
+        q_lut = _with_books(q, codebooks).select(
+            "query_id", "q_unit", _pq_lut_expr(m, sub_d).alias("lut")
+        )
+        adc = F.expr(
+            "aggregate(zip_with(codes, lut, (c, l) -> l[c]), "
+            "0D, (acc, v) -> acc + v)"
+        )
+        scored = corpus_codes.join(
+            F.broadcast(q_lut.select("query_id", "lut"))
+        ).select("query_id", "vec_id", F.round(adc, 6).alias("score"))
+    ranked = _rank_topk(scored, kk)
     if not refine:
-        return ranked.where(F.col("rank") <= k).select(
-            "query_id", "vec_id", "score", "rank"
-        )
-    cand = ranked.where(F.col("rank") <= refine * k).select(
-        "query_id", "vec_id"
-    )
-    exact = (
-        cand.join(embeddings.select("vec_id", _unit()), "vec_id")
-        .join(F.broadcast(q), "query_id")
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(_dot("unit", "q_unit"), 6).alias("score"),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("vec_id").asc()
-    )
-    return (
-        exact.withColumn("rank", F.row_number().over(w2))
-        .where(F.col("rank") <= k)
-        .select("query_id", "vec_id", "score", "rank")
-    )
+        return ranked.where(F.col("rank") <= k)
+    return _refine_exact(ranked, embeddings, queries, k, refine)
 
 
 # ------------------------------------------------------------------- IVF-PQ
@@ -879,6 +1110,7 @@ def knn_ivfpq_indexed(
     n_probe: int = 4,
     refine: int = 0,
     source: DataFrame | None = None,
+    impl: str = "arrow",
 ) -> DataFrame:
     """ANN over a persisted IVF-PQ index: probe the n_probe nearest
     cells per query, then score every row of those partitions by
@@ -888,9 +1120,16 @@ def knn_ivfpq_indexed(
 
     where lut[j][i] = <q_j, book_j[i]> is the per-query table over the
     residual codebooks and code_j is unpacked from the BIGINT by
-    shift+mask inside the same expression. The corpus side never touches
-    a float vector; only probed partitions are read (dynamic partition
-    pruning).
+    shift+mask. The corpus side never touches a float vector; only
+    probed partitions are read.
+
+    impl="arrow" (default): cell ranking, qdotc, and the LUTs are
+    computed driver-side in numpy from the sidecar centroids/codebooks
+    plus the collected (bounded, broadcast-small) query batch; probed
+    partitions are selected with a STATIC `cell IN (...)` partition
+    filter, and scoring runs through _adc_topk_arrow (batched LUT
+    gather, per-partition partial top-k). impl="sql" is the interpreted
+    HOF twin — same probes, same scores (parity-pinned).
 
     refine > 0 re-ranks the top refine·k ADC candidates by exact cosine
     against `source` (the original embeddings table — point lookups of
@@ -906,6 +1145,49 @@ def knn_ivfpq_indexed(
     n_cells = len(cents)
     mask = (1 << nbits) - 1
     corpus = spark.read.parquet(index_path)
+    if refine and source is None:
+        raise ValueError("refine > 0 requires the source embeddings table")
+    kk = refine * k if refine else k
+
+    if impl == "arrow":
+        import numpy as np
+
+        qids, q_units = _collect_query_units(queries)
+        if not qids:
+            return _empty_ranked(spark, queries.schema["query_id"])
+        C = np.asarray(cents, dtype=np.float64)  # (n_cells, d)
+        d2 = ((q_units[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+        qdotc = q_units @ C.T  # (Q, n_cells)
+        cell_idx = np.arange(n_cells)
+        cell_probe: dict[int, tuple] = {}
+        for qi in range(len(qids)):
+            # same (dist2, cell) tie-break as the SQL struct sort
+            probed = np.lexsort((cell_idx, d2[qi]))[:n_probe]
+            for c in probed:
+                cell_probe.setdefault(int(c), ([], []))
+                cell_probe[int(c)][0].append(qi)
+                cell_probe[int(c)][1].append(qdotc[qi, c])
+        cell_probe = {
+            c: (np.asarray(qs, dtype=np.int64), np.asarray(ds))
+            for c, (qs, ds) in cell_probe.items()
+        }
+        luts = _pq_luts_np(q_units, books)
+        pruned = corpus.where(
+            F.col("cell").isin(sorted(cell_probe.keys()))
+        )
+        scored = _adc_topk_arrow(
+            pruned,
+            qids,
+            luts,
+            kk,
+            queries.schema["query_id"].dataType,
+            packed_nbits=nbits,
+            cell_probe=cell_probe,
+        )
+        ranked = _rank_topk(scored, kk)
+        if not refine:
+            return ranked.where(F.col("rank") <= k)
+        return _refine_exact(ranked, source, queries, k, refine)
 
     q = queries.select("query_id", _unit().alias("q_unit"))
     q = _with_books(q, books)
@@ -941,39 +1223,10 @@ def knn_ivfpq_indexed(
     scored = corpus.join(F.broadcast(probes), "cell").select(
         "query_id", "vec_id", F.round(adc, 6).alias("score")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("vec_id").asc()
-    )
-    ranked = scored.withColumn("rank", F.row_number().over(w))
+    ranked = _rank_topk(scored, kk)
     if not refine:
-        return ranked.where(F.col("rank") <= k).select(
-            "query_id", "vec_id", "score", "rank"
-        )
-    if source is None:
-        raise ValueError("refine > 0 requires the source embeddings table")
-    cand = ranked.where(F.col("rank") <= refine * k).select(
-        "query_id", "vec_id"
-    )
-    exact = (
-        cand.join(source.select("vec_id", _unit()), "vec_id")
-        .join(
-            F.broadcast(queries.select("query_id", _unit().alias("q_unit"))),
-            "query_id",
-        )
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(_dot("unit", "q_unit"), 6).alias("score"),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("vec_id").asc()
-    )
-    return (
-        exact.withColumn("rank", F.row_number().over(w2))
-        .where(F.col("rank") <= k)
-        .select("query_id", "vec_id", "score", "rank")
-    )
+        return ranked.where(F.col("rank") <= k)
+    return _refine_exact(ranked, source, queries, k, refine)
 
 
 def jl_signs(out_dim: int, in_dim: int, seed: int = 7) -> list[float]:

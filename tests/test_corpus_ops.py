@@ -1518,8 +1518,69 @@ def test_ivfpq_index_recall_pruning_and_packing(spark, tmp_path_factory):
     part = knn_ivfpq_indexed(spark, path, queries, k=3, n_probe=2)
     rows = part.collect()
     assert len(rows) == 3 * queries.count()
+    # arrow (default) path prunes partitions STATICALLY: the probed
+    # cell set is known at plan time, so the scan carries a literal
+    # partition filter rather than a runtime DPP subquery
     plan = part._jdf.queryExecution().executedPlan().toString()
-    assert "dynamicpruningexpression" in plan
+    assert "PartitionFilters: [cell" in plan and " IN " in plan
+    # the SQL twin's probe side is a broadcast join -> runtime DPP
+    part_sql = knn_ivfpq_indexed(
+        spark, path, queries, k=3, n_probe=2, impl="sql"
+    )
+    plan_sql = part_sql._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan_sql
+
+
+def test_pq_arrow_vs_sql_parity(spark, tmp_path_factory):
+    """The Arrow ADC fast path (batched numpy LUT gather + per-partition
+    partial top-k, similarity._adc_topk_arrow) must return EXACTLY the
+    SQL twin's (query_id, vec_id, score, rank) rows — flat PQ, flat PQ
+    with exact refine, and the persisted IVF-PQ index path. The 6dp
+    HALF-UP rounding inside the mapper (_np_round6) is what keeps the
+    partial selection ordered identically to the JVM window."""
+    from gliner_spark.operators.similarity import (
+        build_ivfpq_index,
+        knn_ivfpq_indexed,
+        knn_pq,
+        train_pq,
+    )
+
+    df, queries = _pq_fixture(spark)
+    books = train_pq(df, m=8, nbits=4, kmeans_iter=3)
+
+    def rows(out):
+        return sorted(
+            (r.query_id, r.vec_id, r.score, r.rank) for r in out.collect()
+        )
+
+    assert rows(knn_pq(df, queries, books, k=7, impl="arrow")) == rows(
+        knn_pq(df, queries, books, k=7, impl="sql")
+    )
+    assert rows(
+        knn_pq(df, queries, books, k=5, refine=6, impl="arrow")
+    ) == rows(knn_pq(df, queries, books, k=5, refine=6, impl="sql"))
+
+    path = str(tmp_path_factory.mktemp("ivfpq_parity")) + "/index"
+    build_ivfpq_index(df, path, n_cells=8, m=4, nbits=4, seed=5)
+    for kwargs in ({"n_probe": 3}, {"n_probe": 8, "refine": 4}):
+        src = {"source": df} if kwargs.get("refine") else {}
+        assert rows(
+            knn_ivfpq_indexed(
+                spark, path, queries, k=5, impl="arrow", **kwargs, **src
+            )
+        ) == rows(
+            knn_ivfpq_indexed(
+                spark, path, queries, k=5, impl="sql", **kwargs, **src
+            )
+        )
+    # empty query batch short-circuits to an empty, correctly-typed frame
+    eq = queries.where("query_id < 0")
+    empty = knn_pq(df, eq, books, k=5, impl="arrow")
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "query_id", "vec_id", "score", "rank",
+    ]
+    assert knn_ivfpq_indexed(spark, path, eq, k=5, impl="arrow").count() == 0
 
 
 # ------------------------------------------------------------ semantic dedup

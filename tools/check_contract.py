@@ -84,6 +84,13 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # row pins only apply at the gate's scale factor
+    rows_only_pins = (
+        entrymod.rows_only_expected()
+        if sf_dir.rstrip("/").endswith("sf0.01")
+        and hasattr(entrymod, "rows_only_expected")
+        else {}
+    )
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
@@ -103,7 +110,28 @@ def main():
             continue
         spark_s = time.time() - t0
         if name not in oracles:
-            print(f"ok-   {name}: rows={len(rows)} (rows-only, {spark_s:.1f}s)")
+            # rows-only queries have no value oracle, but their row
+            # count at the gate's sf0.01 is PINNED (r4 verdict #3): a
+            # silent count drift between rounds fails loudly here the
+            # way the oracle catches value drift. Update the pin in
+            # __spark_entry__.rows_only_expected() when a deliberate
+            # change moves the count.
+            expected = rows_only_pins.get(name)
+            if expected is not None and len(rows) != expected:
+                failures.append(
+                    (name, f"rows-only pin {expected} != {len(rows)}")
+                )
+                print(
+                    f"FAIL  {name}: rows-only count {len(rows)} != "
+                    f"pinned {expected} (sf0.01 pin — update "
+                    f"rows_only_expected() if intentional)"
+                )
+            else:
+                pin = " pin-ok" if expected is not None else ""
+                print(
+                    f"ok-   {name}: rows={len(rows)} "
+                    f"(rows-only,{pin} {spark_s:.1f}s)"
+                )
             continue
         try:
             opdf = con.execute(oracles[name]).df()
