@@ -1429,22 +1429,6 @@ def _q_ner_entities(spark, sf_dir):
     return extract_entities(_doc_transcripts(spark, sf_dir), ENTITY_TYPES)
 
 
-def _q_re_triples(spark, sf_dir):
-    from gliner_spark.operators.relations import extract_triples
-
-    return extract_triples(
-        _doc_transcripts(spark, sf_dir), RELATIONS, ENTITY_TYPES
-    )
-
-
-def _q_entity_linking(spark, sf_dir):
-    from gliner_spark.operators.linking import canonicalize
-    from gliner_spark.operators.ner import extract_entities
-
-    ents = extract_entities(_doc_transcripts(spark, sf_dir), ENTITY_TYPES)
-    return canonicalize(ents, jaccard_threshold=0.5)
-
-
 def _q_minhash_near_dup(spark, sf_dir):
     from gliner_spark.operators.dedup import minhash_near_duplicates
 
@@ -1791,6 +1775,12 @@ def _q_edge_agg(spark, sf_dir):
                      neighbor pick is bit-identical cross-engine, so
                      DuckDB replays the walks exactly with a recursive
                      CTE stepping through the row_number-indexed edges.
+      leg='ppmi'     embeddings.ppmi (r5): shifted-positive-PMI over
+                     skipgram_pairs(walks, window=2) of the SAME walk
+                     corpus — a=center, b=context, val=round(ln(n·tot/
+                     (n_i·n_j)), 6). Exact integer counts make the log
+                     argument bit-identical cross-engine; the SVD half
+                     of the spectral chain stays pytest-pinned.
       leg='lpa'      graph.label_propagation (r4): 3 synchronous
                      label-propagation rounds over the undirected view
                      of the wedge graph — a=id, n=community label.
@@ -1963,10 +1953,11 @@ def _q_edge_agg(spark, sf_dir):
         F.lit(0).cast("long").alias("m"),
         F.col("aa").alias("val"),
     )
-    walk_leg = random_walks(
+    walks_df = random_walks(
         g2, walk_len=4, walks_per_vertex=1, seed=7,
         src_col="src", dst_col="dst",
-    ).select(
+    )
+    walk_leg = walks_df.select(
         F.lit("walk").alias("leg"),
         F.col("start_id").alias("a"),
         F.col("step").alias("b"),
@@ -1974,6 +1965,25 @@ def _q_edge_agg(spark, sf_dir):
         F.col("vertex").alias("n"),
         F.lit(0).cast("long").alias("m"),
         F.lit(0.0).alias("val"),
+    )
+    # leg='ppmi' (r5, VERDICT r4 #7): the SQL-expressible half of the
+    # spectral chain gets a VALUE oracle — skip-gram pair counts over
+    # the SAME deterministic walk corpus the 'walk' leg replays, then
+    # shifted-positive-PMI ln(n·tot/(n_i·n_j)) on exact integer counts
+    # (products exact in binary64, identical division, ln of the same
+    # double → 6dp-stable cross-engine). The SVD half stays
+    # pytest-pinned (test_embeddings.py).
+    from gliner_spark.operators.embeddings import ppmi as _ppmi
+    from gliner_spark.operators.graph import skipgram_pairs
+
+    ppmi_leg = _ppmi(skipgram_pairs(walks_df, window=2)).select(
+        F.lit("ppmi").alias("leg"),
+        F.col("i").alias("a"),
+        F.col("j").alias("b"),
+        F.lit("").alias("k"),
+        F.lit(0).cast("long").alias("n"),
+        F.lit(0).cast("long").alias("m"),
+        F.round("w", 6).alias("val"),
     )
     lpa = label_propagation(g, max_iter=3)
     lpa_leg = lpa.select(
@@ -2144,6 +2154,7 @@ def _q_edge_agg(spark, sf_dir):
         .unionByName(path_leg)
         .unionByName(pred_leg)
         .unionByName(walk_leg)
+        .unionByName(ppmi_leg)
         .unionByName(lpa_leg)
         .unionByName(scc_leg)
         .unionByName(clust_leg)
@@ -2762,48 +2773,6 @@ def _q_sequence_pack(spark, sf_dir):
         .unionByName(shuffle_leg)
         .unionByName(rag_leg)
     )
-
-
-def _q_turn_cooccur(spark, sf_dir):
-    """W4 in the turn domain: co-occurring entity mentions within a
-    2-turn window over documents-as-multi-turn conversations (each doc
-    split into per-sentence pseudo-turns is overkill here; docs are
-    single-turn so this exercises the same-turn pair path)."""
-    from gliner_spark.operators.cooccur import induce_cooccurrence
-    from gliner_spark.operators.ner import extract_entities
-
-    ents = extract_entities(_doc_transcripts(spark, sf_dir), ENTITY_TYPES)
-    return induce_cooccurrence(ents, turn_window=2)
-
-
-def _q_graph_edges(spark, sf_dir):
-    """End-to-end: triples → canonical map → rewritten triples → edges."""
-    from gliner_spark.operators.graph import build_edges
-    from gliner_spark.operators.linking import canonicalize, rewrite_triples
-    from gliner_spark.operators.ner import extract_entities
-    from gliner_spark.operators.relations import extract_triples
-
-    t = _doc_transcripts(spark, sf_dir)
-    ents = extract_entities(t, ENTITY_TYPES)
-    triples = extract_triples(t, RELATIONS, ENTITY_TYPES)
-    cm = canonicalize(ents, jaccard_threshold=0.5)
-    return build_edges(rewrite_triples(triples, cm))
-
-
-def _q_entity_pagerank(spark, sf_dir):
-    """Iterative graph analytics over the materialized entity graph."""
-    from gliner_spark.operators.graph import build_edges, pagerank
-    from gliner_spark.operators.linking import canonicalize, rewrite_triples
-    from gliner_spark.operators.ner import extract_entities
-    from gliner_spark.operators.relations import extract_triples
-
-    t = _doc_transcripts(spark, sf_dir)
-    ents = extract_entities(t, ENTITY_TYPES)
-    triples = extract_triples(t, RELATIONS, ENTITY_TYPES)
-    cm = canonicalize(ents, jaccard_threshold=0.5)
-    edges = build_edges(rewrite_triples(triples, cm))
-    pr = pagerank(edges)
-    return pr.select("entity_id", F.round("rank", 8).alias("rank"))
 
 
 def _q_ner_modes(spark, sf_dir):
@@ -4460,6 +4429,32 @@ def oracle_sql() -> dict[str, str]:
               select 'walk' as leg, start as a, step as b, '' as k,
                      cur as n, 0::bigint as m, 0.0 as val
               from walk),
+            -- skip-gram pairs of the walk corpus (|dstep| <= 2, same
+            -- walk) -> shifted-positive-PMI on exact integer counts;
+            -- replays embeddings.ppmi for the 'ppmi' leg
+            sg as (
+              select wa.cur as i, wb.cur as j,
+                     count(*)::bigint as cnt
+              from walk wa join walk wb
+                on wa.start = wb.start
+               and abs(wa.step - wb.step) <= 2
+               and wa.step <> wb.step
+              group by 1, 2),
+            sgt as (select sum(cnt)::double as tot_n from sg),
+            sgi as (select i, sum(cnt)::double as n_i from sg
+                    group by i),
+            sgj as (select j, sum(cnt)::double as n_j from sg
+                    group by j),
+            ppmi_leg as (
+              select 'ppmi' as leg, sg.i as a, sg.j as b, '' as k,
+                     0::bigint as n, 0::bigint as m,
+                     round(ln(sg.cnt * sgt.tot_n
+                              / (sgi.n_i * sgj.n_j)), 6) as val
+              from sg
+              cross join sgt
+              join sgi on sgi.i = sg.i
+              join sgj on sgj.j = sg.j
+              where ln(sg.cnt * sgt.tot_n / (sgi.n_i * sgj.n_j)) > 0),
             -- LPA: 3 synchronous rounds over the undirected view of g,
             -- most-frequent neighbor label with min-label ties — the
             -- same deterministic pick as graph.label_propagation
@@ -4673,6 +4668,7 @@ def oracle_sql() -> dict[str, str]:
             union all select * from path_leg
             union all select * from pred_leg
             union all select * from walk_leg
+            union all select * from ppmi_leg
             union all select * from lpa_leg
             union all select * from scc_leg
             union all select * from clust_leg

@@ -41,11 +41,93 @@ class GLiNERSpark:
 
     @classmethod
     def from_pretrained(cls, model_id: str | None = None, **kwargs):
-        """Reference loader signature (model.py `from_pretrained`); the
-        deterministic scorer replaces checkpoint weights, so `model_id`
-        is accepted for call-site compatibility and ignored."""
+        """Reference loader signature (model.py `from_pretrained`): a
+        `model_id` naming a directory previously written by
+        save_pretrained is LOADED from disk (config + labels trie +
+        label-embedding integrity check); any other id is accepted for
+        call-site compatibility and ignored (the deterministic scorer
+        replaces checkpoint weights)."""
+        import os
+
         cfg = kwargs.pop("cfg", None)
+        if (
+            isinstance(model_id, str)
+            and os.path.isdir(model_id)
+            and os.path.exists(
+                os.path.join(model_id, "gliner_config.json")
+            )
+        ):
+            return cls._load_directory(model_id, cfg_override=cfg)
         return cls(cfg=cfg)
+
+    # ------------------------------------------------- artifact round-trip
+    def save_pretrained(self, save_directory: str, **_kwargs) -> None:
+        """model.py:709-766 — persist the model artifact: the full
+        PipelineConfig as `gliner_config.json` (the analogue of the
+        reference's GLiNERConfig.to_json_file), the labels from
+        set_labels_trie (when present) as `labels.json`, and the
+        deterministic scorer's (C, dim) label-embedding matrix for
+        those labels as `label_embeddings.npy` — the artifact's
+        'weights'. from_pretrained(dir) re-encodes the labels under the
+        loaded config and verifies the matrix matches, so an artifact
+        whose config and embeddings drifted apart fails LOUDLY at load
+        instead of silently predicting differently."""
+        import json
+        import os
+
+        from dataclasses import asdict
+
+        os.makedirs(save_directory, exist_ok=True)
+        with open(
+            os.path.join(save_directory, "gliner_config.json"), "w"
+        ) as f:
+            json.dump(asdict(self.cfg), f, indent=1, sort_keys=True)
+        if hasattr(self, "_labels_trie"):
+            import numpy as np
+
+            labels = self._labels_trie[3]
+            with open(
+                os.path.join(save_directory, "labels.json"), "w"
+            ) as f:
+                json.dump(labels, f)
+            np.save(
+                os.path.join(save_directory, "label_embeddings.npy"),
+                self.encode_labels(labels),
+            )
+
+    @classmethod
+    def _load_directory(cls, path: str, cfg_override=None):
+        import json
+        import os
+
+        from .config import PipelineConfig, ScorerConfig
+
+        if cfg_override is None:
+            with open(os.path.join(path, "gliner_config.json")) as f:
+                raw = json.load(f)
+            scorer = ScorerConfig(**raw.pop("scorer"))
+            cfg_override = PipelineConfig(**raw, scorer=scorer)
+        model = cls(cfg=cfg_override)
+        labels_path = os.path.join(path, "labels.json")
+        if os.path.exists(labels_path):
+            with open(labels_path) as f:
+                labels = json.load(f)
+            model.set_labels_trie(labels)
+            emb_path = os.path.join(path, "label_embeddings.npy")
+            if os.path.exists(emb_path):
+                import numpy as np
+
+                saved = np.load(emb_path)
+                fresh = model.encode_labels(labels)
+                if saved.shape != fresh.shape or not np.allclose(
+                    saved, fresh, atol=1e-9
+                ):
+                    raise ValueError(
+                        f"label embeddings in {emb_path} do not match "
+                        "the loaded config's scorer — artifact config "
+                        "and weights have drifted apart"
+                    )
+        return model
 
     # ------------------------------------------------ inference (list path)
     def run(

@@ -1023,7 +1023,14 @@ def temperature_budgets(
         .agg(F.sum(token_count(F.col(text_col))).alias("n"))
         .collect()
     )
-    sizes = {r["g"]: int(r["n"]) for r in rows if r["n"]}
+    # drop NULL groups: cast('string') preserves NULL, and a None key in
+    # the returned dict would silently miss every string-keyed consumer
+    # (mixture_sample domain filters never match NULL)
+    sizes = {
+        r["g"]: int(r["n"])
+        for r in rows
+        if r["g"] is not None and r["n"]
+    }
     if not sizes:
         return {}
     tot = float(sum(sizes.values()))

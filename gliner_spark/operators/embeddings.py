@@ -208,7 +208,13 @@ def svd_embed(
     # k x k projection
     y = _matvec(m, x, "i", "j", k).localCheckpoint()
     q = _orth(y, k)
-    for _ in range(max(int(iters), 1)):
+    # iters counts REFINEMENT rounds beyond the mandatory init pass:
+    # iters=0 is a legitimate warm-start budget (project onto the init
+    # subspace, factorize, stop) — clamping it to 1 silently doubled a
+    # zero-refinement caller's matvec work (ADVICE r4)
+    if int(iters) < 0:
+        raise ValueError("iters >= 0 required")
+    for _ in range(int(iters)):
         z = _matvec(m, q, "j", "i", k).localCheckpoint()  # Mᵀ·Q
         wblk = _orth(z, k)
         y = _matvec(m, wblk, "i", "j", k).localCheckpoint()

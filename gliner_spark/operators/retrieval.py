@@ -610,12 +610,21 @@ def assemble_context(
     always makes it even when it alone exceeds the budget. One window
     cumsum per query (the partition is a candidate list, k-sized by
     construction — the ranker already did the corpus-scale work).
+
+    The cumsum window tie-breaks equal ranks on `doc_id` when the
+    input carries one (rank() rankers emit ties; a tie-order-dependent
+    cumsum would make the admitted subset nondeterministic). Without a
+    doc_id column, rank_col must be unique per query (row_number
+    rankers — every entry-point caller here).
     """
     from pyspark.sql import Window as _W
 
+    order = [F.col(rank_col).asc()]
+    if "doc_id" in ranked.columns:
+        order.append(F.col("doc_id").asc())
     w = (
         _W.partitionBy(query_col)
-        .orderBy(F.col(rank_col).asc())
+        .orderBy(*order)
         .rowsBetween(_W.unboundedPreceding, _W.currentRow)
     )
     cum = F.sum(F.col(tokens_col).cast("long")).over(w)

@@ -936,18 +936,28 @@ def _refine_exact(
     refine: int,
 ) -> DataFrame:
     """Re-rank the top refine·k ADC candidates by exact cosine — point
-    lookups of just those vec_ids against the full-vector table."""
+    lookups of just those vec_ids against the full-vector table.
+
+    The candidate list (Q · refine · k id pairs — bounded by the small
+    query-batch contract) is BROADCAST and the corpus is the probe
+    side: the full-vector table never shuffles and its unit vectors are
+    only computed for the matched rows. The reversed shape (shuffling
+    corpus (vec_id, unit) to meet the candidates) moved ~0.5 GB and
+    cost 27 s of the 29 s refine wall at 1M×64 (measured r5)."""
     cand = ranked.where(F.col("rank") <= refine * k).select(
         "query_id", "vec_id"
     )
     q = queries.select("query_id", _unit().alias("q_unit"))
     exact = (
-        cand.join(source.select("vec_id", _unit()), "vec_id")
+        source.select("vec_id", "embedding")
+        .join(F.broadcast(cand), "vec_id")
         .join(F.broadcast(q), "query_id")
         .select(
             "query_id",
             "vec_id",
-            F.round(_dot("unit", "q_unit"), 6).alias("score"),
+            F.round(
+                _dot(unit_vector("embedding"), F.col("q_unit")), 6
+            ).alias("score"),
         )
     )
     return _rank_topk(exact, k)

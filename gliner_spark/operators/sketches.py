@@ -177,6 +177,22 @@ def _commit_generation(df: DataFrame, state_path: str) -> None:
         shutil.rmtree(
             os.path.join(state_path, f"_gen={g}"), ignore_errors=True
         )
+    # a crash BETWEEN marker-remove and rmtree above leaves a markerless
+    # _gen dir no future fold revisits (only marked gens are live) —
+    # sweep every unmarked dir except the one just committed; unmarked
+    # dirs are invisible by contract, so deleting them is always safe
+    for name in os.listdir(state_path):
+        if (
+            name.startswith("_gen=")
+            and not name.endswith(".ok")
+            and name != f"_gen={nxt}"
+            and not os.path.exists(
+                os.path.join(state_path, f"{name}.ok")
+            )
+        ):
+            shutil.rmtree(
+                os.path.join(state_path, name), ignore_errors=True
+            )
 
 
 def _live_generations(state_path: str) -> list[int]:

@@ -179,3 +179,48 @@ def test_set_labels_trie_and_generate_labels():
     # single-string input → one-element list
     one = model.generate_labels(TEXTS[0])
     assert one == [gen[0]]
+
+
+def test_save_pretrained_round_trip(tmp_path):
+    """model.py:709-766 — save_pretrained persists config + labels trie
+    + label embeddings; from_pretrained(dir) restores a model with
+    IDENTICAL predictions and generation, and a drifted artifact
+    (embeddings not matching the saved config's scorer) loads loudly."""
+    import json
+
+    import numpy as np
+    import pytest
+
+    from gliner_spark.config import PipelineConfig
+
+    cfg = PipelineConfig(threshold=0.35, span_mode="marker")
+    model = GLiNERSpark(cfg=cfg)
+    vocab = ["person", "organization unit", "tool"]
+    model.set_labels_trie(vocab)
+    art = str(tmp_path / "artifact")
+    model.save_pretrained(art)
+
+    loaded = GLiNERSpark.from_pretrained(art)
+    assert loaded.cfg == cfg
+    labels = ["person", "location"]
+    for text in TEXTS:
+        assert loaded.predict_entities(
+            text, labels, threshold=0.35
+        ) == model.predict_entities(text, labels, threshold=0.35)
+    assert loaded.generate_labels(TEXTS) == model.generate_labels(TEXTS)
+
+    # a non-directory id still returns a default model (reference
+    # call-site compatibility: checkpoint names are accepted+ignored)
+    assert GLiNERSpark.from_pretrained("some/hub-id").cfg == PipelineConfig()
+
+    # tampered weights: re-save with a different scorer config but keep
+    # the old embedding matrix -> integrity check must raise
+    emb = np.load(f"{art}/label_embeddings.npy")
+    with open(f"{art}/gliner_config.json") as f:
+        raw = json.load(f)
+    raw["scorer"]["seed"] = 7
+    with open(f"{art}/gliner_config.json", "w") as f:
+        json.dump(raw, f)
+    np.save(f"{art}/label_embeddings.npy", emb)
+    with pytest.raises(ValueError, match="drifted"):
+        GLiNERSpark.from_pretrained(art)

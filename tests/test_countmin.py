@@ -88,12 +88,19 @@ def test_streaming_fold_parity_and_crash_orphan(spark, tmp_path_factory):
     assert len(oks) == 1
     # crash orphan: a generation directory WITHOUT a marker is invisible
     gen = int(oks[0][len("_gen="):-len(".ok")])
-    orphan = os.path.join(state, f"_gen={gen + 1}")
+    # gen+5 so the next fold's own commit (gen+1) can't absorb it
+    orphan = os.path.join(state, f"_gen={gen + 5}")
     live.limit(1).write.mode("overwrite").parquet(orphan)  # no marker
     still = current_countmin(spark, state)
     assert {
         (r["d"], r["bucket"]): r["n"] for r in still.collect()
     } == want
+    # the NEXT fold's GC sweeps the markerless orphan (ADVICE r4:
+    # without the sweep a crash between marker-remove and rmtree leaks
+    # the dir forever) while the new live generation stays intact
+    fold_countmin_batch(_df(spark, a[:10]), state, "word", width=256)
+    assert not os.path.exists(orphan)
+    assert current_countmin(spark, state) is not None
 
 
 def test_single_shuffle_build_plan(spark):

@@ -820,3 +820,20 @@ def test_temperature_budgets_feed_mixture_sample(spark):
     # alpha=0.5 upsamples b relative to proportional (40 vs 100 tokens)
     assert by["b"] >= 6  # b fully... budget_b = 200*sqrt(.2)/(sqrt(.8)+sqrt(.2)) ≈ 67 -> 6 docs admitted at 10 tok each
     assert sum(by.values()) >= 18
+
+
+def test_temperature_budgets_drop_null_groups(spark):
+    """ADVICE r4: NULL domains survive cast('string') and would put a
+    None key into the budget dict that string-keyed consumers never
+    match — they are dropped before allocation."""
+    from gliner_spark.operators.curation import temperature_budgets
+
+    df = spark.createDataFrame(
+        [("a", "x y z"), (None, "p q r s t u v w"), ("b", "k l")],
+        "domain string, text string",
+    )
+    budget = temperature_budgets(
+        df, group_col="domain", total_tokens=5, alpha=0.5
+    )
+    assert set(budget) == {"a", "b"}
+    assert None not in budget and sum(budget.values()) == 5

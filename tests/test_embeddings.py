@@ -276,3 +276,24 @@ def test_link_auc_separates_good_from_random(spark):
     auc_rand = link_auc(edf, rand, neg_per_pos=3, seed=1).first()["auc"]
     assert auc_good > 0.85
     assert auc_good > auc_rand
+
+
+def test_svd_embed_iters_zero_honored(spark):
+    """ADVICE r4: iters counts refinement rounds — iters=0 must run
+    zero of them (init pass + factorization only) rather than being
+    clamped to 1, and negatives raise."""
+    import pytest
+
+    rng = np.random.RandomState(4)
+    M = rng.rand(8, 3) @ rng.rand(3, 6)
+    df = spark.createDataFrame(
+        [(i, j, float(M[i, j])) for i in range(8) for j in range(6)],
+        "i long, j long, w double",
+    )
+    word, ctx, sig = svd_embed(df, k=3, iters=0, seed=5)
+    E = _collect_emb(word, 8, 3)
+    C = _collect_emb(ctx, 6, 3)
+    # rank-3 matrix: even the un-refined subspace reconstructs it
+    assert np.max(np.abs(E @ C.T - M)) < 1e-6
+    with pytest.raises(ValueError, match="iters"):
+        svd_embed(df, k=3, iters=-1, seed=5)

@@ -535,3 +535,23 @@ def test_assemble_context_over_real_bm25(spark):
     kept = assemble_context(ranked, 20, rank_col="rk").collect()
     # 6-token docs, budget 20 -> before-totals 0,6,12,18 admit 4 docs
     assert len(kept) == 4
+
+
+def test_assemble_context_rank_ties_deterministic(spark):
+    """ADVICE r4: rank() rankers emit duplicate ranks; the cumsum window
+    tie-breaks on doc_id so the admitted subset is deterministic — the
+    lower doc_id of a tied pair is walked first."""
+    from gliner_spark.operators.retrieval import assemble_context
+
+    rows = [(0, 12, 1, 60), (0, 7, 1, 60), (0, 20, 2, 60)]
+    df = spark.createDataFrame(
+        rows, "query_id long, doc_id long, rk int, n_tokens long"
+    )
+    for _ in range(3):  # stable across replans
+        got = {
+            r["doc_id"]: r["cum_tokens"]
+            for r in assemble_context(df, 100).collect()
+        }
+        # doc 7 first (60), doc 12 crosses at 120 (before-total 60 <
+        # 100 -> kept), doc 20 dropped (before-total 120)
+        assert got == {7: 60, 12: 120}
