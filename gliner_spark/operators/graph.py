@@ -1341,9 +1341,13 @@ def strongly_connected_components(
         # fixpoint (min id reaching v) is unchanged while rounds drop
         # from O(diameter) to O(log diameter) (17 → 7 at 2M edges,
         # measured r5). The pointer side keeps only strictly-improving
-        # entries (color < id): fixpoint colors — the hot keys once a
-        # giant SCC converges — never enter the join, so the doubling
-        # join cannot skew-collapse onto a converged class.
+        # entries (color < id): a ROOT r (color(r)=r) — the key every
+        # member of a converging class carries — never has a pointer
+        # entry, so the hot key meets an empty build side; and because
+        # the pointer side shrinks as classes converge, AQE flips the
+        # doubling join to broadcast in late rounds, which removes the
+        # probe-side shuffle (and with it the one-reducer hot-key
+        # placement) exactly when the skew would appear.
         def _min_label_doubling(prop_edges, init_verts, tag):
             rounds = 0
             cols = init_verts.select("id", F.col("id").alias("color"))

@@ -830,6 +830,13 @@ def _adc_topk_arrow(
         )
     m = luts.shape[1]
     nbits = packed_nbits
+    # the emitted arrays MUST carry the declared arrow types: pa.array
+    # inference turns an IntegerType query_id (e.g. a lit() literal)
+    # into int64 and the JVM's ArrowColumnVector accessor then crashes
+    # on the int32 it was promised
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    qid_arrow = to_arrow_type(qid_dtype)
 
     def mapper(batches):
         import numpy as np
@@ -905,9 +912,13 @@ def _adc_topk_arrow(
         if out_ids:
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(out_ids),
-                    pa.array(np.concatenate(out_vids)),
-                    pa.array(np.concatenate(out_s)),
+                    pa.array(out_ids, type=qid_arrow),
+                    pa.array(
+                        np.concatenate(out_vids), type=pa.int64()
+                    ),
+                    pa.array(
+                        np.concatenate(out_s), type=pa.float64()
+                    ),
                 ],
                 names=["query_id", "vec_id", "score"],
             )
@@ -1110,6 +1121,53 @@ def build_ivfpq_index(
     with open(os.path.join(path, "_ivfpq.json"), "w") as f:
         json.dump({"cents": cents, "books": books, "nbits": nbits}, f)
     return cents, books
+
+
+def append_to_ivfpq_index(embeddings: DataFrame, path: str) -> None:
+    """Incremental ingest into a persisted IVF-PQ index — the
+    append_to_ivf_index contract with the compression kept: BOTH
+    quantizers are immutable after build (the FAISS add() rule), so new
+    vectors are routed to their existing coarse cell, their residual
+    x − c_cell is encoded against the existing codebooks (the Arrow
+    batch encoder), and the packed BIGINT rows append under their cell
+    partitions. No shuffle beyond the co-locating repartition of the
+    new shard; existing cells are never rewritten or re-read, and
+    queries see old + new rows transparently (ADC scores of appended
+    rows are identical to build-time encoding of the same vectors —
+    parity-pinned in test_corpus_ops).
+
+    As with the uncompressed index, distribution drift degrades recall
+    against frozen quantizers — measure with `corpus_divergence` and
+    rebuild past a threshold."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivfpq.json")) as f:
+        meta = json.load(f)
+    cents, books, nbits = meta["cents"], meta["books"], meta["nbits"]
+    corpus = (
+        assign_nearest(embeddings.select("vec_id", _unit()), cents, "unit")
+        .withColumnRenamed("cluster", "cell")
+        .drop("dist2")
+    )
+    resid = _with_const(
+        corpus,
+        "_ct",
+        [list(map(float, c)) for c in cents],
+        "array<array<double>>",
+    ).select(
+        "cell",
+        "vec_id",
+        F.expr("zip_with(unit, _ct[cell], (a, b) -> a - b)").alias(
+            "embedding"
+        ),
+    )
+    enc = _pq_codes_udf(books, packed_nbits=nbits)
+    resid.select(
+        "cell", "vec_id", enc(F.col("embedding")).alias("packed")
+    ).repartition(F.col("cell")).write.mode("append").partitionBy(
+        "cell"
+    ).parquet(path)
 
 
 def knn_ivfpq_indexed(

@@ -2183,3 +2183,115 @@ def test_video_phash_majority_and_planted_pair(spark):
     }
     assert (100, 101) in pairs and pairs[(100, 101)] == 0
     assert len(pairs) < 15
+
+
+def test_adc_topk_arrow_mixed_cell_batches(spark):
+    """_adc_topk_arrow's cell_probe path must score correctly when ONE
+    Arrow batch carries rows of several cells (a cell-partitioned
+    parquet read never produces this, so the partitioned-index tests
+    can't catch a regression in the per-cell batch split)."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    from gliner_spark.operators.similarity import (
+        _adc_topk_arrow,
+        _np_round6,
+    )
+
+    rng = np.random.RandomState(9)
+    m, nbits, k_codes = 4, 4, 16
+    luts = rng.rand(3, m, k_codes)  # 3 queries
+    codes = rng.randint(0, k_codes, size=(60, m))
+    shifts = nbits * np.arange(m)
+    packed = (codes.astype(np.int64) << shifts[None, :]).sum(axis=1)
+    cells = np.array([i % 4 for i in range(60)])  # interleaved cells
+    # queries probe overlapping cell subsets with distinct qdotc offsets
+    cell_probe = {
+        0: (np.array([0, 1]), np.array([0.25, -0.5])),
+        1: (np.array([1, 2]), np.array([0.125, 0.75])),
+        3: (np.array([0, 2]), np.array([1.5, -0.25])),
+        # cell 2 probed by nobody -> its rows must be ignored
+    }
+    df = spark.createDataFrame(
+        [
+            (int(c), int(v), int(p))
+            for v, (c, p) in enumerate(zip(cells, packed))
+        ],
+        "cell int, vec_id long, packed long",
+    ).coalesce(1)  # ONE partition -> one batch with all four cells
+    out = _adc_topk_arrow(
+        df, [10, 11, 12], luts, 5, T.LongType(),
+        packed_nbits=nbits, cell_probe=cell_probe,
+    ).collect()
+    got = {(r.query_id, r.vec_id): r.score for r in out}
+    # brute python replay
+    want = {}
+    for qi, qid in enumerate([10, 11, 12]):
+        scored = []
+        for v in range(60):
+            probe = cell_probe.get(int(cells[v]))
+            if probe is None or qi not in list(probe[0]):
+                continue
+            off = float(probe[1][list(probe[0]).index(qi)])
+            s = off + sum(luts[qi, j, codes[v, j]] for j in range(m))
+            scored.append((float(_np_round6(np.array([s]))[0]), v))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for s, v in scored[:5]:
+            want[(qid, v)] = s
+    assert got == want
+
+
+def test_ivfpq_append_frozen_quantizers(spark, tmp_path_factory):
+    """append_to_ivfpq_index: new vectors are encoded against the
+    FROZEN coarse centroids + codebooks and appended under their cell
+    partitions — appended rows carry exactly the packed codes build-
+    time encoding would give them, queries see old + new rows
+    transparently, and an appended member's own query returns it."""
+    from gliner_spark.operators.similarity import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        knn_ivfpq_indexed,
+    )
+
+    df, queries = _pq_fixture(spark)
+    base = df.where("vec_id < 200")
+    extra = df.where("vec_id >= 200")
+    path = str(tmp_path_factory.mktemp("ivfpq_app")) + "/index"
+    build_ivfpq_index(base, path, n_cells=8, m=4, nbits=4, seed=5)
+    before = spark.read.parquet(path).count()
+    append_to_ivfpq_index(extra, path)
+    idx = spark.read.parquet(path)
+    assert idx.count() == before + extra.count()
+
+    # appended codes == codes from an index built over the SAME frozen
+    # quantizers covering everything: build a reference by appending
+    # the whole corpus to an empty copy is overkill — instead re-run
+    # the append on a second copy and compare packed values row-by-row
+    path2 = str(tmp_path_factory.mktemp("ivfpq_app2")) + "/index"
+    build_ivfpq_index(base, path2, n_cells=8, m=4, nbits=4, seed=5)
+    append_to_ivfpq_index(extra, path2)
+    a = {(r.vec_id): (r.cell, r.packed)
+         for r in spark.read.parquet(path).collect()}
+    b = {(r.vec_id): (r.cell, r.packed)
+         for r in spark.read.parquet(path2).collect()}
+    assert a == b  # deterministic encode + routing
+
+    # an appended member queried against the index finds itself top-1
+    # after exact refine (full probe so pruning can't hide it)
+    probe = extra.where("vec_id = 250").select(
+        F.lit(9999).alias("query_id"), "embedding"
+    )
+    out = knn_ivfpq_indexed(
+        spark, path, probe, k=3, n_probe=8, refine=8, source=df
+    ).collect()
+    top = [r for r in out if r.rank == 1][0]
+    assert top.vec_id == 250 and abs(top.score - 1.0) < 1e-6
+    # arrow/sql parity holds on the appended index
+    sq = knn_ivfpq_indexed(
+        spark, path, probe, k=3, n_probe=8, impl="sql"
+    ).collect()
+    ar = knn_ivfpq_indexed(
+        spark, path, probe, k=3, n_probe=8, impl="arrow"
+    ).collect()
+    assert sorted(map(tuple, ar)) == sorted(map(tuple, sq))
