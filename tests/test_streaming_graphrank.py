@@ -49,13 +49,26 @@ def _assert_close(got, want, abs_tol=1e-7):
 
 
 def _drop_all(spark, base):
+    import os
+    import shutil
+
     for t in spark.catalog.listTables():
         if t.name.startswith(base):
             spark.sql(f"drop table if exists {t.name}")
+    # a KILLED previous run leaves warehouse DIRECTORIES with no catalog
+    # entry; drop-if-exists can't see them and the next saveAsTable dies
+    # with LOCATION_ALREADY_EXISTS (CLAUDE.md warehouse lesson) — sweep
+    # the prefix dirs too, like tools/stream_kg_job.py does
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    if os.path.isdir(wh):
+        for d in os.listdir(wh):
+            if d.startswith(base):
+                shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
 
 
 def test_fold_parity_replay_crash_and_pruning(spark):
     base = "sgr"
+    _drop_all(spark, base)  # stale state from a crashed run
     try:
         for i, b in enumerate(BATCHES):
             assert fold_edge_batch(
@@ -118,6 +131,7 @@ def test_stream_pagerank_end_to_end_and_restart(
     land = str(tmp_path_factory.mktemp("sgr_land"))
     ckpt = str(tmp_path_factory.mktemp("sgr_ckpt"))
     base = "sgrs"
+    _drop_all(spark, base)  # stale state from a crashed run
     try:
         for i, b in enumerate(BATCHES):
             _edges(spark, b).coalesce(1).write.parquet(f"{land}/f{i}")
