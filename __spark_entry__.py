@@ -2878,6 +2878,9 @@ def _q_ivf_kmeans(spark, sf_dir):
     # codebooks) queried with static partition pruning + the Arrow ADC
     # partial-top-k (similarity._adc_topk_arrow). Rows-only; recall and
     # arrow/sql parity are pytest-pinned (test_corpus_ops PQ block).
+    import glob
+    import os
+    import shutil
     import tempfile
 
     from gliner_spark.operators.similarity import (
@@ -2885,6 +2888,14 @@ def _q_ivf_kmeans(spark, sf_dir):
         knn_ivfpq_indexed,
     )
 
+    # the fresh index dir must outlive this function (the returned
+    # DataFrame reads it lazily), so clean up PRIOR gate runs' dirs
+    # here instead — the gate is serial, so anything matching the
+    # prefix now is a leftover
+    for stale in glob.glob(
+        os.path.join(tempfile.gettempdir(), "gate_ivfpq_*")
+    ):
+        shutil.rmtree(stale, ignore_errors=True)
     idx_dir = tempfile.mkdtemp(prefix="gate_ivfpq_") + "/index"
     build_ivfpq_index(emb, idx_dir, n_cells=8, m=8, nbits=4, seed=5)
     ivfpq = knn_ivfpq_indexed(

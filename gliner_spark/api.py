@@ -102,6 +102,10 @@ class GLiNERSpark:
 
         from .config import PipelineConfig, ScorerConfig
 
+        # an explicit cfg= override replaces the artifact's config, so
+        # the saved label embeddings are EXPECTED to differ — run the
+        # drift integrity check only when loading the saved config
+        check_embeddings = cfg_override is None
         if cfg_override is None:
             with open(os.path.join(path, "gliner_config.json")) as f:
                 raw = json.load(f)
@@ -114,7 +118,7 @@ class GLiNERSpark:
                 labels = json.load(f)
             model.set_labels_trie(labels)
             emb_path = os.path.join(path, "label_embeddings.npy")
-            if os.path.exists(emb_path):
+            if check_embeddings and os.path.exists(emb_path):
                 import numpy as np
 
                 saved = np.load(emb_path)

@@ -726,13 +726,41 @@ def pq_encode(
 
 
 def _np_round6(s):
-    """HALF-AWAY-FROM-ZERO 6dp rounding in numpy — the same convention
-    as Spark's BigDecimal HALF_UP round(col, 6), so Arrow-side partial
-    top-k selection orders candidates exactly like the JVM window that
-    ranks them afterwards. (np.round is banker's — wrong convention.)"""
+    """Spark-exact 6dp rounding in numpy. Spark's round(col, 6) on a
+    double is BigDecimal.valueOf(x).setScale(6, HALF_UP) — HALF_UP over
+    the SHORTEST decimal repr of x, which near a .000_000_5 boundary
+    can differ from the vectorized floor(|x|·1e6 + 0.5) (e.g.
+    x=1.0412225 stored as …2249…: shortest repr rounds up, the scaled
+    product rounds down). So: vectorize the common case, then re-round
+    the rare near-boundary values exactly via Python's repr (the same
+    shortest-round-trip decimal as Java's Double.toString) + Decimal
+    HALF_UP. (np.round alone is banker's — wrong convention.)
+
+    Exactness caveat, documented rather than hidden: arrow and SQL
+    still SUM in different orders (pairwise numpy vs sequential fold),
+    so pre-rounding inputs can differ in the last bit; identical
+    rounding makes a cross-impl 6dp mismatch possible only when two
+    last-bit-different sums straddle a boundary (~1e-10 per score)."""
     import numpy as np
 
-    return np.copysign(np.floor(np.abs(s) * 1e6 + 0.5), s) / 1e6
+    s = np.asarray(s, dtype=np.float64)
+    scaled = np.abs(s) * 1e6
+    out = np.copysign(np.floor(scaled + 0.5), s) / 1e6
+    frac = scaled - np.floor(scaled)
+    near = np.abs(frac - 0.5) < 1e-6
+    if near.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        flat_out = out.reshape(-1)
+        flat_in = s.reshape(-1)
+        q = Decimal("0.000001")
+        for i in np.flatnonzero(near.reshape(-1)):
+            flat_out[i] = float(
+                Decimal(repr(float(flat_in[i]))).quantize(
+                    q, rounding=ROUND_HALF_UP
+                )
+            )
+    return out
 
 
 def _collect_query_units(queries: DataFrame):
@@ -741,10 +769,14 @@ def _collect_query_units(queries: DataFrame):
     batch that doesn't fit on the driver wouldn't fit in a broadcast
     either). Unit vectors are computed by the JVM `_unit` expression
     before collecting so both impls normalize with identical arithmetic.
-    Returns (ids list, units (Q, d) float64)."""
+    NULL-embedding queries are dropped (they contribute no candidates);
+    the SQL twin instead carries them through as NULL scores that rank
+    meaninglessly — for this one degenerate input the impls diverge,
+    deliberately. Returns (ids list, units (Q, d) float64)."""
     import numpy as np
 
     rows = queries.select("query_id", _unit().alias("q_unit")).collect()
+    rows = [r for r in rows if r.q_unit is not None]
     ids = [r.query_id for r in rows]
     units = (
         np.asarray([list(r.q_unit) for r in rows], dtype=np.float64)
@@ -1086,12 +1118,33 @@ def build_ivfpq_index(
     _assigned, cents, _inertia = kmeans(
         train, k=n_cells, max_iter=kmeans_iter, seed=seed
     )
+    resid = _ivfpq_residuals(embeddings, cents)
+    books = train_pq(
+        resid,
+        m=m,
+        nbits=nbits,
+        kmeans_iter=pq_iter,
+        seed=seed,
+        sample_cap=sample_cap,
+        normalize=False,
+    )
+    _ivfpq_write_cells(resid, books, nbits, path, mode="overwrite")
+    with open(os.path.join(path, "_ivfpq.json"), "w") as f:
+        json.dump({"cents": cents, "books": books, "nbits": nbits}, f)
+    return cents, books
+
+
+def _ivfpq_residuals(embeddings: DataFrame, cents) -> DataFrame:
+    """(cell, vec_id, embedding=residual x − c_cell): the shared
+    assign→residual stage of build AND append — one definition so the
+    two paths can never encode differently against the same frozen
+    coarse quantizer."""
     corpus = (
         assign_nearest(embeddings.select("vec_id", _unit()), cents, "unit")
         .withColumnRenamed("cluster", "cell")
         .drop("dist2")
     )
-    resid = _with_const(
+    return _with_const(
         corpus,
         "_ct",
         [list(map(float, c)) for c in cents],
@@ -1103,24 +1156,18 @@ def build_ivfpq_index(
             "embedding"
         ),
     )
-    books = train_pq(
-        resid,
-        m=m,
-        nbits=nbits,
-        kmeans_iter=pq_iter,
-        seed=seed,
-        sample_cap=sample_cap,
-        normalize=False,
-    )
+
+
+def _ivfpq_write_cells(
+    resid: DataFrame, books, nbits: int, path: str, mode: str
+) -> None:
+    """Shared encode→partitioned-write stage of build and append."""
     enc = _pq_codes_udf(books, packed_nbits=nbits)
     resid.select(
         "cell", "vec_id", enc(F.col("embedding")).alias("packed")
-    ).repartition(F.col("cell")).write.mode("overwrite").partitionBy(
+    ).repartition(F.col("cell")).write.mode(mode).partitionBy(
         "cell"
     ).parquet(path)
-    with open(os.path.join(path, "_ivfpq.json"), "w") as f:
-        json.dump({"cents": cents, "books": books, "nbits": nbits}, f)
-    return cents, books
 
 
 def append_to_ivfpq_index(embeddings: DataFrame, path: str) -> None:
@@ -1144,30 +1191,13 @@ def append_to_ivfpq_index(embeddings: DataFrame, path: str) -> None:
 
     with open(os.path.join(path, "_ivfpq.json")) as f:
         meta = json.load(f)
-    cents, books, nbits = meta["cents"], meta["books"], meta["nbits"]
-    corpus = (
-        assign_nearest(embeddings.select("vec_id", _unit()), cents, "unit")
-        .withColumnRenamed("cluster", "cell")
-        .drop("dist2")
+    _ivfpq_write_cells(
+        _ivfpq_residuals(embeddings, meta["cents"]),
+        meta["books"],
+        meta["nbits"],
+        path,
+        mode="append",
     )
-    resid = _with_const(
-        corpus,
-        "_ct",
-        [list(map(float, c)) for c in cents],
-        "array<array<double>>",
-    ).select(
-        "cell",
-        "vec_id",
-        F.expr("zip_with(unit, _ct[cell], (a, b) -> a - b)").alias(
-            "embedding"
-        ),
-    )
-    enc = _pq_codes_udf(books, packed_nbits=nbits)
-    resid.select(
-        "cell", "vec_id", enc(F.col("embedding")).alias("packed")
-    ).repartition(F.col("cell")).write.mode("append").partitionBy(
-        "cell"
-    ).parquet(path)
 
 
 def knn_ivfpq_indexed(

@@ -213,6 +213,13 @@ def test_save_pretrained_round_trip(tmp_path):
     # call-site compatibility: checkpoint names are accepted+ignored)
     assert GLiNERSpark.from_pretrained("some/hub-id").cfg == PipelineConfig()
 
+    # an explicit cfg= override replaces the artifact's config and must
+    # NOT trip the embedding drift check (the saved matrix belongs to
+    # the saved config, not the override)
+    over = PipelineConfig(span_mode="mlp")
+    m2 = GLiNERSpark.from_pretrained(art, cfg=over)
+    assert m2.cfg == over and hasattr(m2, "_labels_trie")
+
     # tampered weights: re-save with a different scorer config but keep
     # the old embedding matrix -> integrity check must raise
     emb = np.load(f"{art}/label_embeddings.npy")

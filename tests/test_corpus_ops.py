@@ -2295,3 +2295,26 @@ def test_ivfpq_append_frozen_quantizers(spark, tmp_path_factory):
         spark, path, probe, k=3, n_probe=8, impl="arrow"
     ).collect()
     assert sorted(map(tuple, ar)) == sorted(map(tuple, sq))
+
+
+def test_np_round6_matches_spark_round_on_boundaries(spark):
+    """_np_round6 must reproduce Spark round(col, 6) exactly, INCLUDING
+    the shortest-decimal-repr boundary cases where a scaled-floor
+    half-up disagrees (x=1.0412225 is stored as ...2249...; Spark's
+    BigDecimal path rounds it UP, floor(x*1e6+0.5) rounds DOWN)."""
+    import numpy as np
+
+    from gliner_spark.operators.similarity import _np_round6
+
+    xs = [1.0412225, 1.9104794999999999, -1.0412225, 0.0000005,
+          -0.0000005, 2.5e-7, 1.0, -3.7654321, 0.1234565]
+    rng = np.random.RandomState(3)
+    xs += [float(x) for x in rng.uniform(-2, 2, 500)]
+    xs += [float(round(float(x), 7)) + 5e-7
+          for x in rng.uniform(-1, 1, 200)]
+    xs = [float(x) for x in xs]
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    want = [r.y for r in df.select(F.round("x", 6).alias("y")).collect()]
+    got = list(_np_round6(np.asarray(xs)))
+    mism = [(x, g, w) for x, g, w in zip(xs, got, want) if g != w]
+    assert not mism, mism[:5]
