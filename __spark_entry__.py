@@ -2897,7 +2897,13 @@ def _q_ivf_kmeans(spark, sf_dir):
     ):
         shutil.rmtree(stale, ignore_errors=True)
     idx_dir = tempfile.mkdtemp(prefix="gate_ivfpq_") + "/index"
-    build_ivfpq_index(emb, idx_dir, n_cells=8, m=8, nbits=4, seed=5)
+    # iter counts trimmed for gate wall: leg rows are k x Q regardless
+    # of quantizer quality, and quantizer QUALITY is pinned by the
+    # recall tests — the gate checks the composed plumbing
+    build_ivfpq_index(
+        emb, idx_dir, n_cells=8, m=8, nbits=4, seed=5,
+        kmeans_iter=2, pq_iter=2,
+    )
     ivfpq = knn_ivfpq_indexed(
         spark, idx_dir, queries, k=5, n_probe=3
     ).select(
