@@ -1338,19 +1338,38 @@ def strongly_connected_components(
         # propagates colors one edge-hop (color(v) ← min inbound), then
         # shortcuts color(v) ← color(color(v)) — valid because color
         # witnesses reachability and reachability is transitive, so the
-        # fixpoint (min id reaching v) is unchanged while rounds drop
-        # from O(diameter) to O(log diameter) (17 → 7 at 2M edges,
-        # measured r5). The pointer side keeps only strictly-improving
-        # entries (color < id): a ROOT r (color(r)=r) — the key every
-        # member of a converging class carries — never has a pointer
-        # entry, so the hot key meets an empty build side; and because
-        # the pointer side shrinks as classes converge, AQE flips the
-        # doubling join to broadcast in late rounds, which removes the
-        # probe-side shuffle (and with it the one-reducer hot-key
-        # placement) exactly when the skew would appear.
+        # fixpoint (min id reaching v) is unchanged. The shortcut
+        # compresses rounds when improved labels align with the
+        # propagation direction (random-id graphs: 17 → 7 rounds at 2M
+        # edges, measured r5); it is NOT a worst-case bound — a cycle
+        # whose ids DESCEND along the edges still pays O(diameter)
+        # rounds (the min walks one hop per round and no pointer ever
+        # improves), exactly like the r4 one-hop code and like any
+        # label-propagation scheme without hop sets. The pointer side
+        # keeps only strictly-improving entries (color < id): a ROOT r
+        # (color(r)=r) — the key every member of a converging class
+        # carries — never has a pointer entry, so the hot key meets an
+        # empty build side; and because the pointer side shrinks as
+        # classes converge, AQE flips the doubling join to broadcast in
+        # late rounds, which removes the probe-side shuffle (and with
+        # it the one-reducer hot-key placement) exactly when the skew
+        # would appear.
         def _min_label_doubling(prop_edges, init_verts, tag):
+            # Round-barrier discipline (r5, measured on a 64-cycle):
+            # the pointer step is a SELF-JOIN of `stepped` with its own
+            # projection, and chaining localCheckpoint() through a
+            # self-join doubles DRIVER cost per round (self-join
+            # disambiguation over accumulated dataset lineage — rounds
+            # 15+ went 1 s → 2 s → … → 95 s). Two changes keep rounds
+            # FLAT: (a) `stepped` is eagerly checkpointed BEFORE the
+            # self-join, so both join sides hang off one LogicalRDD;
+            # (b) the round barrier on `cols` is persist()+count() with
+            # an explicit unpersist of the previous round, not a second
+            # localCheckpoint. 24 anti-aligned rounds measured flat at
+            # ~0.45 s after the fix.
             rounds = 0
             cols = init_verts.select("id", F.col("id").alias("color"))
+            prev_cache = None
             while True:
                 inbound = (
                     prop_edges.join(
@@ -1363,12 +1382,16 @@ def strongly_connected_components(
                     .groupBy(F.col("dst").alias("id"))
                     .agg(F.min("c_src").alias("c_in"))
                 )
-                stepped = cols.join(inbound, "id", "left").select(
-                    "id",
-                    F.least(
-                        "color", F.coalesce("c_in", F.col("color"))
-                    ).alias("color"),
-                    F.col("color").alias("old"),
+                stepped = (
+                    cols.join(inbound, "id", "left")
+                    .select(
+                        "id",
+                        F.least(
+                            "color", F.coalesce("c_in", F.col("color"))
+                        ).alias("color"),
+                        F.col("color").alias("old"),
+                    )
+                    .localCheckpoint()
                 )
                 ptr = stepped.where(F.col("color") < F.col("id")).select(
                     F.col("id").alias("_pid"),
@@ -1381,22 +1404,33 @@ def strongly_connected_components(
                     .select(
                         "id",
                         F.least(
-                            "color", F.coalesce("_pc", F.col("color"))
+                            F.col("color"),
+                            F.coalesce("_pc", F.col("color")),
                         ).alias("color"),
                         "old",
                     )
-                    .localCheckpoint(eager=False)
+                    .persist()
                 )
+                # ONE action materializes the cache AND yields the
+                # convergence scalar (fold-the-scalar rule)
                 changed = doubled.where(
                     F.col("color") != F.col("old")
                 ).count()
-                cols = doubled.select("id", "color").localCheckpoint()
+                if prev_cache is not None:
+                    prev_cache.unpersist()
+                prev_cache = doubled
+                cols = doubled.select("id", "color")
                 rounds += 1
                 _log(f"{tag} round {rounds}: changed={changed}")
                 if changed == 0:
                     break
+            # the final round's cache backs the returned frame until the
+            # phase materializes its consumers; the phase unpersists it
+            # after the scc extraction is checkpointed
+            _phase_caches.append(prev_cache)
             return cols
 
+        _phase_caches: list = []
         _log("forward coloring start")
         colors = _min_label_doubling(remaining, core, "fw")
         # backward pass: the SAME doubled min-label on the REVERSED
@@ -1406,7 +1440,8 @@ def strongly_connected_components(
         # exactly when v reaches r — i.e. exactly for SCC members.
         # Replaces the frontier BFS (O(SCC diameter) rounds, growing
         # union + isEmpty job per round: 14 rounds / 19 s at 2M edges,
-        # measured r5) with O(log diameter) rounds.
+        # measured r5); same worst-case round count, fewer rounds in
+        # practice (14 → 7 measured) and a flat per-round cost.
         ce = (
             remaining.join(
                 colors.select(
@@ -1438,6 +1473,9 @@ def strongly_connected_components(
             .localCheckpoint()
         )
         settled_parts.append(scc)
+        for _c in _phase_caches:
+            if _c is not None:
+                _c.unpersist()
         _log("scc extracted")
         done = scc.select("id")
         remaining = (

@@ -91,3 +91,32 @@ def test_scc_local_equals_distributed_on_mixed_graph(spark):
         ).collect()
     }
     assert local == dist == py_scc(edges)
+
+
+def test_scc_anti_aligned_cycle_flat_rounds(spark):
+    """A directed cycle whose ids DESCEND along the edges, distributed
+    path forced: the worst case for the r5 pointer doubling (no pointer
+    ever improves, the min walks ONE hop per round, ~2n min-label
+    rounds total). This pins two things: (a) correctness on the
+    adversarial alignment, and (b) the flat per-round cost of the
+    barrier discipline — the first r5 loop chained localCheckpoint
+    through the pointer self-join and its per-round DRIVER cost doubled
+    from round ~15 (round 21 alone took 95 s; 2n rounds would be
+    hours), so this test hangs rather than passes if that regresses.
+    Also plants a 3-cycle and an acyclic bridge so the big SCC, a small
+    SCC, and the trim/vanish paths coexist."""
+    n = 40
+    edges = [((i + 1) % n, i) for i in range(n)]  # 0 -> n-1 -> n-2 -> ...
+    edges += [(1000, 1001), (1001, 1002), (1002, 1000)]  # 3-cycle
+    edges += [(5, 2000), (2000, 1000)]  # acyclic bridge out of the ring
+    df = spark.createDataFrame(edges, "src long, dst long")
+    from gliner_spark.operators.graph import strongly_connected_components
+
+    got = {
+        (r.id, r.component)
+        for r in strongly_connected_components(df, small_solve=0).collect()
+    }
+    want = {(i, 0) for i in range(n)}
+    want |= {(v, 1000) for v in (1000, 1001, 1002)}
+    want |= {(2000, 2000)}
+    assert got == want
